@@ -1,0 +1,24 @@
+"""moonlink_spark — a from-scratch PySpark-native table-maintenance engine.
+
+Behavioral reference: imor/moonlink (Rust CDC-ingestion/maintenance engine,
+surveyed in /root/repo/SURVEY.md).  This package re-expresses moonlink's
+table-state semantics — tiny-commit-file ingestion aftermath, positional
+delete vectors, size-tiered compaction, snapshot sync/expiry, MERGE — as
+idiomatic Spark DataFrame plans plus vectorized Arrow/pandas UDFs, designed
+for multi-executor clusters at 10^12-file scale and tested on local[N].
+
+Layout
+------
+- ``config``        thresholds mirroring moonlink's production defaults
+- ``snapshotstore`` versioned snapshot manifests + atomic commit
+- ``synth``         deterministic CDC-aftermath generator (test/bench input)
+- ``operators``     scan, planner, rewrite, merge, expire, skew
+- ``functions``     zorder / sha256 / text-analysis / dedup / similarity
+- ``engine``        MoonTable facade (optimize / scan / merge / expire)
+"""
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+
+__all__ = ["CompactionConfig", "TableConfig", "MoonTable"]
+__version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""Engine configuration.
+
+Defaults mirror moonlink's production thresholds:
+
+- compaction trigger: min 16 / max 32 files per op, 512 MiB target file
+  size, >= 50 % deleted rows
+  (reference: src/moonlink/src/storage/compaction/compaction_config.rs:47-54)
+- fresh-ingest flush file size 128 MiB Snappy
+  (storage/mooncake_table_config.rs:23-24, storage/parquet_utils.rs:8-13)
+- compacted files ZSTD (storage/parquet_utils.rs:15-20)
+- ``full`` maintenance mode overrides: min 2 files, no max, any deletion
+  fraction, i.e. compact everything
+  (storage/mooncake_table/snapshot_maintenance.rs:66-67)
+
+Test/bench runs scale ``target_file_bytes`` down so that the *shape* of the
+plan (many input files -> few size-capped output files) is preserved at
+small data sizes; the constants here are the production values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MIB = 1024 * 1024
+
+
+@dataclass(frozen=True)
+class CompactionConfig:
+    """Candidate-selection and output-sizing knobs for compaction."""
+
+    min_files_to_compact: int = 16
+    max_files_to_compact: int = 32
+    target_file_bytes: int = 512 * MIB  # compaction_config.rs:52 (1<<29)
+    deletion_trigger_fraction: float = 0.5  # compaction_config.rs:53-54
+    # How many input bytes a single resumable rewrite unit (a "bin") takes
+    # on.  Bigger bins amortize job-launch overhead; smaller bins give
+    # finer-grained resume.  Purely our knob (moonlink's unit is one
+    # compaction op of <=32 files).
+    bin_target_bytes: int = 4 * 512 * MIB
+
+    def for_full_mode(self) -> "CompactionConfig":
+        """ForceFull semantics: compact everything regardless of size
+        (snapshot_maintenance.rs:66-67 sets min=2, max=inf, deletion%=1,
+        size threshold=inf)."""
+        return CompactionConfig(
+            min_files_to_compact=2,
+            max_files_to_compact=1 << 62,
+            target_file_bytes=self.target_file_bytes,
+            deletion_trigger_fraction=0.0,
+            bin_target_bytes=self.bin_target_bytes,
+        )
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Per-table configuration."""
+
+    # Columns that participate in the Z-order clustering key, in order.
+    zorder_columns: tuple[str, ...] = ("repo", "path")
+    # Columns whose min/max bounds are tracked per data file in the
+    # manifest (drives file pruning; cf. parquet_stats_utils.rs:327-412).
+    stats_columns: tuple[str, ...] = ("repo", "path", "commit", "lang")
+    # Bits per Z-order dimension (2 dims x 16 bits -> 32-bit zkey).
+    zorder_bits: int = 16
+    compaction: CompactionConfig = field(default_factory=CompactionConfig)
+    # Compression: fresh ingest files are snappy, compacted files zstd
+    # (parquet_utils.rs:8-20).
+    ingest_compression: str = "snappy"
+    compact_compression: str = "zstd"

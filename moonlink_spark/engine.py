@@ -1,0 +1,259 @@
+"""MoonTable — the public maintenance API.
+
+Mirrors moonlink's backend surface (``moonlink_backend/src/lib.rs``):
+
+- ``scan(version=None, predicates=...)``   — snapshot-pinned read
+  (``scan_table_begin``, ``moonlink_rpc/src/lib.rs:28-40``)
+- ``optimize(mode)`` with mode ``data`` | ``index`` | ``full``
+  (``optimize_table``, ``moonlink_backend/src/lib.rs:353-380``)
+- ``merge(changes, key_columns)``          — the MERGE INTO surface
+- ``expire_snapshots(retain_last)``        — our retention addition
+- ``metrics()``                            — per-job lineage counters
+  (the engine's analogue of moonlink's OTEL latency histograms,
+  ``observability/iceberg_persistence.rs:59-86``)
+
+Every mutation commits a new immutable snapshot version; ``optimize`` is
+resumable: rerunning after a crash skips bins whose lineage records
+validate, and a rerun after a successful commit is a no-op (the job id is
+derived from the base version, and the committed snapshot records it).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.functions.zorder import compute_zorder_boundaries
+from moonlink_spark.operators import expire as expire_op
+from moonlink_spark.operators import merge as merge_op
+from moonlink_spark.operators import scan as scan_op
+from moonlink_spark.operators.planner import plan_compaction
+from moonlink_spark.operators.rewrite import rewrite_bin
+from moonlink_spark.snapshotstore import DV_DIR, Snapshot, SnapshotStore
+
+# index-merge trigger: min 16 small DV sidecars, mirroring
+# index_merge_config.rs:258-268 (min 16 / max 32 index blocks).
+MIN_DV_SIDECARS_TO_MERGE = 16
+
+
+class MoonTable:
+    """Facade over one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 config: TableConfig | None = None):
+        self.spark = spark
+        self.store = SnapshotStore(warehouse)
+        self.config = config or TableConfig()
+
+    # -- read ------------------------------------------------------------
+    def current_version(self) -> int:
+        return self.store.current_version()
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.store.read_snapshot(version)
+
+    def scan(self, version: int | None = None, *,
+             predicates: Mapping[str, str] | None = None,
+             with_location: bool = False) -> DataFrame:
+        snap = self.store.read_snapshot(version)
+        return scan_op.scan(self.spark, self.store, snap,
+                            predicates=predicates,
+                            with_location=with_location)
+
+    def manifest(self, version: int | None = None) -> DataFrame:
+        return self.store.manifest_df(self.spark, version)
+
+    # -- maintenance -----------------------------------------------------
+    def optimize(self, mode: str = "data", *,
+                 max_bins: int | None = None) -> Snapshot:
+        """Run one maintenance operation; returns the resulting snapshot
+        (the unchanged current one if there was nothing to do).
+
+        ``max_bins`` is a test hook: stop (as if killed) after that many
+        bins — a later ``optimize`` call resumes from lineage.
+        """
+        if mode not in ("data", "index", "full"):
+            raise ValueError(f"unknown optimize mode {mode!r}")
+        base = self.store.read_snapshot()
+        job_id = f"opt-{mode}-v{base.version:06d}"
+
+        # already committed by a previous (crashed-after-commit) run?
+        for v in self.store.versions():
+            if v > base.version:
+                s = self.store.read_snapshot(v)
+                if s.properties.get("job_id") == job_id:
+                    return s
+
+        if mode == "index":
+            return self._optimize_index(base, job_id)
+        return self._optimize_data(base, job_id, mode, max_bins)
+
+    def _optimize_data(self, base: Snapshot, job_id: str, mode: str,
+                       max_bins: int | None) -> Snapshot:
+        comp = (self.config.compaction.for_full_mode()
+                if mode == "full" else self.config.compaction)
+        manifest = self.manifest(base.version)
+        bins = plan_compaction(manifest, comp)
+        if not bins:
+            return base  # the `Nothing` outcome
+
+        # one column-pruned pass over the candidate files to fix the
+        # Z-order quantile boundaries for the whole job (deterministic,
+        # so resumed runs re-derive identical boundaries)
+        all_inputs = [p for b in bins for p in b.files]
+        sample = self.spark.read.parquet(
+            *[self.store.abs(p) for p in all_inputs]
+        ).select(*self.config.zorder_columns)
+        boundaries = compute_zorder_boundaries(
+            sample, list(self.config.zorder_columns),
+            bits=self.config.zorder_bits)
+
+        cfg = TableConfig(
+            zorder_columns=self.config.zorder_columns,
+            stats_columns=self.config.stats_columns,
+            zorder_bits=self.config.zorder_bits,
+            compaction=comp,
+            ingest_compression=self.config.ingest_compression,
+            compact_compression=self.config.compact_compression,
+        )
+        records = []
+        for i, b in enumerate(bins):
+            if max_bins is not None and i >= max_bins:
+                return base  # simulated kill; lineage already on disk
+            records.append(
+                rewrite_bin(self.spark, self.store, b, config=cfg,
+                            boundaries=boundaries, job_id=job_id))
+
+        compacted = {p for b in bins for p in b.files}
+        entries = []
+        for e in self.store.manifest_entries(base.version):
+            if e["path"] in compacted:
+                continue
+            entries.append(self._entry_from_manifest_row(e))
+        for rec in records:
+            for out in rec["outputs"]:
+                entries.append({**out, "dv_path": None, "dv_cardinality": 0})
+
+        props = dict(base.properties)
+        props.update({
+            "flush_lsn": base.flush_lsn,
+            "job_id": job_id,
+            "operation": f"optimize-{mode}",
+            "metrics": {
+                "bins": len(records),
+                "input_files": len(compacted),
+                "output_files": sum(len(r["outputs"]) for r in records),
+                "rows_in": sum(r["rows_in"] for r in records),
+                "rows_deleted": sum(r["rows_deleted"] for r in records),
+                "rows_out": sum(r["rows_out"] for r in records),
+                "bytes_in": sum(r["bytes_in"] for r in records),
+                "bytes_out": sum(r["bytes_out"] for r in records),
+            },
+        })
+        return self.store.commit(
+            entries, schema=base.schema,
+            stats_columns=self.config.stats_columns,
+            properties=props, expected_parent=base.version)
+
+    def _optimize_index(self, base: Snapshot, job_id: str) -> Snapshot:
+        """Consolidate many small DV sidecars into few — the engine's
+        analogue of moonlink's file-index merge (merge >=16 small index
+        blocks into one GlobalIndex, ``snapshot_maintenance.rs:227-309``).
+        Metadata-only: no data file is touched."""
+        entries = self.store.manifest_entries(base.version)
+        live_dv = sorted({e["dv_path"] for e in entries if e["dv_path"]})
+        if len(live_dv) < MIN_DV_SIDECARS_TO_MERGE:
+            return base
+        live_files = [e["path"] for e in entries if e["dv_path"]]
+        dv = (self.spark.read.parquet(
+                *[self.store.abs(p) for p in live_dv])
+              .filter(F.col("referenced_file").isin(live_files))
+              .select("referenced_file",
+                      F.explode("positions").alias("pos"), "max_row_count"))
+        merged = (
+            dv.groupBy("referenced_file")
+            .agg(F.array_sort(F.collect_set("pos")).alias("positions"),
+                 F.max("max_row_count").alias("max_row_count"))
+            .withColumn("cardinality", F.size("positions").cast("long"))
+            .select("referenced_file", "positions", "cardinality",
+                    "max_row_count")
+        )
+        tmp = os.path.join(self.store.warehouse, "tmp", job_id)
+        n_out = max(1, math.ceil(len(live_files) / 4096))
+        (merged.repartitionByRange(n_out, "referenced_file")
+         .sortWithinPartitions("referenced_file")
+         .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
+        parts = sorted(p for p in os.listdir(tmp)
+                       if p.startswith("part-") and p.endswith(".parquet"))
+        mapping: dict[str, tuple[str, int]] = {}
+        for j, part in enumerate(parts):
+            rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
+            os.replace(os.path.join(tmp, part), self.store.abs(rel))
+            for r in (self.spark.read.parquet(self.store.abs(rel))
+                      .select("referenced_file", "cardinality").collect()):
+                mapping[r["referenced_file"]] = (rel, r["cardinality"])
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        out = []
+        for e in entries:
+            ent = self._entry_from_manifest_row(e)
+            if e["path"] in mapping:
+                ent["dv_path"], ent["dv_cardinality"] = mapping[e["path"]]
+            out.append(ent)
+        props = dict(base.properties)
+        props.update({"flush_lsn": base.flush_lsn, "job_id": job_id,
+                      "operation": "optimize-index",
+                      "metrics": {"dv_sidecars_in": len(live_dv),
+                                  "dv_sidecars_out": len(parts)}})
+        return self.store.commit(
+            out, schema=base.schema,
+            stats_columns=self.config.stats_columns,
+            properties=props, expected_parent=base.version)
+
+    def _entry_from_manifest_row(self, e: dict) -> dict:
+        return {
+            "path": e["path"], "rows": e["rows"], "bytes": e["bytes"],
+            "dv_path": e.get("dv_path"),
+            "dv_cardinality": e.get("dv_cardinality") or 0,
+            "bounds": {c: (e[f"min_{c}"], e[f"max_{c}"])
+                       for c in self.config.stats_columns
+                       if e.get(f"min_{c}") is not None},
+        }
+
+    # -- mutation --------------------------------------------------------
+    def merge(self, changes: DataFrame, *, key_columns: list[str],
+              broadcast_changes: bool = True,
+              job_tag: str = "merge") -> Snapshot:
+        base = self.store.read_snapshot()
+        return merge_op.merge_into(
+            self.spark, self.store, base, changes,
+            key_columns=key_columns, config=self.config,
+            broadcast_changes=broadcast_changes, job_tag=job_tag)
+
+    # -- retention -------------------------------------------------------
+    def expire_snapshots(self, retain_last: int = 2) -> dict:
+        return expire_op.expire_snapshots(self.spark, self.store,
+                                          retain_last=retain_last)
+
+    # -- observability ---------------------------------------------------
+    def metrics(self, job_id: str | None = None) -> list[dict]:
+        """Lineage records (per-bin rows/bytes counters) for one job or
+        all jobs."""
+        root = os.path.join(self.store.warehouse, "checkpoints")
+        out = []
+        for job in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            if job_id and job != job_id:
+                continue
+            jdir = os.path.join(root, job)
+            for name in sorted(os.listdir(jdir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(jdir, name)) as f:
+                        out.append(json.load(f))
+        return out

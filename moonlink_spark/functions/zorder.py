@@ -1,0 +1,137 @@
+"""Z-order (Morton) clustering key, vectorized.
+
+moonlink has **no** Z-order/Hilbert clustering (verified in SURVEY.md —
+its compactor emits files strictly in input file-id order,
+``storage/compaction/compactor.rs:333-344``); interleaved clustering on
+``(repo, path)`` is mandated on top of compaction semantics by
+BASELINE.json's north rule.  Design:
+
+1. each dimension is mapped to a *numeric proxy* that preserves order —
+   strings take their first-7-bytes big-endian integer (lexicographic
+   within the prefix), numerics cast to float64;
+2. per-dimension quantile boundaries (``df.approxQuantile`` — one
+   column-pruned pass over the data, executed by Spark, never collected
+   row-wise) rank-normalize the proxy into ``2**bits`` buckets, so skewed
+   distributions still fill the key space evenly;
+3. a pandas UDF interleaves the bucket bits (classic Morton
+   part1by1 spread, pure numpy — no per-row Python) into one long
+   ``zkey``.
+
+The zkey is a *physical layout* device only: rewrites
+``repartitionByRange`` on it and sort within partitions, which gives every
+output file a narrow (repo, path) footprint -> tight per-file min/max
+bounds in the manifest -> effective file pruning.  No Catalyst rule is
+needed; the key never survives into committed data files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _string_proxy_np(s: pd.Series) -> np.ndarray:
+    """First-7-bytes big-endian integer of a string column (vectorized)."""
+    encoded = s.fillna("").str.encode("utf-8", "ignore")
+    raw = encoded.to_numpy(dtype="S8")  # truncate/pad to 8 bytes
+    v = np.frombuffer(raw.tobytes(), dtype=">u8").astype(np.uint64)
+    return (v >> np.uint64(8)).astype(np.float64)  # top 7 bytes, fits f64<2^56
+
+
+def _proxy_col(df: DataFrame, col: str) -> tuple[DataFrame, str]:
+    """Add a numeric proxy column for ``col`` for the approxQuantile
+    boundary pass.  String proxies use the SAME numpy mapping as the
+    bucketing UDF (first-7-bytes big-endian, zero-padded) — sharing the
+    implementation guarantees boundaries and bucket lookups agree on
+    short-string padding."""
+    dt = dict(df.dtypes)[col]
+    proxy = f"__proxy_{col}"
+    if dt == "string":
+        @pandas_udf(T.DoubleType())
+        def _sp(s: pd.Series) -> pd.Series:
+            return pd.Series(_string_proxy_np(s))
+        return df.withColumn(proxy, _sp(F.col(col))), proxy
+    return df.withColumn(proxy, F.col(col).cast("double")), proxy
+
+
+def compute_zorder_boundaries(
+    df: DataFrame,
+    columns: list[str],
+    bits: int = 12,
+    relative_error: float = 1e-4,
+) -> dict[str, np.ndarray]:
+    """One pass over ``df`` computing ``2**bits - 1`` quantile boundaries
+    per clustering column.  Catalyst prunes the scan to just these columns
+    (ReadSchema shows only the zorder columns)."""
+    n_b = (1 << bits) - 1
+    probs = [float(p) for p in np.linspace(0.0, 1.0, n_b + 2)[1:-1]]
+    proxied = df
+    proxy_names = []
+    for c in columns:
+        proxied, p = _proxy_col(proxied, c)
+        proxy_names.append(p)
+    qs = proxied.approxQuantile(proxy_names, probs, relative_error)
+    return {c: np.asarray(q, dtype=np.float64)
+            for c, q in zip(columns, qs)}
+
+
+def _part1by1_16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of x so there is a 0 bit between each
+    (Morton encode helper), vectorized uint64."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def morton_interleave(buckets: list[np.ndarray], bits: int) -> np.ndarray:
+    """Interleave bucket indices of each dimension into one key.
+    Supports 1..4 dims, <=16 bits each (our default: 2 dims x 12)."""
+    ndim = len(buckets)
+    if ndim == 1:
+        return buckets[0].astype(np.int64)
+    assert bits <= 16 and ndim <= 4
+    out = np.zeros(len(buckets[0]), dtype=np.uint64)
+    if ndim == 2:
+        out = _part1by1_16(buckets[0]) << np.uint64(1)
+        out |= _part1by1_16(buckets[1])
+    else:
+        for d, b in enumerate(buckets):
+            b = b.astype(np.uint64)
+            for i in range(bits):
+                bit = (b >> np.uint64(i)) & np.uint64(1)
+                out |= bit << np.uint64(i * ndim + (ndim - 1 - d))
+    return out.astype(np.int64)
+
+
+def with_zorder_key(
+    df: DataFrame,
+    columns: list[str],
+    boundaries: dict[str, np.ndarray],
+    bits: int = 12,
+    out_col: str = "_zkey",
+) -> DataFrame:
+    """Append the Morton key column.  The pandas UDF captures the (small)
+    boundary arrays in its closure — they ship once per task via the
+    serialized function, the batch work is pure numpy."""
+    dtypes = dict(df.dtypes)
+    col_kinds = [(c, dtypes[c] == "string") for c in columns]
+    bnds = {c: np.asarray(boundaries[c], dtype=np.float64) for c in columns}
+
+    @pandas_udf(T.LongType())
+    def _zkey(*cols: pd.Series) -> pd.Series:
+        bucketed = []
+        for (name, is_str), s in zip(col_kinds, cols):
+            proxy = (_string_proxy_np(s) if is_str
+                     else s.fillna(0).to_numpy(dtype=np.float64))
+            bucketed.append(
+                np.searchsorted(bnds[name], proxy, side="right"))
+        return pd.Series(morton_interleave(bucketed, bits))
+
+    return df.withColumn(out_col, _zkey(*[F.col(c) for c in columns]))

@@ -1,0 +1,1 @@
+"""Table-state operators: scan, planner, rewrite, merge, expire, skew."""

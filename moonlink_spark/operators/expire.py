@@ -1,0 +1,78 @@
+"""Snapshot expiry + orphan file cleanup.
+
+moonlink never expires snapshots — its ``FileCatalog`` keeps every
+``v{N}.metadata.json`` forever (``table/iceberg/file_catalog.rs:606-624``)
+— but the north rule mandates retention-honoring expiry.  Semantics follow
+Iceberg's ``expireSnapshots``:
+
+- retain the newest ``retain_last`` versions (always >= 1);
+- reachable = every data/DV/manifest file referenced by a retained
+  version; computed as a DataFrame union-distinct over the retained
+  manifests (at 10^12-file scale the manifests are big data — the
+  reachability set never materializes on the driver until the final
+  delete list, which is streamed);
+- delete  files on disk under data/ + dv/ that are NOT reachable
+  (left-anti join listing × reachable), then drop expired snapshot
+  headers + manifests.
+
+Readers pinned to a *retained* version are untouched (their manifests are
+immutable); that is the retention contract — cf. reader pinning keeping
+compacted-away files alive until release in the reference
+(``union_read/read_state.rs:20-50``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.snapshotstore import DATA_DIR, DV_DIR, SnapshotStore
+
+
+def _list_files(store: SnapshotStore) -> list[str]:
+    out = []
+    for sub in (DATA_DIR, DV_DIR):
+        root = os.path.join(store.warehouse, sub)
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                out.append(os.path.relpath(os.path.join(dirpath, n),
+                                           store.warehouse))
+    return out
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    store: SnapshotStore,
+    *,
+    retain_last: int = 2,
+) -> dict:
+    """Expire all but the newest ``retain_last`` versions; delete orphaned
+    data/DV files.  Returns {"expired_versions", "deleted_files"}."""
+    retain_last = max(1, retain_last)
+    versions = store.versions()
+    keep = versions[-retain_last:]
+    drop = [v for v in versions if v not in keep]
+
+    reachable = None
+    for v in keep:
+        m = spark.read.parquet(store.manifest_path(v))
+        files = m.select(F.col("path").alias("f")).union(
+            m.filter(F.col("dv_path").isNotNull())
+            .select(F.col("dv_path").alias("f")))
+        reachable = files if reachable is None else reachable.union(files)
+    reachable = reachable.distinct()
+
+    on_disk = spark.createDataFrame([(f,) for f in _list_files(store)],
+                                    "f string")
+    orphans = [r["f"] for r in
+               on_disk.join(reachable, on="f", how="left_anti")
+               .toLocalIterator()]
+
+    for rel in orphans:
+        os.remove(store.abs(rel))
+    for v in drop:
+        os.remove(store.header_path(v))
+        os.remove(store.manifest_path(v))
+    return {"expired_versions": drop, "deleted_files": sorted(orphans)}

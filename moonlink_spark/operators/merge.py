@@ -1,0 +1,187 @@
+"""MERGE INTO: apply a change batch as merge-on-read delete vectors.
+
+The DataFrame expression of moonlink's delete→position matching + DV
+commit (``storage/mooncake_table/snapshot.rs:811-892,925-998``) and DV
+merge-on-sync (``iceberg_table_syncer.rs:376-435``):
+
+- a change batch carries ``_op`` ∈ {'delete','upsert'} plus the table's
+  key columns (moonlink's ``IdentityProp::Keys``,
+  ``row/moonlink_row.rs:271-291``); CDC ``Update`` arrives as
+  ``Delete`` + ``Append`` (``pg_replicate/moonlink_sink.rs:295-327``),
+  i.e. 'upsert' here = delete-matched + append-new;
+- matched row positions come from an equi-join of the change keys against
+  the snapshot scan (moonlink's hash-index point lookup becomes a
+  broadcast join when the change set is small — the common CDC case — or
+  a salted shuffle join for huge batches over skewed keys);
+- new positions are unioned with each file's existing DV (newer sidecars
+  are supersets, so scans may read any mix of old+new sidecars safely);
+- inserted rows land in fresh snappy "ingest" files (tiny-file MoR debt,
+  by design — a later ``optimize()`` folds everything copy-on-write).
+
+The result is a new snapshot version; the base version is untouched
+(snapshot isolation).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import TableConfig
+from moonlink_spark.operators import skew
+from moonlink_spark.operators.rewrite import _footer_stats, assign_positions
+from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan
+from moonlink_spark.snapshotstore import (
+    DATA_DIR,
+    DV_DIR,
+    Snapshot,
+    SnapshotStore,
+)
+
+OP_COL = "_op"
+
+
+def merge_into(
+    spark: SparkSession,
+    store: SnapshotStore,
+    snapshot: Snapshot,
+    changes: DataFrame,
+    *,
+    key_columns: list[str],
+    config: TableConfig,
+    broadcast_changes: bool = True,
+    job_tag: str = "merge",
+) -> Snapshot:
+    """Apply ``changes`` to ``snapshot``; returns the committed successor.
+
+    ``changes`` columns: ``_op`` ('delete' | 'upsert'), the key columns,
+    and for upserts the full table payload.  One batch is one atomic
+    commit (one LSN in moonlink terms); the caller pre-dedups keys within
+    a batch.
+    """
+    job_id = f"{job_tag}-v{snapshot.version:06d}"
+    data_cols = [c for c in snapshot.schema if c != POS_COL]
+
+    # -- 1. match change keys to live row positions ----------------------
+    loc = scan(spark, store, snapshot, with_location=True).select(
+        *key_columns, FILE_COL, POS_COL)
+    keys = changes.select(*key_columns).distinct()
+    if broadcast_changes:
+        matched = loc.join(F.broadcast(keys), on=key_columns, how="inner")
+    else:
+        # huge change batch: salt the (possibly skewed) first key column
+        plan = skew.plan_salts(loc, key_columns[0])
+        probe = skew.with_salt(loc, key_columns[0], plan,
+                               salt_source=key_columns[1:] or key_columns)
+        build = skew.explode_salts(keys, key_columns[0], plan)
+        # build side was replicated per salt; probe rows carry one salt —
+        # every probe row meets exactly one replica of its key.
+        matched = probe.join(build, on=[*key_columns, skew.SALT_COL],
+                             how="inner").drop(skew.SALT_COL)
+    new_dels = matched.select(FILE_COL, POS_COL)
+
+    # -- 2. merge with existing DVs per affected file --------------------
+    manifest = spark.read.parquet(snapshot.manifest_path)
+    entries = {e["path"]: dict(e) for e in
+               (r.asDict() for r in manifest.collect())}
+
+    affected = [r[FILE_COL] for r in
+                new_dels.select(FILE_COL).distinct().collect()]
+    dv_rel: dict[str, tuple[str, int]] = {}
+    if affected:
+        old_dv_paths = sorted({entries[f]["dv_path"] for f in affected
+                               if entries[f].get("dv_path")})
+        old = None
+        if old_dv_paths:
+            old = (spark.read.parquet(*[store.abs(p) for p in old_dv_paths])
+                   .filter(F.col("referenced_file").isin(affected))
+                   .select(F.col("referenced_file").alias(FILE_COL),
+                           F.explode("positions").alias(POS_COL)))
+        alldels = new_dels if old is None else new_dels.union(old)
+        merged = (
+            alldels.groupBy(FILE_COL)
+            .agg(F.array_sort(F.collect_set(POS_COL)).alias("positions"))
+            .withColumn("cardinality", F.size("positions").cast("long"))
+            .withColumnRenamed(FILE_COL, "referenced_file")
+        )
+        rows_map = spark.createDataFrame(
+            [(f, entries[f]["rows"]) for f in affected],
+            "referenced_file string, max_row_count long")
+        merged = merged.join(F.broadcast(rows_map), on="referenced_file")
+
+        tmp = os.path.join(store.warehouse, "tmp", job_id, "dv")
+        n_dv = max(1, math.ceil(len(affected) / 512))
+        (merged.repartitionByRange(n_dv, "referenced_file")
+         .sortWithinPartitions("referenced_file")
+         .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
+        parts = sorted(p for p in os.listdir(tmp)
+                       if p.startswith("part-") and p.endswith(".parquet"))
+        for j, part in enumerate(parts):
+            rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
+            os.replace(os.path.join(tmp, part), store.abs(rel))
+            for r in (spark.read.parquet(store.abs(rel))
+                      .select("referenced_file", "cardinality").collect()):
+                dv_rel[r["referenced_file"]] = (rel, r["cardinality"])
+        shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
+                      ignore_errors=True)
+
+    # -- 3. write inserted rows as fresh ingest files --------------------
+    inserts = changes.filter(F.col(OP_COL) == "upsert").select(*data_cols)
+    new_entries: list[dict] = []
+    n_ins = inserts.count()
+    if n_ins:
+        tmp = os.path.join(store.warehouse, "tmp", job_id, "ins")
+        # roll ingest files at ~the mem-slice flush row budget (131072
+        # rows, mooncake_table_config.rs:158-163)
+        n_files = max(1, math.ceil(n_ins / 131_072))
+        final = assign_positions(
+            inserts.repartitionByRange(n_files, *key_columns)
+            .sortWithinPartitions(*key_columns))
+        (final.write.mode("overwrite")
+         .option("compression", config.ingest_compression).parquet(tmp))
+        parts = sorted(p for p in os.listdir(tmp)
+                       if p.startswith("part-") and p.endswith(".parquet"))
+        for j, part in enumerate(parts):
+            rel = os.path.join(DATA_DIR, f"data-{job_id}-{j:04d}.parquet")
+            os.replace(os.path.join(tmp, part), store.abs(rel))
+            st = _footer_stats(store.abs(rel), config.stats_columns)
+            if st["rows"]:
+                new_entries.append({"path": rel, **st})
+        shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
+                      ignore_errors=True)
+
+    # -- 4. commit -------------------------------------------------------
+    out_entries = []
+    for path, e in entries.items():
+        ent = {
+            "path": path, "rows": e["rows"], "bytes": e["bytes"],
+            "dv_path": e.get("dv_path"),
+            "dv_cardinality": e.get("dv_cardinality") or 0,
+            "bounds": {c: (e.get(f"min_{c}"), e.get(f"max_{c}"))
+                       for c in config.stats_columns
+                       if e.get(f"min_{c}") is not None},
+        }
+        if path in dv_rel:
+            ent["dv_path"], ent["dv_cardinality"] = dv_rel[path]
+        out_entries.append(ent)
+    out_entries.extend(new_entries)
+
+    props = dict(snapshot.properties)
+    props.update({
+        "flush_lsn": snapshot.flush_lsn + 1,
+        "job_id": job_id,
+        "operation": "merge",
+        "merged_deletes": len(affected),
+        "inserted_rows": n_ins,
+    })
+    return store.commit(
+        out_entries,
+        schema=snapshot.schema,
+        stats_columns=config.stats_columns,
+        properties=props,
+        expected_parent=snapshot.version,
+    )

@@ -1,0 +1,112 @@
+"""Compaction candidate selection + size-tiered bin packing.
+
+Semantics ported from moonlink's maintenance planner
+(``storage/mooncake_table/snapshot_maintenance.rs:42-199``):
+
+- a persisted data file is a candidate when ``file_size <
+  target_file_bytes`` OR ``deleted_fraction >= deletion_trigger``
+  (``compaction_config.rs:47-54``: prod 512 MiB / 50 %);
+- nothing happens below ``min_files_to_compact`` (prod 16) candidates;
+- one ``data`` maintenance op takes at most ``max_files_to_compact``
+  (prod 32), smallest files first;
+- ``full`` mode compacts everything regardless of size
+  (``snapshot_maintenance.rs:66-67``).
+
+Candidates are then packed into **bins** — the resumable unit of work.
+Each bin is an independent Spark job (read -> DV anti-join -> Z-order ->
+write ≈ ``bin_target_bytes`` of input), checkpointed with a lineage
+record before commit, so a killed maintenance job resumes at bin
+granularity.  Binning is a running-sum bucket assignment over the
+manifest DataFrame ordered by path (deterministic), computed with a
+window cumsum.  The plan itself (bin -> file list) necessarily reaches
+the driver — it is job-launch metadata, streamed out with
+``toLocalIterator`` so the driver never holds more than the current
+partition of manifest rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig
+
+
+@dataclass
+class CompactionBin:
+    """One resumable rewrite unit: a disjoint set of input data files."""
+
+    bin_id: int
+    files: list[str] = field(default_factory=list)
+    dv_paths: list[str] = field(default_factory=list)
+    rows: int = 0
+    bytes: int = 0
+    deleted_rows: int = 0
+
+    @property
+    def live_rows(self) -> int:
+        return self.rows - self.deleted_rows
+
+    @property
+    def live_bytes_est(self) -> int:
+        if self.rows == 0:
+            return 0
+        return int(self.bytes * (self.live_rows / self.rows))
+
+
+def select_candidates(manifest: DataFrame,
+                      config: CompactionConfig) -> DataFrame:
+    """DataFrame filter implementing the compaction trigger."""
+    deleted_frac = F.col("dv_cardinality") / F.greatest(F.col("rows"),
+                                                        F.lit(1))
+    cond = (F.col("bytes") < F.lit(config.target_file_bytes))
+    if config.deletion_trigger_fraction > 0:
+        cond = cond | (deleted_frac >= F.lit(config.deletion_trigger_fraction))
+    else:  # full mode: everything qualifies
+        cond = F.lit(True)
+    return manifest.filter(cond)
+
+
+def plan_compaction(manifest: DataFrame,
+                    config: CompactionConfig) -> list[CompactionBin]:
+    """Select candidates, cap per-op file count, pack into bins.
+
+    Returns ``[]`` when fewer than ``min_files_to_compact`` candidates
+    exist (the ``Nothing`` outcome of ``get_payload_to_compact``).
+    """
+    cand = select_candidates(manifest, config)
+    # smallest-first cap at max_files_to_compact (prod 32) — moonlink's
+    # one-op budget; "full" mode sets the cap effectively unbounded.
+    if config.max_files_to_compact < (1 << 62):
+        cand = (cand.orderBy(F.col("bytes").asc(), F.col("path").asc())
+                .limit(config.max_files_to_compact))
+
+    # deterministic order, running-sum binning
+    w = (Window.orderBy("path")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = (
+        cand.withColumn("_cum", F.sum("bytes").over(w))
+        .withColumn("_bin",
+                    F.floor((F.col("_cum") - F.col("bytes"))
+                            / F.lit(config.bin_target_bytes)))
+        .select("path", "rows", "bytes", "dv_path", "dv_cardinality", "_bin")
+        .orderBy("path")
+    )
+
+    bins: dict[int, CompactionBin] = {}
+    n = 0
+    for row in binned.toLocalIterator():
+        n += 1
+        b = bins.setdefault(int(row["_bin"]),
+                            CompactionBin(bin_id=int(row["_bin"])))
+        b.files.append(row["path"])
+        b.rows += row["rows"]
+        b.bytes += row["bytes"]
+        b.deleted_rows += row["dv_cardinality"]
+        if row["dv_path"] and row["dv_path"] not in b.dv_paths:
+            b.dv_paths.append(row["dv_path"])
+    if n < config.min_files_to_compact:
+        return []
+    return [bins[k] for k in sorted(bins)]

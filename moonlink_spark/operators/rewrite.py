@@ -1,0 +1,203 @@
+"""Per-bin compaction rewrite: read → DV anti-join → Z-order → write.
+
+The Spark expression of moonlink's compaction executor
+(``storage/compaction/compactor.rs:180-331``): stream the bin's input
+files, drop DV-deleted rows, emit size-capped ZSTD output files
+(``parquet_utils.rs:15-20``; roll at ``data_file_final_size``,
+``compactor.rs:286-292``), with the sanity check ``rows_out == rows_in −
+rows_deleted`` (``compactor.rs:277-279``).  Differences by design:
+
+- moonlink preserves input order and builds an old→new row remap for
+  still-pending deletes (``compactor.rs:388-465``); we compact *at a
+  snapshot* in copy-on-write style — every DV is folded in, so no remap
+  exists afterwards, and rows are re-clustered by Z-order key
+  (``repartitionByRange`` on the Morton key + sort within partitions),
+  which moonlink does not do at all (north-rule addition).
+- output row positions (`_pos`) are re-assigned per output file with a
+  ``mapInPandas`` running counter (Arrow-batched, order-preserving), so
+  future delete vectors can address the new files.
+- per-file min/max bounds for the manifest are read back from parquet
+  footers (the same footer statistics moonlink aggregates in
+  ``parquet_stats_utils.rs:34-174``) — a metadata-only pass.
+
+Every bin writes a **lineage record** (inputs, outputs, row/byte
+counters) atomically into the job's checkpoint directory *before*
+commit; a restarted job validates and skips completed bins — the
+engine's WAL-recovery analogue (``storage/wal.rs:710-780``).
+
+Determinism: input file order, range-partitioner sampling (seeded per
+partition in Spark), and a total sort key (zkey, cluster cols, source
+file, source position) make reruns byte-stable, so resumed and fresh
+runs commit identical manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from moonlink_spark.config import TableConfig
+from moonlink_spark.functions.zorder import with_zorder_key
+from moonlink_spark.operators.planner import CompactionBin
+from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan_files
+from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore, _atomic_write
+
+ZKEY_COL = "_zkey"
+OLDPOS_COL = "_oldpos"
+# zstd recompresses snappy input roughly ~0.7×; used only to size the
+# output partition count, actual rolling is by partition.
+RECOMPRESS_FACTOR = 0.75
+
+
+def assign_positions(df: DataFrame, pos_col: str = POS_COL) -> DataFrame:
+    """Append a 0-based row position within each partition (= within each
+    output file, since one task writes one file).  ``mapInPandas`` keeps
+    Arrow batching and partition-local order; the counter spans batches."""
+    out_fields = [f for f in df.schema.fields] + \
+        [T.StructField(pos_col, T.LongType(), False)]
+    out_schema = T.StructType(out_fields)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = 0
+        for pdf in batches:
+            pdf[pos_col] = range(base, base + len(pdf))
+            base += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
+def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
+    """rows/bytes/bounds from the parquet footer only (no data read)."""
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    bounds: dict[str, tuple] = {}
+    for c in stats_columns:
+        idx = name_to_idx.get(c)
+        if idx is None:
+            continue
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mn = mx = None
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is not None:
+            bounds[c] = (str(mn), str(mx))
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "bounds": bounds,
+    }
+
+
+# -- lineage ---------------------------------------------------------------
+
+def lineage_path(store: SnapshotStore, job_id: str, bin_id: int) -> str:
+    return os.path.join(store.checkpoint_dir(job_id), f"bin-{bin_id:05d}.json")
+
+
+def load_valid_lineage(store: SnapshotStore, job_id: str,
+                       bin_id: int) -> dict | None:
+    """Return the bin's lineage record iff it exists and its outputs are
+    all present with the recorded sizes (crash-during-rename safety)."""
+    path = lineage_path(store, job_id, bin_id)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        rec = json.load(f)
+    for out in rec["outputs"]:
+        p = store.abs(out["path"])
+        if not os.path.isfile(p) or os.path.getsize(p) != out["bytes"]:
+            return None
+    return rec
+
+
+def rewrite_bin(
+    spark: SparkSession,
+    store: SnapshotStore,
+    bin: CompactionBin,
+    *,
+    config: TableConfig,
+    boundaries: dict,
+    job_id: str,
+) -> dict:
+    """Execute (or resume past) one bin; returns its lineage record."""
+    cached = load_valid_lineage(store, job_id, bin.bin_id)
+    if cached is not None:
+        return cached
+
+    live = scan_files(spark, store, bin.files, bin.dv_paths,
+                      bin.deleted_rows, with_location=True)
+    live = live.withColumnRenamed(POS_COL, OLDPOS_COL)
+
+    zcols = [c for c in config.zorder_columns]
+    live = with_zorder_key(live, zcols, boundaries,
+                           bits=config.zorder_bits, out_col=ZKEY_COL)
+
+    target = config.compaction.target_file_bytes
+    n_out = max(1, math.ceil(bin.live_bytes_est * RECOMPRESS_FACTOR / target))
+    clustered = (
+        live.repartitionByRange(n_out, ZKEY_COL)
+        .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
+        .drop(ZKEY_COL, FILE_COL, OLDPOS_COL)
+    )
+    final = assign_positions(clustered)
+
+    tmp_dir = os.path.join(store.warehouse, "tmp", job_id,
+                           f"bin-{bin.bin_id:05d}")
+    (final.write.mode("overwrite")
+     .option("compression", config.compact_compression)
+     .parquet(tmp_dir))
+
+    # deterministic final names: rename spark part files in part order
+    parts = sorted(p for p in os.listdir(tmp_dir)
+                   if p.startswith("part-") and p.endswith(".parquet"))
+    outputs = []
+    rows_out = 0
+    for j, part in enumerate(parts):
+        rel = os.path.join(
+            DATA_DIR, f"data-{job_id}-b{bin.bin_id:05d}-{j:04d}.parquet")
+        os.replace(os.path.join(tmp_dir, part), store.abs(rel))
+        st = _footer_stats(store.abs(rel), config.stats_columns)
+        if st["rows"] == 0:
+            os.remove(store.abs(rel))
+            continue
+        rows_out += st["rows"]
+        outputs.append({"path": rel, **st})
+
+    import shutil
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    # compactor.rs:277-279 sanity: every input row is either deleted or out
+    expected = bin.live_rows
+    if rows_out != expected:
+        raise AssertionError(
+            f"bin {bin.bin_id}: rows_out={rows_out} != "
+            f"rows_in({bin.rows}) - deleted({bin.deleted_rows})={expected}")
+
+    rec = {
+        "job_id": job_id,
+        "bin_id": bin.bin_id,
+        "inputs": bin.files,
+        "dv_paths": bin.dv_paths,
+        "outputs": outputs,
+        "rows_in": bin.rows,
+        "rows_deleted": bin.deleted_rows,
+        "rows_out": rows_out,
+        "bytes_in": bin.bytes,
+        "bytes_out": sum(o["bytes"] for o in outputs),
+    }
+    os.makedirs(store.checkpoint_dir(job_id), exist_ok=True)
+    _atomic_write(lineage_path(store, job_id, bin.bin_id),
+                  json.dumps(rec, indent=1, sort_keys=True).encode())
+    return rec

@@ -1,0 +1,134 @@
+"""Snapshot-pinned scan: data files ∪ delete-vector anti-join + pruning.
+
+The Spark expression of moonlink's read path:
+
+- moonlink's union read assembles persisted parquet + persisted DV blobs +
+  committed position deletes (``storage/mooncake_table/snapshot_read.rs:69-241``)
+  and its DataFusion provider skips deleted rows via per-file
+  ``RowSelection`` (``moonlink_datafusion/src/table_provider.rs:96-130``).
+- here the same semantics are one declarative plan: read the snapshot's
+  file list, anti-join ``(file, _pos)`` against the exploded delete
+  vectors.  Catalyst keeps predicate pushdown / column pruning on the
+  parquet scan; the DV side is broadcast when the manifest says total
+  deleted-row cardinality is small (the common case — DVs are per-file
+  bitmaps), else it is a regular shuffled join on a high-cardinality key
+  (no skew: the key is (file, position)).
+- file pruning via manifest min/max bounds happens *before* the scan by
+  filtering the manifest DataFrame (cf. per-file stats pruning,
+  ``parquet_stats_utils.rs:327-412``) — files whose bound range cannot
+  contain the predicate value are never listed to the reader.
+
+Snapshot isolation is structural: the plan is built from one immutable
+manifest version, so concurrent maintenance commits never change what a
+pinned reader sees (cf. ``union_read/read_state.rs:20-50``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.snapshotstore import Snapshot, SnapshotStore
+
+# Below this many deleted rows (summed manifest dv_cardinality) the DV
+# side is broadcast.  8M (file,pos) pairs ≈ a few hundred MB broadcast —
+# comfortably under typical executor memory.
+BROADCAST_DV_ROWS = 8_000_000
+
+FILE_COL = "_mlfile"
+POS_COL = "_pos"
+
+
+def _with_relative_file(df: DataFrame, store: SnapshotStore) -> DataFrame:
+    """Attach the manifest-relative file path of each row from parquet
+    scan metadata (JVM-side expression, no UDF)."""
+    return df.withColumn(
+        FILE_COL,
+        F.replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+            F.lit(store.warehouse + "/"), F.lit("")),
+    )
+
+
+def prune_manifest(manifest: DataFrame,
+                   predicates: Mapping[str, str] | None) -> DataFrame:
+    """Filter manifest entries whose [min,max] bounds can satisfy the
+    equality predicates. Unknown bounds (nulls) are conservatively kept."""
+    if not predicates:
+        return manifest
+    for col, value in predicates.items():
+        lo, hi = f"min_{col}", f"max_{col}"
+        keep = (F.col(lo).isNull() | F.col(hi).isNull() |
+                ((F.col(lo) <= F.lit(value)) & (F.col(hi) >= F.lit(value))))
+        manifest = manifest.filter(keep)
+    return manifest
+
+
+def deletes_df(spark: SparkSession, store: SnapshotStore,
+               dv_paths: list[str], data_files: list[str]) -> DataFrame:
+    """Exploded delete vectors: one row per deleted (file, position),
+    restricted to ``data_files``.  Newer DV sidecars for a file are
+    supersets of older ones (merge-on-write, cf.
+    ``iceberg_table_syncer.rs:376-435``), so the union over sidecars is
+    exactly the deleted set."""
+    if not dv_paths:
+        return spark.createDataFrame([], f"{FILE_COL} string, {POS_COL} long")
+    dv = spark.read.parquet(*[store.abs(p) for p in dv_paths])
+    return (
+        dv.filter(F.col("referenced_file").isin(data_files))
+        .select(
+            F.col("referenced_file").alias(FILE_COL),
+            F.explode("positions").alias(POS_COL),
+        )
+        .distinct()
+    )
+
+
+def scan_files(
+    spark: SparkSession,
+    store: SnapshotStore,
+    data_files: list[str],
+    dv_paths: list[str],
+    dv_cardinality: int,
+    *,
+    with_location: bool = False,
+) -> DataFrame:
+    """Read an explicit file set applying its delete vectors."""
+    reader = spark.read.parquet(*[store.abs(p) for p in data_files])
+    df = _with_relative_file(reader, store)
+    dels = deletes_df(spark, store, dv_paths, data_files)
+    if dv_cardinality <= BROADCAST_DV_ROWS:
+        dels = F.broadcast(dels)
+    live = df.join(dels, on=[FILE_COL, POS_COL], how="left_anti")
+    if not with_location:
+        live = live.drop(FILE_COL)
+    return live
+
+
+def scan(
+    spark: SparkSession,
+    store: SnapshotStore,
+    snapshot: Snapshot,
+    *,
+    predicates: Mapping[str, str] | None = None,
+    with_location: bool = False,
+) -> DataFrame:
+    """Scan one snapshot version (optionally pruned by equality predicates
+    on stats columns).  Returns live rows only."""
+    manifest = prune_manifest(
+        spark.read.parquet(snapshot.manifest_path), predicates)
+    # Planning collects (path, dv_path, dv_cardinality) — file *lists*,
+    # not data.  This mirrors what every table format's driver-side
+    # planner does (Iceberg manifests are read at planning time too); the
+    # manifest stays a DataFrame until this final projection.
+    plan_rows = manifest.select("path", "dv_path", "dv_cardinality").collect()
+    files = [r["path"] for r in plan_rows]
+    dv_paths = sorted({r["dv_path"] for r in plan_rows if r["dv_path"]})
+    dv_card = sum(r["dv_cardinality"] for r in plan_rows)
+    if not files:
+        schema = ", ".join(f"`{c}` string" for c in snapshot.schema)
+        return spark.createDataFrame([], schema)
+    return scan_files(spark, store, files, dv_paths, dv_card,
+                      with_location=with_location)

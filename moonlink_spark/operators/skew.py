@@ -1,0 +1,83 @@
+"""Skew salting for hot keys.
+
+The north-rule table is heavily skewed — one hot repo can hold ~50 % of
+all rows — and any shuffle keyed on ``repo`` (per-repo aggregation, the
+MERGE join when the change set is too large to broadcast) would put half
+the data on one reducer.  moonlink never faces this (single process;
+flat concurrency knobs, ``iceberg_table_syncer.rs:47-52``), so the salting
+design is ours, per BASELINE.json ("Hot repos are skew-salted before
+shuffle"):
+
+1. a cheap pre-pass ``groupBy(key).count()`` (map-side partial agg, tiny
+   result: one row per distinct key) yields per-key row counts;
+2. keys above ``target_rows_per_task`` get a salt fan-out
+   ``n_salts = ceil(count / target)``; the (small) plan broadcasts;
+3. ``salt = pmod(xxhash64(salt_source_cols), n_salts)`` — deterministic,
+   JVM-native, no RNG — and the shuffle keys on ``(key, _salt)``.
+
+For joins, the build side is exploded ×``n_salts`` for hot keys only
+(`explode(sequence(0, n_salts-1))`), the probe side computes its salt,
+and the join keys on ``(key, _salt)`` — the classic salted-join shape,
+cold keys keep fan-out 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+NSALT_COL = "_n_salts"
+
+
+def plan_salts(df: DataFrame, key: str,
+               target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Per-key salt fan-out plan: (key, _n_salts); 1 for cold keys."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            key,
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_cnt") / F.lit(target_rows_per_task)),
+            ).cast("int").alias(NSALT_COL),
+        )
+    )
+
+
+def with_salt(df: DataFrame, key: str, salt_plan: DataFrame,
+              salt_source: list[str]) -> DataFrame:
+    """Attach the deterministic salt column (probe side of a salted
+    shuffle).  ``salt_source`` are columns that distribute rows within a
+    hot key (e.g. ``path``, ``commit``)."""
+    salted = df.join(F.broadcast(salt_plan), on=key, how="left")
+    salted = salted.withColumn(
+        NSALT_COL, F.coalesce(F.col(NSALT_COL), F.lit(1)))
+    return salted.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_source]),
+               F.col(NSALT_COL)).cast("int"),
+    ).drop(NSALT_COL)
+
+
+def explode_salts(build: DataFrame, key: str,
+                  salt_plan: DataFrame) -> DataFrame:
+    """Replicate the build side of a salted join across its key's salt
+    range: one row per (original row, salt in [0, n_salts))."""
+    b = build.join(F.broadcast(salt_plan), on=key, how="left")
+    b = b.withColumn(NSALT_COL, F.coalesce(F.col(NSALT_COL), F.lit(1)))
+    return b.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.col(NSALT_COL) - 1)).cast("int")
+    ).drop(NSALT_COL)
+
+
+def salted_repartition(df: DataFrame, key: str, salt_plan: DataFrame,
+                       salt_source: list[str],
+                       num_partitions: int | None = None) -> DataFrame:
+    """Repartition by (key, salt) so hot keys spread across tasks."""
+    salted = with_salt(df, key, salt_plan, salt_source)
+    if num_partitions:
+        return salted.repartition(num_partitions, key, SALT_COL)
+    return salted.repartition(key, SALT_COL)

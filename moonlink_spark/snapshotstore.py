@@ -1,0 +1,236 @@
+"""Versioned snapshot store: manifests + atomic commit.
+
+Plays the role of moonlink's Iceberg persistence layer
+(``storage/table/iceberg/iceberg_table_manager.rs`` /
+``iceberg_table_syncer.rs:723-838`` in the reference): every table version
+is an immutable *snapshot* consisting of
+
+- a small JSON header  ``snapshots/v{N}.json``
+  (version, parent, schema, properties such as ``flush_lsn`` — cf. the
+  ``moonlink.table-flush-lsn`` snapshot property,
+  ``iceberg_table_manager.rs:32-35``), and
+- a columnar manifest ``snapshots/manifest-v{N}.parquet`` with one row per
+  data file: path, rows, bytes, delete-vector pointer + cardinality, and
+  per-column min/max bounds (cf. ``DiskFileEntry``,
+  ``storage/mooncake_table.rs:142-153``, and the per-file stats the syncer
+  computes, ``parquet_stats_utils.rs:327-412``).
+
+The manifest is *parquet on purpose*: at 10^12-file scale the manifest is
+itself big data, and the maintenance planner reads it with
+``spark.read.parquet`` and plans with DataFrame ops — never collecting the
+file list to the driver.
+
+Commit protocol (cf. the etag-CAS version hint,
+``storage/table/iceberg/file_catalog.rs:78,640-665``):
+
+1. write manifest parquet + header json to temp names, fsync-rename into
+   place (immutable once named);
+2. compare-and-swap ``snapshots/VERSION_HINT`` (tmp write + atomic
+   ``os.rename``) after re-reading it to detect a concurrent committer —
+   the local-FS analogue of the object-store conditional PUT.
+
+Snapshot isolation falls out: old versions' headers/manifests are never
+mutated, so a reader pinned to version ``v`` plans from ``manifest-v{v}``
+regardless of later commits (cf. pinned ``ReadState``,
+``union_read/read_state.rs:20-50``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SNAPSHOT_DIR = "snapshots"
+DATA_DIR = "data"
+DV_DIR = "dv"
+CHECKPOINT_DIR = "checkpoints"
+VERSION_HINT = "VERSION_HINT"
+
+
+class CommitConflict(RuntimeError):
+    """Another committer advanced the table between plan and commit."""
+
+
+@dataclass
+class Snapshot:
+    """Immutable view of one table version."""
+
+    version: int
+    parent: int | None
+    schema: list[str]
+    properties: dict[str, Any]
+    manifest_path: str  # absolute path of the manifest parquet
+
+    @property
+    def flush_lsn(self) -> int:
+        return int(self.properties.get("flush_lsn", 0))
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+# Manifest parquet schema. Bounds columns are appended as
+# ``min_<col>`` / ``max_<col>`` (string-typed; the north-rule table's
+# stats columns are all strings).
+_BASE_FIELDS = [
+    ("path", pa.string()),
+    ("rows", pa.int64()),
+    ("bytes", pa.int64()),
+    ("dv_path", pa.string()),
+    ("dv_cardinality", pa.int64()),
+]
+
+
+class SnapshotStore:
+    """Filesystem-backed snapshot store rooted at a warehouse directory."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = os.path.abspath(warehouse)
+
+    # -- paths -----------------------------------------------------------
+    def abs(self, relpath: str) -> str:
+        return os.path.join(self.warehouse, relpath)
+
+    def rel(self, abspath: str) -> str:
+        p = abspath
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        return os.path.relpath(p, self.warehouse)
+
+    @property
+    def snapshot_dir(self) -> str:
+        return os.path.join(self.warehouse, SNAPSHOT_DIR)
+
+    def header_path(self, version: int) -> str:
+        return os.path.join(self.snapshot_dir, f"v{version:06d}.json")
+
+    def manifest_path(self, version: int) -> str:
+        return os.path.join(self.snapshot_dir, f"manifest-v{version:06d}.parquet")
+
+    def checkpoint_dir(self, job_id: str) -> str:
+        return os.path.join(self.warehouse, CHECKPOINT_DIR, job_id)
+
+    # -- lifecycle -------------------------------------------------------
+    def init_warehouse(self) -> None:
+        for d in (SNAPSHOT_DIR, DATA_DIR, DV_DIR, CHECKPOINT_DIR):
+            os.makedirs(os.path.join(self.warehouse, d), exist_ok=True)
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.snapshot_dir, VERSION_HINT))
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.snapshot_dir, VERSION_HINT)
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.snapshot_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    # -- read ------------------------------------------------------------
+    def read_snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        with open(self.header_path(version)) as f:
+            hdr = json.load(f)
+        return Snapshot(
+            version=hdr["version"],
+            parent=hdr.get("parent"),
+            schema=hdr["schema"],
+            properties=hdr.get("properties", {}),
+            manifest_path=self.manifest_path(version),
+        )
+
+    def manifest_df(self, spark, version: int | None = None):
+        """The manifest as a Spark DataFrame — the planner's input."""
+        snap = self.read_snapshot(version)
+        return spark.read.parquet(snap.manifest_path)
+
+    def manifest_entries(self, version: int | None = None) -> list[dict]:
+        """Driver-side manifest rows (test/inspection helper — the
+        planner itself goes through :meth:`manifest_df`)."""
+        snap = self.read_snapshot(version)
+        return pq.read_table(snap.manifest_path).to_pylist()
+
+    # -- write -----------------------------------------------------------
+    def write_manifest(self, version: int, entries: Iterable[dict],
+                       stats_columns: Iterable[str]) -> str:
+        """Write ``manifest-v{N}.parquet`` deterministically (entries
+        sorted by path) and return its path. Does NOT publish the version."""
+        rows = sorted(entries, key=lambda e: e["path"])
+        fields = list(_BASE_FIELDS)
+        for c in stats_columns:
+            fields.append((f"min_{c}", pa.string()))
+            fields.append((f"max_{c}", pa.string()))
+        schema = pa.schema(fields)
+        cols: dict[str, list] = {name: [] for name, _ in fields}
+        for e in rows:
+            cols["path"].append(e["path"])
+            cols["rows"].append(int(e["rows"]))
+            cols["bytes"].append(int(e["bytes"]))
+            cols["dv_path"].append(e.get("dv_path"))
+            cols["dv_cardinality"].append(int(e.get("dv_cardinality") or 0))
+            bounds = e.get("bounds") or {}
+            for c in stats_columns:
+                mn, mx = bounds.get(c, (None, None))
+                cols[f"min_{c}"].append(mn)
+                cols[f"max_{c}"].append(mx)
+        table = pa.Table.from_pydict(cols, schema=schema)
+        path = self.manifest_path(version)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression="zstd")
+        os.rename(tmp, path)
+        return path
+
+    def commit(
+        self,
+        entries: Iterable[dict],
+        *,
+        schema: list[str],
+        stats_columns: Iterable[str],
+        properties: dict[str, Any] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Publish a new version whose manifest is ``entries``.
+
+        ``expected_parent`` implements the CAS: if another committer has
+        advanced the table past it, raise :class:`CommitConflict` (caller
+        retries by replanning — same contract as moonlink's 5-retry commit
+        loop, ``table_property.rs:14-24``).
+        """
+        current = self.current_version() if self.exists() else None
+        if expected_parent is not None and current != expected_parent:
+            raise CommitConflict(
+                f"expected parent v{expected_parent}, found v{current}")
+        version = 0 if current is None else current + 1
+
+        self.write_manifest(version, entries, stats_columns)
+        header = {
+            "format_version": 1,
+            "version": version,
+            "parent": current,
+            "schema": schema,
+            "properties": properties or {},
+        }
+        _atomic_write(self.header_path(version),
+                      json.dumps(header, indent=1, sort_keys=True).encode())
+        # publish: CAS on the version hint
+        hint = os.path.join(self.snapshot_dir, VERSION_HINT)
+        if self.exists() and self.current_version() != current:
+            raise CommitConflict("concurrent commit detected at publish")
+        _atomic_write(hint, str(version).encode())
+        return self.read_snapshot(version)

@@ -1,0 +1,43 @@
+"""Driver-side pandas oracle for the maintenance engine tests.
+
+An in-memory model of the table's live rows (all appended rows minus
+DV-deleted positions), mirroring the reference's chaos-test strategy of
+validating engine state against a simple in-memory model
+(``/root/reference/src/moonlink/src/table_handler/README.md:7-17``)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+
+from moonlink_spark.snapshotstore import SnapshotStore
+
+
+def live_rows_pandas(store: SnapshotStore, version: int | None = None):
+    """All live rows of a snapshot as a pandas DataFrame (oracle path —
+    never uses the engine's scan)."""
+    import pandas as pd
+
+    entries = store.manifest_entries(version)
+    deleted: dict[str, set[int]] = {}
+    for dv_path in sorted({e["dv_path"] for e in entries if e["dv_path"]}):
+        t = pq.read_table(store.abs(dv_path))
+        for ref, pos in zip(t["referenced_file"].to_pylist(),
+                            t["positions"].to_pylist()):
+            deleted.setdefault(ref, set()).update(pos)
+    frames = []
+    for e in entries:
+        df = pq.read_table(store.abs(e["path"])).to_pandas()
+        dead = deleted.get(e["path"])
+        if dead:
+            df = df[~df["_pos"].isin(list(dead))]
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
+def content_sha_multiset(pdf) -> list[str]:
+    """Sorted multiset of sha256(content) — the per-row invariant the
+    north rule pins (`content sha256 equality`)."""
+    return sorted(
+        hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"])

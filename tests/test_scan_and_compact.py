@@ -1,0 +1,83 @@
+"""End-to-end slice: synthesize CDC aftermath → scan → full compaction.
+
+Invariants (FIXTURES.md §4): sha256(content) multiset equality between
+the engine scan and the pandas oracle, before and after maintenance;
+compaction reduces file count and clears delete vectors.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from moonlink_spark import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+from tests.oracle import content_sha_multiset, live_rows_pandas
+
+N_FILES = 40
+
+
+@pytest.fixture(scope="module")
+def aftermath(tmp_path_factory):
+    w = str(tmp_path_factory.mktemp("wh"))
+    snap = synthesize_cdc_aftermath(
+        w, seed=7, n_files=N_FILES, rows_per_file=(50, 200),
+        n_repos=10, content_bytes=(64, 512))
+    return w, snap
+
+
+def spark_sha_multiset(df):
+    return sorted(
+        r["h"] for r in
+        df.select(F.sha2(F.col("content"), 256).alias("h")).collect())
+
+
+def test_v0_scan_matches_oracle(spark, aftermath):
+    w, snap = aftermath
+    store = SnapshotStore(w)
+    table = MoonTable(spark, w)
+    oracle = live_rows_pandas(store, 0)
+    got = table.scan(0)
+    assert got.count() == len(oracle)
+    assert spark_sha_multiset(got) == content_sha_multiset(oracle)
+
+
+def test_v0_has_cdc_debt(aftermath):
+    w, _ = aftermath
+    entries = SnapshotStore(w).manifest_entries(0)
+    assert len(entries) == N_FILES
+    assert sum(e["dv_cardinality"] for e in entries) > 0
+    # at least one heavily-deleted file (deletion-percentage trigger)
+    assert any(e["dv_cardinality"] >= e["rows"] * 0.5 for e in entries
+               if e["dv_cardinality"])
+
+
+def test_full_compaction_preserves_content(spark, aftermath):
+    w, _ = aftermath
+    table = MoonTable(spark, w)
+    store = SnapshotStore(w)
+    before = content_sha_multiset(live_rows_pandas(store, 0))
+
+    snap = table.optimize("full")
+    assert snap.version == 1
+
+    entries = store.manifest_entries(1)
+    assert 0 < len(entries) < N_FILES  # compacted down
+    assert all((e["dv_cardinality"] or 0) == 0 for e in entries)  # CoW
+    assert all(e["min_repo"] is not None for e in entries)  # stats present
+
+    after_engine = spark_sha_multiset(table.scan(1))
+    assert after_engine == before
+    # and the oracle agrees when replaying the new snapshot
+    assert content_sha_multiset(live_rows_pandas(store, 1)) == before
+
+    m = snap.properties["metrics"]
+    assert m["rows_out"] == m["rows_in"] - m["rows_deleted"]
+
+
+def test_optimize_full_is_idempotent_noop_or_stable(spark, aftermath):
+    w, _ = aftermath
+    table = MoonTable(spark, w)
+    v1 = table.store.current_version()
+    before = spark_sha_multiset(table.scan(v1))
+    snap = table.optimize("full")  # few files left; may or may not re-bin
+    assert spark_sha_multiset(table.scan(snap.version)) == before
