@@ -1,0 +1,209 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json north rule): GB/min of maintenance
+throughput — full compaction + Z-order clustering + copy-on-write
+delete-vector fold over a synthesized moonlink-style CDC aftermath —
+plus per-query wall times for the registry queries at
+``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "e2e_sec", "value": <total>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "maintenance": {"bytes_in":..., "gb_per_min":..., ...}}
+
+Scaling evidence (north rule: N→4N efficiency >= 0.8, evidenced in this
+sandbox by two parallelism levels on the same input):
+  python bench.py --scaling     # runs maintenance at local[8] and
+                                # local[32], reports efficiency
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "dv_antijoin_scan",
+    "merge_latest_wins",
+    "manifest_binning",
+    "zorder_morton_key",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_features",
+]
+
+# CDC-aftermath size per SF: (n_files, rows_lo, rows_hi, content_lo,
+# content_hi).  sf0.1 yields ~0.4-0.5 GB across 600 tiny files.
+SYNTH_PARAMS = {
+    0.001: dict(n_files=60, rows_per_file=(50, 250),
+                content_bytes=(64, 1024), n_repos=12),
+    0.01: dict(n_files=200, rows_per_file=(100, 600),
+               content_bytes=(128, 2048), n_repos=16),
+    0.1: dict(n_files=600, rows_per_file=(150, 900),
+              content_bytes=(128, 3072), n_repos=24),
+}
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_spark(cpus: int, name: str):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def synthesize(sf: float, seed: int = 101) -> str:
+    """Synthesize the CDC aftermath once; reuse across runs (content is
+    deterministic in (seed, params))."""
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+    params = SYNTH_PARAMS.get(sf, SYNTH_PARAMS[0.1])
+    tag = f"sf{sf}-seed{seed}-v2"
+    wh = os.path.join(tempfile.gettempdir(), f"moonlink-bench-{tag}")
+    marker = os.path.join(wh, "SYNTH_DONE")
+    if not os.path.isfile(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        synthesize_cdc_aftermath(wh, seed=seed, hot_fraction=0.4, **params)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return wh
+
+
+def run_maintenance(spark, source_wh: str, *, tiny_files: bool) -> dict:
+    """Copy the aftermath to a fresh dir, run optimize('full'), report
+    GB/min over manifest input bytes."""
+    from moonlink_spark.config import CompactionConfig, TableConfig
+    from moonlink_spark.engine import MoonTable
+
+    wh = tempfile.mkdtemp(prefix="moonlink-bench-run-")
+    shutil.rmtree(wh)
+    shutil.copytree(source_wh, wh)
+    # scale file-size targets down so small-SF runs keep the real plan
+    # shape (many bins, several output files), cf. config.py docstring
+    mib = 1024 * 1024
+    comp = CompactionConfig(target_file_bytes=32 * mib,
+                            bin_target_bytes=32 * mib,
+                            bin_concurrency=16)
+    table = MoonTable(spark, wh, TableConfig(compaction=comp))
+    entries = table.store.manifest_entries(0)
+    bytes_in = sum(e["bytes"] for e in entries)
+    dv_rows = sum(e["dv_cardinality"] for e in entries)
+
+    t0 = time.time()
+    snap = table.optimize("full")
+    dt = time.time() - t0
+
+    m = snap.properties.get("metrics", {})
+    rows_live = table.scan(snap.version).count()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "seconds": round(dt, 2),
+        "bytes_in": bytes_in,
+        "files_in": len(entries),
+        "files_out": m.get("output_files"),
+        "rows_out": m.get("rows_out"),
+        "rows_live_scan": rows_live,
+        "dv_rows_folded": dv_rows,
+        "gb_per_min": round(bytes_in / (1 << 30) / (dt / 60), 3),
+    }
+
+
+def run_queries(spark, sf_dir: str, names: list[str]) -> dict:
+    from moonlink_spark.queries import QUERIES
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run maintenance at local[8] vs local[32]")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    sf = infer_sf(args.sf_dir)
+    wh = synthesize(sf)
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            spark = make_spark(cpus, f"moonlink-bench-{cpus}")
+            # warm-up pass so JVM/codegen warmup doesn't skew either side
+            run_maintenance(spark, wh, tiny_files=True)
+            results[cpus] = run_maintenance(spark, wh, tiny_files=True)
+            spark.stop()
+        t8, t32 = results[8]["seconds"], results[32]["seconds"]
+        eff = round(t8 / (4 * t32), 3)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": eff, "unit": "ratio", "sf": sf,
+            "local8": results[8], "local32": results[32],
+        }))
+        return
+
+    spark = make_spark(args.cpus, "moonlink-bench")
+    t_all = time.time()
+    maint = run_maintenance(spark, wh, tiny_files=True)
+    queries = {} if args.skip_queries else run_queries(
+        spark, args.sf_dir, BENCH_QUERIES)
+    total = round(time.time() - t_all, 2)
+    print(json.dumps({
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "maintenance": maint,
+        "maintenance_gb_per_min": maint["gb_per_min"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

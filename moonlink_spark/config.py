@@ -34,9 +34,18 @@ class CompactionConfig:
     deletion_trigger_fraction: float = 0.5  # compaction_config.rs:53-54
     # How many input bytes a single resumable rewrite unit (a "bin") takes
     # on.  Bigger bins amortize job-launch overhead; smaller bins give
-    # finer-grained resume.  Purely our knob (moonlink's unit is one
-    # compaction op of <=32 files).
-    bin_target_bytes: int = 4 * 512 * MIB
+    # finer-grained resume and bound the single-task sort each bin runs
+    # (rewrite.py sorts one partition per bin for determinism).  Default
+    # ≈ one compacted output file of input (512 MiB / 0.75 recompress).
+    # Purely our knob (moonlink's unit is one compaction op of <=32
+    # files).
+    bin_target_bytes: int = 683 * MIB
+    # How many bin rewrite jobs run concurrently.  Bins are independent
+    # Spark jobs; submitting them from a driver thread pool keeps the
+    # cluster saturated when individual bins have fewer tasks than
+    # executor slots (the analogue of moonlink's 128-way upload
+    # concurrency, iceberg_table_syncer.rs:47-52).
+    bin_concurrency: int = 8
 
     def for_full_mode(self) -> "CompactionConfig":
         """ForceFull semantics: compact everything regardless of size
@@ -48,6 +57,7 @@ class CompactionConfig:
             target_file_bytes=self.target_file_bytes,
             deletion_trigger_fraction=0.0,
             bin_target_bytes=self.bin_target_bytes,
+            bin_concurrency=self.bin_concurrency,
         )
 
 
@@ -60,8 +70,10 @@ class TableConfig:
     # Columns whose min/max bounds are tracked per data file in the
     # manifest (drives file pruning; cf. parquet_stats_utils.rs:327-412).
     stats_columns: tuple[str, ...] = ("repo", "path", "commit", "lang")
-    # Bits per Z-order dimension (2 dims x 16 bits -> 32-bit zkey).
-    zorder_bits: int = 16
+    # Bits per Z-order dimension (2 dims x 12 bits -> 24-bit zkey:
+    # 4096 rank buckets per dim — far finer than any realistic output
+    # file count, at 1/16th the boundary-array cost of 16 bits).
+    zorder_bits: int = 12
     compaction: CompactionConfig = field(default_factory=CompactionConfig)
     # Compression: fresh ingest files are snappy, compacted files zstd
     # (parquet_utils.rs:8-20).

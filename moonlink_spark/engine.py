@@ -123,13 +123,19 @@ class MoonTable:
             ingest_compression=self.config.ingest_compression,
             compact_compression=self.config.compact_compression,
         )
-        records = []
-        for i, b in enumerate(bins):
-            if max_bins is not None and i >= max_bins:
-                return base  # simulated kill; lineage already on disk
-            records.append(
-                rewrite_bin(self.spark, self.store, b, config=cfg,
-                            boundaries=boundaries, job_id=job_id))
+        # Bins are independent jobs — submit them concurrently so the
+        # cluster stays saturated even when one bin's task count is below
+        # the executor-slot count.  Results are deterministic regardless
+        # of completion order (each bin owns its output file names).
+        run_bins = bins if max_bins is None else bins[:max_bins]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=comp.bin_concurrency) as pool:
+            records = list(pool.map(
+                lambda b: rewrite_bin(self.spark, self.store, b, config=cfg,
+                                      boundaries=boundaries, job_id=job_id),
+                run_bins))
+        if max_bins is not None and len(bins) > max_bins:
+            return base  # simulated kill; lineage already on disk
 
         compacted = {p for b in bins for p in b.files}
         entries = []

@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each expressed so the expensive part is a single
+well-keyed shuffle (scales to 100 TB by adding executors):
+
+- **exact**       — groupBy(md5(text)); map-side partial agg, one shuffle
+                    on a uniform 128-bit key (no skew by construction).
+- **minhash+LSH** — shingle → n seeded min-hashes → band keys →
+                    self-join per band bucket. The self-join is on the
+                    band hash (uniform); candidate pairs are verified
+                    with exact Jaccard.
+- **simhash**     — 64/16-bit sign-aggregated token hashes; near-dups
+                    share the simhash value (or a band of it).
+- **n-gram Jaccard** — exact set overlap via shingle co-occurrence join:
+                    |A∩B| from a groupBy((a,b)) count over the shingle
+                    postings; no O(n²) cross join — cost is bounded by
+                    postings-list sizes (cap hot shingles like any
+                    inverted index does).
+- **embedding cosine** — near-dup pairs above a cosine threshold; the
+                    all-pairs form is for verification, the scale path
+                    goes through LSH bucketing (see similarity.py).
+
+All hashing uses the cross-engine ``h60`` (texthash.py) so the DuckDB
+oracle reproduces results exactly. No Python UDFs anywhere — shingling
+uses `sequence`+`transform`, hashing is `md5`/`conv`, all codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.texthash import h60, h60_seeded
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One surviving row (min id) per distinct text; adds group size.
+    Returns (id, content_hash, n_copies) — the keep-list."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col),
+             F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased whitespace tokens.
+    Documents shorter than n words yield their full token join."""
+    toks = F.split(F.lower(F.trim(text)), "[ \t\n]+")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", *, n_hashes: int = 8,
+                      shingle_n: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): per-document MinHash signature.
+
+    One explode + one groupBy(id): the shuffle key is the document id
+    (uniform). The n hash families are seeded h60's computed per shingle
+    before the aggregate, so the agg is just n `min`s (map-side partial)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    aggs = [F.min(h60_seeded(i, F.col("shingle"))).alias(f"sig_{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
+                        n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join per band, union.
+
+    Returns distinct (id_a < id_b) candidate pairs. Each band join keys
+    on the band hash — uniformly distributed, so the self-join shuffle
+    has no hot keys even when the corpus has huge near-dup clusters
+    (those become big buckets; at scale, cap bucket size before pairing)."""
+    assert n_hashes % band_size == 0
+    n_bands = n_hashes // band_size
+    pairs = None
+    for b in range(n_bands):
+        cols = [f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        banded = sig.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("_", *cols)).alias("band_key"))
+        left = banded.alias("l")
+        right = banded.alias("r")
+        p = (left.join(right, on="band_key")
+             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b")))
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join.
+
+    postings(shingle -> ids) self-joined on shingle gives co-occurrence
+    counts |A∩B|; |A∪B| = |A|+|B|-|A∩B|. The join key is the shingle —
+    common shingles are the skew risk, the same hot-key problem as any
+    term-postings join; threshold>0 lets ultra-common shingles be capped
+    upstream at true scale."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    co = (sh.alias("l").join(sh.alias("r"), on="shingle")
+          .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+          .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                   F.col(f"r.{id_col}").alias("id_b"))
+          .agg(F.count(F.lit(1)).alias("inter")))
+    ja = (co.join(sizes.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("sz", "sz_a"), on="id_a")
+          .join(sizes.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("sz", "sz_b"), on="id_b")
+          .withColumn("jaccard", F.round(
+              F.col("inter").cast("double") /
+              (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)))
+    return (ja.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            *, bits: int = 16) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash fingerprint.
+
+    Classic Charikar simhash: each distinct token votes ±1 per bit of
+    its h60 hash; the fingerprint sets bits with positive vote sums.
+    Implemented as explode → groupBy(id) with one `sum` per bit (all
+    map-side combinable). bits<=60 (we default 16 to keep the oracle SQL
+    readable; the shape is identical at 64)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n]+")
+        )).alias("tok"))
+    h = h60(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding", *,
+                            threshold: float = 0.9) -> DataFrame:
+    """All-pairs cosine near-dup (verification-scale). The 100 TB path
+    buckets by random-hyperplane LSH first (similarity.lsh_bucket) and
+    runs this within buckets only."""
+    normed = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(
+            "v", F.lit(0.0), lambda a, x: a + x * x)))
+    l, r = normed.alias("l"), normed.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x)
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+    )

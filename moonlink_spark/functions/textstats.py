@@ -1,0 +1,141 @@
+"""Text analysis for training-data curation — pure built-in expressions.
+
+Everything here stays inside whole-stage codegen (no Python UDFs): the
+operators are `split`/`regexp`/`length`/higher-order array functions, so
+they vectorize on the JVM and scale linearly with executors.  Designed
+for the 100 TB documents path: each function is a narrow projection —
+no shuffle, no UDF serialization — and composes with any upstream scan.
+
+Operators (each mirrored by an ANSI-SQL oracle in
+``moonlink_spark.queries``):
+
+- whitespace + BPE-ish token counting
+- quality scoring (length / punctuation / digit / stopword ratios)
+- n-gram-profile language ID (scored keyword profiles)
+- document fingerprinting (min-hash over character k-grams — the
+  winnowing-style representative hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.texthash import h60
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol. Applied to lowercased text in both engines (RE2/Java-regex
+# common subset: no lookarounds, no shorthand classes).
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# words whose relative frequency marks low-information text; also the
+# per-language profiles for the language-ID heuristic. Tiny on purpose —
+# they broadcast inside the generated code, not via a join.
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "die", "ist"),
+    "fr": ("le", "et", "les", "est"),
+    "es": ("el", "los", "es", "las"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens (empty string -> empty array)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, "[ \t\n]+"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish tokens,
+    distinct whitespace tokens, chars-per-token."""
+    toks = ws_tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_REGEX), 0)
+    return df.select(
+        "*",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (F.length(text_col).cast("double") /
+         F.greatest(F.size(toks), F.lit(1)).cast("double")
+         ).alias("chars_per_token"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, punct/digit/stopword ratios and
+    a composite 0..1 quality score (heuristic linear blend)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    toks = ws_tokens(t)
+    n_tok = F.size(toks).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    stop = F.size(F.filter(
+        toks, lambda x: F.lower(x).isin(*STOPWORDS))).cast("double")
+    punct_ratio = punct / safe_chars
+    digit_ratio = digits / safe_chars
+    stop_ratio = stop / safe_tok
+    dist_ratio = F.size(F.array_distinct(toks)).cast("double") / safe_tok
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.25
+        + dist_ratio * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.125
+        + (F.lit(1.0) - F.least(digit_ratio * 10.0, F.lit(1.0))) * 0.125
+    )
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("q_chars"),
+        n_tok.cast("long").alias("q_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def _profile_score(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language keyword-profile hit
+    counts, ties broken by profile order, 'und' when all profiles score 0.
+    (The real-corpus analogue uses char n-gram profiles; the scoring and
+    argmax shape — a `greatest`/`when` cascade, still codegen'd — is
+    identical.)"""
+    toks = ws_tokens(F.col(text_col))
+    scores = [(lang, _profile_score(toks, words))
+              for lang, words in LANG_PROFILES.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return df.select("*", pred.alias(out_col))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
+                out_col: str = "fingerprint") -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum h60 over all
+    character k-grams (shift-invariant near-dup signal; equal texts ->
+    equal fingerprints, small edits usually preserve the min gram).
+    Short documents (< k chars) hash the whole text.
+
+    Built from higher-order array functions — `sequence` + `transform`
+    build the k-gram hash array JVM-side; no explode, no shuffle."""
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: h60(t.substr(i, F.lit(k))),
+    )
+    return df.select(
+        "*", F.array_min(grams).cast("long").alias(out_col))

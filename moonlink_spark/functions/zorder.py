@@ -42,41 +42,40 @@ def _string_proxy_np(s: pd.Series) -> np.ndarray:
     return (v >> np.uint64(8)).astype(np.float64)  # top 7 bytes, fits f64<2^56
 
 
-def _proxy_col(df: DataFrame, col: str) -> tuple[DataFrame, str]:
-    """Add a numeric proxy column for ``col`` for the approxQuantile
-    boundary pass.  String proxies use the SAME numpy mapping as the
-    bucketing UDF (first-7-bytes big-endian, zero-padded) — sharing the
-    implementation guarantees boundaries and bucket lookups agree on
-    short-string padding."""
-    dt = dict(df.dtypes)[col]
-    proxy = f"__proxy_{col}"
-    if dt == "string":
-        @pandas_udf(T.DoubleType())
-        def _sp(s: pd.Series) -> pd.Series:
-            return pd.Series(_string_proxy_np(s))
-        return df.withColumn(proxy, _sp(F.col(col))), proxy
-    return df.withColumn(proxy, F.col(col).cast("double")), proxy
-
-
 def compute_zorder_boundaries(
     df: DataFrame,
     columns: list[str],
     bits: int = 12,
-    relative_error: float = 1e-4,
+    sample_cap: int = 262_144,
+    seed: int = 42,
 ) -> dict[str, np.ndarray]:
-    """One pass over ``df`` computing ``2**bits - 1`` quantile boundaries
-    per clustering column.  Catalyst prunes the scan to just these columns
-    (ReadSchema shows only the zorder columns)."""
+    """Quantile boundaries per clustering column from a seeded sample.
+
+    One column-pruned count + one seeded-sample collect (≤ ``sample_cap``
+    rows regardless of table size); the quantiles themselves are numpy
+    on the driver.  Deterministic for a fixed input file set, so a
+    resumed job re-derives identical boundaries.  (An approxQuantile
+    pass would be exact-er but costs a full aggregate with 2^bits
+    quantile targets — the sample is statistically equivalent for a
+    *layout* decision: bucket skew only costs write balance, never
+    correctness.)"""
+    sel = df.select(*columns)
+    n = sel.count()
+    if n == 0:
+        return {c: np.array([], dtype=np.float64) for c in columns}
+    fraction = min(1.0, (sample_cap * 1.25) / n)
+    sample = (sel.sample(fraction=fraction, seed=seed).limit(sample_cap)
+              .toPandas())
+    dtypes = dict(df.dtypes)
     n_b = (1 << bits) - 1
-    probs = [float(p) for p in np.linspace(0.0, 1.0, n_b + 2)[1:-1]]
-    proxied = df
-    proxy_names = []
+    probs = np.linspace(0.0, 1.0, n_b + 2)[1:-1]
+    out: dict[str, np.ndarray] = {}
     for c in columns:
-        proxied, p = _proxy_col(proxied, c)
-        proxy_names.append(p)
-    qs = proxied.approxQuantile(proxy_names, probs, relative_error)
-    return {c: np.asarray(q, dtype=np.float64)
-            for c, q in zip(columns, qs)}
+        vals = (_string_proxy_np(sample[c].astype(str))
+                if dtypes[c] == "string"
+                else sample[c].fillna(0).to_numpy(dtype=np.float64))
+        out[c] = np.quantile(vals, probs).astype(np.float64)
+    return out
 
 
 def _part1by1_16(x: np.ndarray) -> np.ndarray:

@@ -95,10 +95,22 @@ def plan_compaction(manifest: DataFrame,
         .orderBy("path")
     )
 
+    rows = list(binned.toLocalIterator())
+    if len(rows) < config.min_files_to_compact:
+        # moonlink's `Nothing` outcome (too few candidates to bother
+        # merging).  In FULL mode only (deletion trigger disabled ⇒
+        # everything qualifies), files carrying delete vectors still
+        # compact even alone: "full maintenance" must never leave
+        # delete debt behind, and rewriting a deleted-from file is real
+        # work regardless of candidate count.  `data` mode keeps strict
+        # reference parity (snapshot_maintenance.rs:42-199).
+        if config.deletion_trigger_fraction > 0:
+            return []
+        rows = [r for r in rows if r["dv_cardinality"] > 0]
+        if not rows:
+            return []
     bins: dict[int, CompactionBin] = {}
-    n = 0
-    for row in binned.toLocalIterator():
-        n += 1
+    for row in rows:
         b = bins.setdefault(int(row["_bin"]),
                             CompactionBin(bin_id=int(row["_bin"])))
         b.files.append(row["path"])
@@ -107,6 +119,4 @@ def plan_compaction(manifest: DataFrame,
         b.deleted_rows += row["dv_cardinality"]
         if row["dv_path"] and row["dv_path"] not in b.dv_paths:
             b.dv_paths.append(row["dv_path"])
-    if n < config.min_files_to_compact:
-        return []
     return [bins[k] for k in sorted(bins)]

@@ -13,9 +13,10 @@ rows_deleted`` (``compactor.rs:277-279``).  Differences by design:
   exists afterwards, and rows are re-clustered by Z-order key
   (``repartitionByRange`` on the Morton key + sort within partitions),
   which moonlink does not do at all (north-rule addition).
-- output row positions (`_pos`) are re-assigned per output file with a
-  ``mapInPandas`` running counter (Arrow-batched, order-preserving), so
-  future delete vectors can address the new files.
+- output row positions (`_pos`) are re-assigned per bin partition
+  (JVM-side, see :func:`assign_positions`); they are unique within each
+  rolled output file — all any future delete vector needs (DVs address
+  rows by the (file, _pos) *value*, not by contiguity).
 - per-file min/max bounds for the manifest are read back from parquet
   footers (the same footer statistics moonlink aggregates in
   ``parquet_stats_utils.rs:34-174``) — a metadata-only pass.
@@ -36,12 +37,10 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import Iterator
 
-import pandas as pd
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
+from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
 from moonlink_spark.functions.zorder import with_zorder_key
@@ -58,20 +57,19 @@ RECOMPRESS_FACTOR = 0.75
 
 def assign_positions(df: DataFrame, pos_col: str = POS_COL) -> DataFrame:
     """Append a 0-based row position within each partition (= within each
-    output file, since one task writes one file).  ``mapInPandas`` keeps
-    Arrow batching and partition-local order; the counter spans batches."""
-    out_fields = [f for f in df.schema.fields] + \
-        [T.StructField(pos_col, T.LongType(), False)]
-    out_schema = T.StructType(out_fields)
+    output file, since one task writes one file).
 
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        base = 0
-        for pdf in batches:
-            pdf[pos_col] = range(base, base + len(pdf))
-            base += len(pdf)
-            yield pdf
-
-    return df.mapInPandas(_assign, out_schema)
+    Uses ``monotonically_increasing_id`` — partition id in the upper 31
+    bits, per-partition record counter in the lower 33 — and masks off
+    the partition id.  Pure JVM expression: the hot rewrite path never
+    leaves whole-stage codegen (vs. a mapInPandas counter, which would
+    Arrow-round-trip every payload byte through Python).  The expression
+    is nondeterministic-tagged, so Catalyst will not reorder it across
+    the preceding sort; row order within the partition is the sorted
+    order."""
+    local_mask = F.lit((1 << 33) - 1).cast("long")
+    return df.withColumn(
+        pos_col, F.monotonically_increasing_id().bitwiseAND(local_mask))
 
 
 def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
@@ -144,10 +142,21 @@ def rewrite_bin(
     live = with_zorder_key(live, zcols, boundaries,
                            bits=config.zorder_bits, out_col=ZKEY_COL)
 
+    # One deterministic sorted partition per bin, rolled into
+    # target-sized files by the writer (maxRecordsPerFile — the exact
+    # analogue of moonlink's size-rolled parquet writer,
+    # disk_slice.rs:183-254 / compactor.rs:286-292).  NOT
+    # repartitionByRange: the range sampler seeds off the RDD id, so a
+    # resumed run would split outputs differently than the original —
+    # violating the resume-determinism invariant.  The sort key is
+    # total ((zkey, cluster cols, source file, source pos) is unique),
+    # so the single-partition sort is byte-stable across reruns; the
+    # planner's bin_target_bytes bounds how much one sort task holds.
     target = config.compaction.target_file_bytes
     n_out = max(1, math.ceil(bin.live_bytes_est * RECOMPRESS_FACTOR / target))
+    rows_per_file = max(1, math.ceil(bin.live_rows / n_out))
     clustered = (
-        live.repartitionByRange(n_out, ZKEY_COL)
+        live.repartition(1)
         .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
         .drop(ZKEY_COL, FILE_COL, OLDPOS_COL)
     )
@@ -157,6 +166,7 @@ def rewrite_bin(
                            f"bin-{bin.bin_id:05d}")
     (final.write.mode("overwrite")
      .option("compression", config.compact_compression)
+     .option("maxRecordsPerFile", rows_per_file)
      .parquet(tmp_dir))
 
     # deterministic final names: rename spark part files in part order

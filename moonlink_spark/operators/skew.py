@@ -67,10 +67,11 @@ def explode_salts(build: DataFrame, key: str,
     range: one row per (original row, salt in [0, n_salts))."""
     b = build.join(F.broadcast(salt_plan), on=key, how="left")
     b = b.withColumn(NSALT_COL, F.coalesce(F.col(NSALT_COL), F.lit(1)))
-    return b.withColumn(
-        SALT_COL,
-        F.explode(F.sequence(F.lit(0), F.col(NSALT_COL) - 1)).cast("int")
-    ).drop(NSALT_COL)
+    return (b.withColumn(
+                SALT_COL,
+                F.explode(F.sequence(F.lit(0), F.col(NSALT_COL) - 1)))
+            .withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+            .drop(NSALT_COL))
 
 
 def salted_repartition(df: DataFrame, key: str, salt_plan: DataFrame,

@@ -1,0 +1,783 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame
+plus a DuckDB-equivalent ANSI-SQL oracle.
+
+Two families:
+
+1. **engine kernels** — the relational cores of the maintenance engine
+   (SURVEY.md §2): DV anti-join scan, MERGE latest-wins/classify,
+   size-tiered binning, per-file min/max stats, snapshot-reachability set
+   ops, salt fan-out planning, Morton interleave — each restated over the
+   driver's TPC-H-ish test tables so DuckDB can replay it.
+2. **training-data ops** — dedup (exact / MinHash-LSH / SimHash /
+   n-gram-Jaccard / embedding-cosine), similarity search (brute-force +
+   IVF), text analysis (tokens / quality / lang-ID / fingerprint),
+   multimodal feature extraction.
+
+Determinism rules (cross-engine value-hash equality):
+
+- monetary/measure aggregates go through DECIMAL casts (exact, order-
+  insensitive) and surface as DOUBLE;
+- every hash is ``h60`` (md5-based, texthash.py) — bit-identical in both
+  engines;
+- timestamps surface as formatted strings; ranks/ids as BIGINT;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from moonlink_spark.functions import dedup as dd
+from moonlink_spark.functions import multimodal as mm
+from moonlink_spark.functions import similarity as sim
+from moonlink_spark.functions import textstats as ts
+from moonlink_spark.functions.texthash import h60, h60_sql
+from moonlink_spark.functions.zorder import morton_interleave
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) \
+        else col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# 1. relational / engine kernels
+# ---------------------------------------------------------------------------
+
+@_register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate::DATE <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's partial-agg + shuffle-agg path.
+    Map-side combine reduces 60k rows to 6 groups before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+             F.sum(price).cast("double").alias("sum_base_price"),
+             F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+             F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+             .cast("double").alias("sum_charge"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@_register("q3_shipping_priority", """
+SELECT o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate::DATE < DATE '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC, o.o_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join → top-k.
+    customer(BUILDING) is small → broadcast both joins; the only wide
+    shuffle is the final groupBy on o_orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(F.col("o_orderkey").alias("orderkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+@_register("q5_region_revenue", """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = (SELECT min(r_name) FROM region)
+GROUP BY n.n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join shape: dims (nation, region, customer) broadcast onto
+    the orders fact — zero fact-side shuffles before the final agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rmin = r.agg(F.min("r_name").alias("m")).collect()[0]["m"]
+    rf = r.filter(F.col("r_name") == rmin)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(rf), n.n_regionkey == rf.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register("dv_antijoin_scan", f"""
+WITH deletes AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE {h60_sql("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 10 < 2
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS live_rows,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS live_qty
+FROM lineitem l
+ANTI JOIN deletes d
+  ON l.l_orderkey = d.l_orderkey AND l.l_linenumber = d.l_linenumber
+GROUP BY l.l_returnflag
+""")
+def dv_antijoin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete-vector application kernel (scan.py): a positional
+    delete set anti-joined against the base scan. The delete set here is
+    a deterministic 20% sample keyed by h60(orderkey:linenumber) —
+    standing in for (file, _pos) pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = h60(F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                       F.col("l_linenumber").cast("string")))
+    deletes = (li.filter(key % 10 < 2)
+               .select("l_orderkey", "l_linenumber"))
+    return (
+        li.join(deletes, on=["l_orderkey", "l_linenumber"], how="left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("live_rows"),
+             F.sum(_dec("l_quantity")).cast("double").alias("live_qty"))
+    )
+
+
+@_register("merge_latest_wins", """
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def merge_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE latest-wins tie-break (merge.py / snapshot.rs:1037-1106's
+    disambiguation): newest row per key via a window, ties broken by a
+    total order. One shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id",
+                F.col("event_id").alias("latest_event_id"),
+                F.col("event_type").alias("latest_type"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"))
+    )
+
+
+@_register("merge_classify", """
+SELECT c.c_custkey AS custkey,
+       CASE WHEN COUNT(o.o_orderkey) > 0 THEN 'matched' ELSE 'not_matched'
+       END AS merge_action,
+       COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""")
+def merge_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO matched/not-matched classification (the reference
+    classifies deletes 4 ways, transaction_stream.rs:9-46; the
+    DataFrame form is an outer join + branch)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select("custkey",
+                F.when(F.col("n_orders") > 0, "matched")
+                .otherwise("not_matched").alias("merge_action"),
+                "n_orders")
+    )
+
+
+@_register("manifest_binning", """
+WITH manifest AS (
+  SELECT 'f' || lpad((o_orderkey % 97)::VARCHAR, 3, '0') AS file,
+         COUNT(*) AS rows_,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS bytes
+  FROM orders GROUP BY 1
+),
+binned AS (
+  SELECT file, rows_, bytes,
+         SUM(bytes) OVER (ORDER BY file
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM manifest
+)
+SELECT file, rows_ AS rows, bytes,
+       CAST(FLOOR((cum - bytes) / 40000000.0) AS BIGINT) AS bin
+FROM binned
+""")
+def manifest_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction planner's size-tiered binning (planner.py):
+    running-sum window over a manifest ordered by file name, bin id =
+    floor(cumsum_before / bin_target). Manifest synthesized from orders
+    buckets so the oracle can replay it."""
+    o = _t(spark, sf_dir, "orders")
+    manifest = (
+        o.groupBy(F.concat(F.lit("f"), F.lpad(
+            (F.col("o_orderkey") % 97).cast("string"), 3, "0")).alias("file"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum(_dec("o_totalprice") * 100).cast("bigint").alias("bytes"))
+    )
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    return (
+        manifest.withColumn("cum", F.sum("bytes").over(w))
+        .select("file", "rows", "bytes",
+                F.floor((F.col("cum") - F.col("bytes")) / F.lit(40_000_000.0))
+                .cast("bigint").alias("bin"))
+    )
+
+
+@_register("minmax_file_stats", """
+SELECT l_orderkey % 50 AS file_bucket,
+       COUNT(*) AS rows,
+       MIN(l_returnflag) AS min_returnflag, MAX(l_returnflag) AS max_returnflag,
+       MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_shipdate
+FROM lineitem GROUP BY l_orderkey % 50
+""")
+def minmax_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max bound collection (manifest stats,
+    parquet_stats_utils.rs:327-412 analogue): groupBy(file).agg(min,max)
+    — all map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % 50).alias("file_bucket"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.min("l_returnflag").alias("min_returnflag"),
+             F.max("l_returnflag").alias("max_returnflag"),
+             F.min("l_partkey").alias("min_partkey"),
+             F.max("l_partkey").alias("max_partkey"),
+             F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+             F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"))
+    )
+
+
+@_register("expire_reachability", """
+WITH v1 AS (SELECT DISTINCT o_orderkey % 1000 AS file_id FROM orders
+            WHERE o_orderkey % 2 = 0),
+     v2 AS (SELECT DISTINCT o_orderkey % 1000 AS file_id FROM orders
+            WHERE o_orderkey % 4 = 0)
+SELECT file_id FROM v1 ANTI JOIN v2 USING (file_id)
+""")
+def expire_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry reachability set-subtract (expire.py): files
+    referenced by the expiring version (v1) but not by the retained one
+    (v2) are the orphans to delete."""
+    o = _t(spark, sf_dir, "orders")
+    fid = (F.col("o_orderkey") % 1000).alias("file_id")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(fid).distinct()
+    v2 = o.filter(F.col("o_orderkey") % 4 == 0).select(fid).distinct()
+    return v1.join(v2, on="file_id", how="left_anti")
+
+
+@_register("salt_fanout_plan", """
+SELECT n_salts, COUNT(*) AS n_keys, SUM(cnt) AS total_rows
+FROM (
+  SELECT user_id, COUNT(*) AS cnt,
+         GREATEST(1, CAST(CEIL(COUNT(*) / 25.0) AS BIGINT)) AS n_salts
+  FROM events GROUP BY user_id
+) GROUP BY n_salts
+""")
+def salt_fanout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting pre-pass (skew.py): per-key counts → salt fan-out
+    ceil(count/target); summarized as a fan-out histogram."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n_salts", F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("cnt") / F.lit(25.0)).cast("bigint")))
+    )
+    return (per_key.groupBy("n_salts")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("cnt").cast("bigint").alias("total_rows")))
+
+
+def _morton_sql_terms(bx: str, by: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@_register("zorder_morton_key", f"""
+SELECT (l_partkey % 256) AS bx, (l_suppkey % 64) AS by,
+       CAST({_morton_sql_terms('(l_partkey % 256)', '(l_suppkey % 64)', 8)}
+            AS BIGINT) AS zkey,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2
+""")
+def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-checks the vectorized Morton interleave (zorder.py) against
+    explicit bit arithmetic: bucket (partkey%256, suppkey%64) → zkey.
+    The pandas UDF is the same numpy kernel compaction uses."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _mz(bx: pd.Series, by: pd.Series) -> pd.Series:
+        return pd.Series(morton_interleave(
+            [bx.to_numpy(np.uint64), by.to_numpy(np.uint64)], 8))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select((F.col("l_partkey") % 256).alias("bx"),
+                  (F.col("l_suppkey") % 64).alias("by"))
+        .groupBy("bx", "by").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("zkey", _mz(F.col("bx"), F.col("by")))
+        .select("bx", "by", "zkey", "n")
+    )
+
+
+@_register("events_running_value", """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS moving_sum_3
+FROM events WHERE event_type = 'purchase'
+""")
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed running aggregate over event time (streaming-ish kernel
+    in batch form): 3-row moving sum per user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("moving_sum_3"))
+
+
+# ---------------------------------------------------------------------------
+# 2. training-data operators
+# ---------------------------------------------------------------------------
+
+# A corpus with *actual duplicates*: every 5th document appears again
+# under id+100000, and every 7th appears truncated to its first ~75%
+# of characters under id+200000 (a near-duplicate).
+_DUPED_SQL = """
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) * 3.0 / 4) AS INT)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.expr("substr(text, 1, cast(length(text) * 3 / 4 as int))")
+                    .alias("text")))
+    return d.unionAll(exact).unionAll(near)
+
+
+@_register("dedup_exact", f"""
+WITH {_DUPED_SQL}
+SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+       COUNT(*) AS n_copies
+FROM dup_docs GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min id (dedup.py).
+    Uniform 128-bit shuffle key — skew-free at any scale."""
+    return dd.exact_dedup(_duped_docs(spark, sf_dir))
+
+
+@_register("dedup_minhash_lsh", f"""
+WITH {_DUPED_SQL},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM dup_docs
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i+1:i+3], ' ')
+                   for i in range(0, greatest(len(t) - 3, 0) + 1)]) AS sh
+    FROM toks)
+),
+sigs AS (
+  SELECT doc_id,
+         MIN({h60_sql("'0:' || sh")}) AS sig_0,
+         MIN({h60_sql("'1:' || sh")}) AS sig_1,
+         MIN({h60_sql("'2:' || sh")}) AS sig_2,
+         MIN({h60_sql("'3:' || sh")}) AS sig_3,
+         MIN({h60_sql("'4:' || sh")}) AS sig_4,
+         MIN({h60_sql("'5:' || sh")}) AS sig_5,
+         MIN({h60_sql("'6:' || sh")}) AS sig_6,
+         MIN({h60_sql("'7:' || sh")}) AS sig_7
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(sig_0::VARCHAR || '_' || sig_1::VARCHAR) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(sig_2::VARCHAR || '_' || sig_3::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(sig_4::VARCHAR || '_' || sig_5::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, md5(sig_6::VARCHAR || '_' || sig_7::VARCHAR) FROM sigs
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms, word-3-gram shingles) + LSH (4 bands × 2):
+    candidate near-dup pairs (dedup.py). All joins key on uniform band
+    hashes."""
+    docs = _duped_docs(spark, sf_dir)
+    sigs = dd.minhash_signature(docs, n_hashes=8, shingle_n=3)
+    return dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+
+
+@_register("dedup_ngram_jaccard", f"""
+WITH {_DUPED_SQL},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM dup_docs
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i+1:i+3], ' ')
+                   for i in range(0, greatest(len(t) - 3, 0) + 1)]) AS sh
+    FROM toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM shingles l JOIN shingles r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+        JOIN sizes sb ON co.id_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 via inverted-index join
+    (dedup.py) — catches the truncated near-duplicates LSH candidates
+    must be verified against."""
+    return dd.ngram_jaccard_pairs(_duped_docs(spark, sf_dir),
+                                  shingle_n=3, threshold=0.5)
+
+
+def _simhash_sql(bits: int) -> str:
+    votes = ",\n".join(
+        f"    SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH {_DUPED_SQL},
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+')) AS t
+  FROM dup_docs
+),
+hashed AS (SELECT doc_id, {h60_sql('t')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+{votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@_register("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit Charikar SimHash per document (dedup.py): exact dups share
+    the value; near-dups differ in few bits (hamming-band at scale)."""
+    return dd.simhash(_duped_docs(spark, sf_dir), bits=16)
+
+
+@_register("dedup_embedding_cosine", """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 10 = 0
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM corpus l JOIN corpus r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+      >= 0.999
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.999) over a corpus
+    with planted duplicates (dedup.py). All-pairs here = the
+    verification kernel; the scale path buckets by hyperplane LSH first
+    (similarity.lsh_bucket)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = (e.filter(F.col("vec_id") % 10 == 0)
+           .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = e.select("vec_id", "embedding").unionAll(dup)
+    return dd.embedding_neardup_pairs(corpus, threshold=0.999)
+
+
+@_register("similarity_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rank,
+         c.vec_id AS neighbor_id
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+) WHERE rank <= 10
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors (similarity.py):
+    broadcast queries × corpus, JVM-side dot products, per-query top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 8), k=10)
+
+
+@_register("similarity_topk_ivf")  # approximate: no SQL oracle (rows-only)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (similarity.py): deterministic seeded
+    k-means centroids, nprobe=4 of 16 cells. Approximate by design →
+    no SQL oracle; correctness = recall test in tests/."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=10,
+                        n_centroids=16, nprobe=4)
+
+
+@_register("text_token_stats", f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{ts.BPE_REGEX}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')))
+           AS n_distinct_tokens,
+       length(text) * 1.0 /
+         greatest(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')), 1)
+           AS chars_per_token
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (textstats.py): whitespace + BPE-ish regex tokens,
+    all whole-stage-codegen expressions."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ts.token_stats(d)
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens",
+                      "n_distinct_tokens", "chars_per_token")
+
+
+_SW = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+
+
+@_register("text_quality", f"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) * 1.0 AS n_chars,
+         greatest(length(text) * 1.0, 1.0) AS safe_chars,
+         regexp_split_to_array(trim(text), '[ \\t\\n]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars,
+         len(toks) * 1.0 AS n_tok,
+         greatest(len(toks) * 1.0, 1.0) AS safe_tok,
+         (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / safe_chars AS punct_ratio,
+         (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / safe_chars AS digit_ratio,
+         len(list_filter(toks, x -> lower(x) IN ({_SW}))) * 1.0 AS stop,
+         len(list_distinct(toks)) * 1.0 AS dist
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS q_chars,
+       CAST(n_tok AS BIGINT) AS q_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(stop / safe_tok, 6) AS stopword_ratio,
+       ROUND(dist / safe_tok, 6) AS distinct_ratio,
+       ROUND(least(n_tok / 64.0, 1.0) * 0.25
+             + least((stop / safe_tok) * 4.0, 1.0) * 0.25
+             + (dist / safe_tok) * 0.25
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.125
+             + (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.125, 6)
+           AS quality_score
+FROM g
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (textstats.py): length/punct/digit/stopword/
+    distinct ratios blended into a 0..1 score."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.quality_features(d).select(
+        "doc_id", "q_chars", "q_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "distinct_ratio", "quality_score")
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in ts.LANG_PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, x -> lower(x) IN ({wl}))) AS s_{lang}")
+    langs = list(ts.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '[ \\t\\n]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, {', '.join(score_cols)} FROM t
+)
+SELECT lang, {case} AS lang_pred, COUNT(*) AS n
+FROM s GROUP BY lang, lang_pred
+"""
+
+
+@_register("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (textstats.py): keyword-profile argmax,
+    summarized as a (actual, predicted) contingency table."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (ts.lang_id(d).groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@_register("text_fingerprint", f"""
+SELECT doc_id,
+       list_min([{h60_sql("substr(text, i+1, 8)")}
+                 for i in range(0, greatest(length(text) - 7, 1))])
+           AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (textstats.py): min rolling-hash over char
+    8-grams — a shift-invariant near-dup signal."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.fingerprint(d).select("doc_id", "fingerprint")
+
+
+@_register("multimodal_features", """
+SELECT media_type, COUNT(*) AS n_items,
+       CAST(SUM(b) AS BIGINT) AS total_bytes,
+       CAST(SUM(fr) AS BIGINT) AS total_frames,
+       COUNT(DISTINCT sha) AS n_distinct_payloads
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         strlen(text) AS b,
+         CASE WHEN doc_id % 3 = 0 THEN 1
+              ELSE greatest((doc_id % 90000 + 1) // 1000, 1) END AS fr,
+         sha256(text) AS sha
+  FROM documents
+) GROUP BY media_type
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (multimodal.py): binary payload column +
+    mapInPandas decode/feature/frame-sample (deterministic fake decode),
+    aggregated per media type. byte_len/sha/n_frames are exact, so the
+    oracle can verify them from the source text."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(spark, d)
+    feats = mm.decode_features(media, allow_fake=True)
+    return (feats.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("byte_len").cast("bigint").alias("total_bytes"),
+                 F.sum("n_frames").cast("bigint").alias("total_frames"),
+                 F.countDistinct("payload_sha").alias("n_distinct_payloads")))
+
+
+# ---------------------------------------------------------------------------
+# 3. the maintenance engine end-to-end (non-SQL-expressible → rows-only)
+# ---------------------------------------------------------------------------
+
+@_register("maintenance_e2e")  # no oracle: multi-job stateful pipeline
+def maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synthesize a CDC aftermath (tiny files + DVs), run full
+    maintenance (compaction + Z-order + CoW DV fold), return the
+    per-repo audit of the post-maintenance scan. Correctness against the
+    pandas oracle and sha256 invariants is enforced in tests/."""
+    import tempfile
+
+    from moonlink_spark.engine import MoonTable
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+
+    wh = tempfile.mkdtemp(prefix="moonlink-e2e-")
+    synthesize_cdc_aftermath(wh, seed=11, n_files=30,
+                             rows_per_file=(40, 160), n_repos=8,
+                             content_bytes=(64, 512))
+    table = MoonTable(spark, wh)
+    table.optimize("full")
+    scan = table.scan()
+    return (scan.groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("path").alias("n_paths"),
+                 F.min(F.sha2(F.col("content"), 256)).alias("min_sha"),
+                 F.max(F.sha2(F.col("content"), 256)).alias("max_sha")))

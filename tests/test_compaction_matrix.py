@@ -1,0 +1,159 @@
+"""Compaction state-matrix port (reference: compaction_tests.rs:318-1211).
+
+The reference enumerates {DV presence} x {rows left} x {persistence
+state}; persistence states collapse in our batch engine (every input is
+persisted), so the matrix here is {no DV / partial DV / full DV} x
+{single file / many files} x {policy triggers}, each verified by
+rebuilding the table from disk with a second MoonTable instance (the
+analogue of reloading via a second IcebergTableManager,
+compaction_tests.rs:318-376).
+
+Uses the reference's canonical users fixture: ID=[1,2,3,4],
+NAME=[a,b,c,d], AGE=[10,20,30,40] (compaction_tests.rs:47-49).
+"""
+
+import os
+
+import pytest
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import (
+    USERS_SCHEMA,
+    write_users_dv,
+    write_users_file,
+)
+
+USERS_CONFIG = TableConfig(
+    zorder_columns=("id",),
+    stats_columns=("name",),
+    compaction=CompactionConfig(
+        min_files_to_compact=2, max_files_to_compact=32,
+        target_file_bytes=1 << 20, deletion_trigger_fraction=0.5,
+        bin_target_bytes=1 << 22, bin_concurrency=2),
+)
+
+
+def make_users_table(warehouse, files, dvs=None):
+    """files: list of (ids, names, ages); dvs: {file_idx: positions}."""
+    store = SnapshotStore(warehouse)
+    store.init_warehouse()
+    entries = []
+    for i, (ids, names, ages) in enumerate(files):
+        e = write_users_file(store, i, ids, names, ages)
+        e["bounds"] = {"name": (min(names), max(names))}
+        entries.append(e)
+    if dvs:
+        deletes = {entries[i]["path"]: (pos, entries[i]["rows"])
+                   for i, pos in dvs.items()}
+        dv_path = write_users_dv(store, 0, deletes)
+        for i, pos in dvs.items():
+            entries[i]["dv_path"] = dv_path
+            entries[i]["dv_cardinality"] = len(pos)
+    return store.commit(entries, schema=USERS_SCHEMA,
+                        stats_columns=("name",),
+                        properties={"flush_lsn": 1}, expected_parent=None)
+
+
+CANON = ([1, 2, 3, 4], ["a", "b", "c", "d"], [10, 20, 30, 40])
+
+
+def surviving_ids(table, version=None):
+    return sorted(r["id"] for r in
+                  table.scan(version).select("id").collect())
+
+
+def test_no_dv_two_files_merge_to_one(spark, warehouse):
+    make_users_table(warehouse, [CANON, ([5, 6], ["e", "f"], [50, 60])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    snap = t.optimize("full")
+    entries = SnapshotStore(warehouse).manifest_entries(snap.version)
+    assert len(entries) == 1
+    assert surviving_ids(t, snap.version) == [1, 2, 3, 4, 5, 6]
+    # reload through a second table instance (fresh metadata read)
+    t2 = MoonTable(spark, warehouse, USERS_CONFIG)
+    assert surviving_ids(t2) == [1, 2, 3, 4, 5, 6]
+
+
+def test_partial_dv_rows_dropped(spark, warehouse):
+    # delete positions 1,3 (ids 2 and 4) — the reference's DV fixture
+    # shape (delete_vector.rs:185-220: rows {1,3} of 5 -> A,C,E)
+    make_users_table(warehouse, [CANON], dvs={0: [1, 3]})
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    assert surviving_ids(t, 0) == [1, 3]  # scan applies DV pre-compaction
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [1, 3]
+    entries = SnapshotStore(warehouse).manifest_entries(snap.version)
+    assert len(entries) == 1 and entries[0]["dv_cardinality"] == 0
+
+
+def test_fully_deleted_file_disappears(spark, warehouse):
+    make_users_table(
+        warehouse,
+        [CANON, ([9, 10], ["x", "y"], [90, 100])],
+        dvs={1: [0, 1]})  # second file 100% deleted
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [1, 2, 3, 4]
+    entries = SnapshotStore(warehouse).manifest_entries(snap.version)
+    assert len(entries) == 1
+
+
+def test_everything_deleted_empty_table(spark, warehouse):
+    make_users_table(warehouse, [CANON], dvs={0: [0, 1, 2, 3]})
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == []
+    # zero-row outputs are dropped (compactor.rs:412-430 analogue)
+    assert SnapshotStore(warehouse).manifest_entries(snap.version) == []
+
+
+def test_data_mode_respects_min_files(spark, warehouse):
+    """Fewer than min_files_to_compact candidates -> Nothing."""
+    cfg = TableConfig(
+        zorder_columns=("id",), stats_columns=("name",),
+        compaction=CompactionConfig(min_files_to_compact=16))
+    make_users_table(warehouse, [CANON, CANON, CANON])
+    t = MoonTable(spark, warehouse, cfg)
+    snap = t.optimize("data")
+    assert snap.version == 0  # unchanged
+
+
+def test_data_mode_deletion_trigger(spark, warehouse):
+    """A big file below no size threshold still compacts when >=50%
+    deleted (compaction_config.rs:53-54)."""
+    cfg = TableConfig(
+        zorder_columns=("id",), stats_columns=("name",),
+        compaction=CompactionConfig(
+            min_files_to_compact=1, max_files_to_compact=32,
+            target_file_bytes=1,  # nothing qualifies by size
+            deletion_trigger_fraction=0.5))
+    make_users_table(warehouse, [CANON, CANON], dvs={0: [0, 1, 2]})
+    t = MoonTable(spark, warehouse, cfg)
+    snap = t.optimize("data")
+    entries = SnapshotStore(warehouse).manifest_entries(snap.version)
+    # file 0 (75% deleted) compacted; file 1 untouched
+    assert len(entries) == 2
+    assert sorted(surviving_ids(t, snap.version)) == [1, 2, 3, 4, 4]
+
+
+def test_max_files_cap_smallest_first(spark, warehouse):
+    """One data op takes at most max_files_to_compact candidates,
+    smallest files first (snapshot_maintenance.rs:115-118)."""
+    big = (list(range(100, 160)), [f"n{i}" for i in range(60)],
+           list(range(60)))
+    files = [CANON, CANON, big]
+    cfg = TableConfig(
+        zorder_columns=("id",), stats_columns=("name",),
+        compaction=CompactionConfig(
+            min_files_to_compact=2, max_files_to_compact=2,
+            target_file_bytes=1 << 20, deletion_trigger_fraction=0.5))
+    make_users_table(warehouse, files)
+    t = MoonTable(spark, warehouse, cfg)
+    snap = t.optimize("data")
+    entries = SnapshotStore(warehouse).manifest_entries(snap.version)
+    # the two small CANON files merged; big file left as-is
+    assert len(entries) == 2
+    rows = sorted(e["rows"] for e in entries)
+    assert rows == [8, 60]

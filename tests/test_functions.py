@@ -1,0 +1,152 @@
+"""Unit tests for the training-data operator suite
+(dedup / similarity / textstats / multimodal)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions import dedup as dd
+from moonlink_spark.functions import multimodal as mm
+from moonlink_spark.functions import similarity as sim
+from moonlink_spark.functions import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup
+        (2, "the quick brown fox jumps over a sleepy dog"),      # near dup
+        (3, "completely different content about spark engines"),
+        (4, "numbers 123 and punctuation !!! here, ok?"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    keep = dd.exact_dedup(docs)
+    by_hash = {r["content_hash"]: r for r in keep.collect()}
+    assert len(by_hash) == 5  # 6 docs, one exact pair
+    dup = [r for r in by_hash.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["doc_id"] == 0
+
+
+def test_minhash_lsh_finds_dup_pair(docs):
+    sigs = dd.minhash_signature(docs, n_hashes=8, shingle_n=3)
+    got = {tuple(r) for r in
+           dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+           .select("id_a", "id_b").collect()}
+    assert (0, 1) in got            # exact dup always collides
+    assert (0, 3) not in got        # unrelated docs do not
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(
+                 docs, shingle_n=3, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in
+          dd.simhash(docs, bits=16).collect()}
+    assert sh[0] == sh[1]
+    assert sh[0] != sh[3]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # near dup closer in hamming space
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # 40 is an exact copy of 0; 41 a tiny perturbation of 1
+    rows.append((40, [float(x) for x in base[0]]))
+    rows.append((41, [float(x) for x in base[1] + 0.01 * base[2]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(vectors):
+    got = {tuple(r) for r in
+           dd.embedding_neardup_pairs(vectors, threshold=0.99).collect()}
+    assert (0, 40) in got
+    assert (1, 41) in got
+    assert len(got) <= 4  # random pairs stay below 0.99
+
+
+def test_cosine_topk_exact_copy_is_rank1(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = sim.cosine_topk(vectors, q, k=3).collect()
+    assert top[0]["rank"] == 1 and top[0]["neighbor_id"] == 40
+
+
+def test_ivf_recall_vs_bruteforce(vectors):
+    qs = vectors.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(vectors, qs, k=5)
+    approx = sim.ivf_topk(vectors, qs, k=5, n_centroids=4, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # nprobe 3/4 cells
+
+
+def test_lsh_bucket_copies_collide(vectors):
+    b = {r["vec_id"]: r["bucket"] for r in
+         sim.lsh_bucket(vectors, n_planes=8, dim=16).collect()}
+    assert b[0] == b[40]  # identical vectors share every hyperplane side
+
+
+def test_token_stats_and_quality(docs):
+    st = {r["doc_id"]: r for r in ts.token_stats(docs).collect()}
+    assert st[0]["n_ws_tokens"] == 9
+    assert st[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert st[5]["n_ws_tokens"] == 0
+    q = {r["doc_id"]: r for r in ts.quality_features(docs).collect()}
+    assert q[4]["punct_ratio"] > 0 and q[4]["digit_ratio"] > 0
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+
+
+def test_langid_profiles(spark):
+    rows = [(0, "the cat and the hat"), (1, "der hund und die katze"),
+            (2, "xyzzy plugh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in ts.lang_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_fingerprint_shift_invariance(spark):
+    base = "some representative source text for fingerprinting purposes"
+    rows = [(0, base), (1, "PREFIX " + base), (2, "totally other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          ts.fingerprint(df, k=8).collect()}
+    # prefixed doc's grams are a superset of the base doc's grams, so
+    # its min-hash can only stay equal or drop (containment property)
+    assert fp[1] <= fp[0]
+    assert fp[0] != fp[2]
+    # identical text -> identical fingerprint
+    again = {r["doc_id"]: r["fingerprint"] for r in
+             ts.fingerprint(df, k=8).collect()}
+    assert fp == again
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = mm.synthesize_media(spark, docs.filter(F.col("doc_id") < 5))
+    feats = mm.decode_features(media, allow_fake=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert r["byte_len"] >= 0 and len(r["payload_sha"]) == 64
+    assert rows[0]["media_type"] == "image" and rows[0]["n_frames"] == 1
+    assert rows[1]["media_type"] == "audio" and rows[1]["n_frames"] >= 1
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r for r in
+             mm.decode_features(media, allow_fake=True).collect()}
+    assert rows[2]["features"] == again[2]["features"]

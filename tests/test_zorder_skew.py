@@ -1,0 +1,135 @@
+"""Z-order clustering, manifest-bounds pruning, and skew salting."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.functions.zorder import (
+    _string_proxy_np,
+    compute_zorder_boundaries,
+    morton_interleave,
+    with_zorder_key,
+)
+from moonlink_spark.operators import skew
+from moonlink_spark.operators.scan import prune_manifest
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+
+# -- morton unit --------------------------------------------------------
+
+def test_morton_interleave_known_values():
+    bx = np.array([0, 1, 0, 3], dtype=np.uint64)
+    by = np.array([0, 0, 1, 3], dtype=np.uint64)
+    # zkey = interleave(bx at odd bits, by at even bits)
+    assert morton_interleave([bx, by], 8).tolist() == [0, 2, 1, 15]
+
+
+def test_morton_is_monotone_per_dim():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 12, 100).astype(np.uint64)
+    b = rng.integers(0, 1 << 12, 100).astype(np.uint64)
+    z = morton_interleave([a, b], 12)
+    z2 = morton_interleave([a + 1, b], 12)
+    # growing one dimension never decreases the key (same other dim)
+    assert (z2 >= z).all()
+
+
+def test_string_proxy_preserves_order():
+    import pandas as pd
+    s = pd.Series(["", "a", "aa", "ab", "b", "org1/x", "org2/a", "zzzzzzzzz"])
+    v = _string_proxy_np(s)
+    assert (np.diff(v) >= 0).all()
+
+
+# -- zorder clustering effect ------------------------------------------
+
+@pytest.fixture(scope="module")
+def compacted(spark, tmp_path_factory):
+    w = str(tmp_path_factory.mktemp("wh"))
+    synthesize_cdc_aftermath(w, seed=43, n_files=30,
+                             rows_per_file=(100, 300), n_repos=12,
+                             content_bytes=(64, 256), hot_fraction=0.5)
+    cfg = TableConfig(compaction=CompactionConfig(
+        target_file_bytes=48 << 10, bin_target_bytes=1 << 30,
+        bin_concurrency=2))
+    t = MoonTable(spark, w, cfg)
+    t.optimize("full")
+    return w, t
+
+
+def test_zorder_tightens_repo_bounds(spark, compacted):
+    """Post-compaction files must have narrow (repo) ranges: the sum of
+    per-file distinct-repo counts should be far below files x repos."""
+    w, t = compacted
+    entries = SnapshotStore(w).manifest_entries(1)
+    assert len(entries) >= 3
+    spans = []
+    for e in entries:
+        lo, hi = e["min_repo"], e["max_repo"]
+        assert lo is not None and lo <= hi
+        spans.append((lo, hi))
+    # at least half the files cover a single repo or adjacent repos:
+    # tight bounds are what make pruning effective
+    tight = sum(1 for lo, hi in spans if lo[:12] == hi[:12])
+    assert tight >= len(spans) / 3
+
+
+def test_manifest_pruning_reduces_files(spark, compacted):
+    w, t = compacted
+    manifest = t.manifest(1)
+    total = manifest.count()
+    hot_repo = "org0/repo0000"
+    pruned = prune_manifest(manifest, {"repo": hot_repo}).count()
+    assert pruned < total  # some files excluded by bounds
+    # pruned scan returns exactly the same rows as a filtered full scan
+    full = t.scan(1).filter(F.col("repo") == hot_repo).count()
+    via_prune = t.scan(1, predicates={"repo": hot_repo}) \
+        .filter(F.col("repo") == hot_repo).count()
+    assert full == via_prune
+
+
+# -- skew salting -------------------------------------------------------
+
+def test_salt_plan_fanout(spark):
+    rows = [("hot", i) for i in range(900)] + \
+           [(f"cold{j}", j) for j in range(50)]
+    df = spark.createDataFrame(rows, "repo string, x int")
+    plan = skew.plan_salts(df, "repo", target_rows_per_task=100)
+    got = {r["repo"]: r["_n_salts"] for r in plan.collect()}
+    assert got["hot"] == 9
+    assert all(v == 1 for k, v in got.items() if k != "hot")
+
+
+def test_salted_join_equals_plain_join(spark):
+    rows = [("hot", f"p{i}", i) for i in range(500)] + \
+           [(f"cold{j}", f"p{j}", j) for j in range(40)]
+    probe = spark.createDataFrame(rows, "repo string, path string, x int")
+    build = spark.createDataFrame(
+        [("hot",), ("cold7",), ("cold13",)], "repo string")
+    plan = skew.plan_salts(probe, "repo", target_rows_per_task=100)
+    salted_probe = skew.with_salt(probe, "repo", plan, salt_source=["path"])
+    salted_build = skew.explode_salts(build, "repo", plan)
+    got = (salted_probe.join(salted_build,
+                             on=["repo", skew.SALT_COL], how="inner")
+           .select("repo", "path", "x"))
+    want = probe.join(build, on="repo", how="inner")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_salted_partition_balance(spark):
+    """Hot-key rows spread across many partitions after salted
+    repartition (the whole point of the salt)."""
+    rows = [("hot", f"path{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "repo string, path string")
+    plan = skew.plan_salts(df, "repo", target_rows_per_task=250)
+    out = skew.salted_repartition(df, "repo", plan, salt_source=["path"],
+                                  num_partitions=8)
+    sizes = [r["c"] for r in
+             out.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(sizes) >= 4          # spread over several partitions
+    assert max(sizes) < 2000        # no single-partition pileup
