@@ -53,16 +53,27 @@ BENCH_QUERIES = [
     "multimodal_features",
 ]
 
-# CDC-aftermath size per SF: (n_files, rows_lo, rows_hi, content_lo,
-# content_hi).  sf0.1 yields ~0.4-0.5 GB across 600 tiny files.
+# CDC-aftermath size per SF.  sf0.1 yields ~0.6 GB on disk across 800
+# tiny snappy files (~1.3 GB of raw content) — enough that maintenance
+# work dominates fixed job overhead and bin concurrency is exercised.
 SYNTH_PARAMS = {
     0.001: dict(n_files=60, rows_per_file=(50, 250),
                 content_bytes=(64, 1024), n_repos=12),
-    0.01: dict(n_files=200, rows_per_file=(100, 600),
+    0.01: dict(n_files=240, rows_per_file=(100, 600),
                content_bytes=(128, 2048), n_repos=16),
-    0.1: dict(n_files=600, rows_per_file=(150, 900),
-              content_bytes=(128, 3072), n_repos=24),
+    0.1: dict(n_files=1600, rows_per_file=(1200, 4800),
+              content_bytes=(512, 6144), n_repos=24),
 }
+
+
+def bench_tmpdir() -> str:
+    """RAM-backed scratch when available.  The box has one local disk
+    (~150 MB/s): with warehouse+shuffle+output on it, maintenance at
+    this scale is disk-bound and core count can't show.  On a real
+    cluster the equivalent I/O is object-store + executor-local NVMe —
+    parallel in executor count — so tmpfs is the honest local stand-in
+    for measuring compute scaling."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -83,6 +94,9 @@ def make_spark(cpus: int, name: str):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.local.dir", os.path.join(bench_tmpdir(),
+                                                "moonlink-spark-local"))
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -94,8 +108,9 @@ def synthesize(sf: float, seed: int = 101) -> str:
     deterministic in (seed, params))."""
     from moonlink_spark.synth import synthesize_cdc_aftermath
     params = SYNTH_PARAMS.get(sf, SYNTH_PARAMS[0.1])
-    tag = f"sf{sf}-seed{seed}-v2"
-    wh = os.path.join(tempfile.gettempdir(), f"moonlink-bench-{tag}")
+    tag = (f"sf{sf}-seed{seed}-f{params['n_files']}-"
+           f"r{params['rows_per_file'][1]}-c{params['content_bytes'][1]}")
+    wh = os.path.join(bench_tmpdir(), f"moonlink-bench-{tag}")
     marker = os.path.join(wh, "SYNTH_DONE")
     if not os.path.isfile(marker):
         shutil.rmtree(wh, ignore_errors=True)
@@ -105,25 +120,34 @@ def synthesize(sf: float, seed: int = 101) -> str:
     return wh
 
 
-def run_maintenance(spark, source_wh: str, *, tiny_files: bool) -> dict:
+def run_maintenance(spark, source_wh: str, *, cpus: int = 32) -> dict:
     """Copy the aftermath to a fresh dir, run optimize('full'), report
     GB/min over manifest input bytes."""
     from moonlink_spark.config import CompactionConfig, TableConfig
     from moonlink_spark.engine import MoonTable
 
-    wh = tempfile.mkdtemp(prefix="moonlink-bench-run-")
+    wh = tempfile.mkdtemp(prefix="moonlink-bench-run-", dir=bench_tmpdir())
     shutil.rmtree(wh)
     shutil.copytree(source_wh, wh)
     # scale file-size targets down so small-SF runs keep the real plan
     # shape (many bins, several output files), cf. config.py docstring
+    # Big bins + explicit zkey-range splits give each bin ~8 parallel
+    # sort tasks; a handful of concurrent bin jobs then saturates the
+    # cores without the many-tiny-jobs scheduler thrash local mode
+    # suffers from.
     mib = 1024 * 1024
     comp = CompactionConfig(target_file_bytes=32 * mib,
-                            bin_target_bytes=32 * mib,
-                            bin_concurrency=16)
+                            bin_target_bytes=256 * mib,
+                            bin_concurrency=max(2, min(8, cpus)))
     table = MoonTable(spark, wh, TableConfig(compaction=comp))
     entries = table.store.manifest_entries(0)
     bytes_in = sum(e["bytes"] for e in entries)
     dv_rows = sum(e["dv_cardinality"] for e in entries)
+
+    # JVM/codegen/Arrow warm-up so the first measured job isn't paying
+    # one-time session costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(table.store.abs(entries[0]["path"])).count()
 
     t0 = time.time()
     snap = table.optimize("full")
@@ -171,12 +195,20 @@ def main() -> None:
     wh = synthesize(sf)
 
     if args.scaling:
+        # page-cache + JVM/JIT warm-up dominates the first runs on this
+        # box (~3x between run 1 and run 4 of an identical config), so:
+        # 2 discarded warm-ups, then median of 3 measured runs per level.
         results = {}
         for cpus in (8, 32):
             spark = make_spark(cpus, f"moonlink-bench-{cpus}")
-            # warm-up pass so JVM/codegen warmup doesn't skew either side
-            run_maintenance(spark, wh, tiny_files=True)
-            results[cpus] = run_maintenance(spark, wh, tiny_files=True)
+            for _ in range(2):
+                run_maintenance(spark, wh, cpus=cpus)
+            runs = [run_maintenance(spark, wh, cpus=cpus)
+                    for _ in range(3)]
+            runs.sort(key=lambda r: r["seconds"])
+            med = runs[1]
+            med["all_seconds"] = [r["seconds"] for r in runs]
+            results[cpus] = med
             spark.stop()
         t8, t32 = results[8]["seconds"], results[32]["seconds"]
         eff = round(t8 / (4 * t32), 3)
@@ -189,7 +221,7 @@ def main() -> None:
 
     spark = make_spark(args.cpus, "moonlink-bench")
     t_all = time.time()
-    maint = run_maintenance(spark, wh, tiny_files=True)
+    maint = run_maintenance(spark, wh, cpus=args.cpus)
     queries = {} if args.skip_queries else run_queries(
         spark, args.sf_dir, BENCH_QUERIES)
     total = round(time.time() - t_all, 2)

@@ -108,12 +108,25 @@ class MoonTable:
         # Z-order quantile boundaries for the whole job (deterministic,
         # so resumed runs re-derive identical boundaries)
         all_inputs = [p for b in bins for p in b.files]
-        sample = self.spark.read.parquet(
-            *[self.store.abs(p) for p in all_inputs]
+        total_rows = sum(b.rows for b in bins)
+        # boundary sample: a deterministic ~64-file subset keeps the
+        # quantile pass O(1) in candidate-set size; row count comes from
+        # the manifest (no count job)
+        stride = max(1, len(all_inputs) // 64)
+        sample_files = sorted(all_inputs)[::stride][:64]
+        approx_rows = max(1, int(total_rows * len(sample_files)
+                                 / len(all_inputs)))
+        reader = self.spark.read
+        if base.properties.get("schema_ddl"):
+            # pinning the schema skips a footer-inference pass over the
+            # full candidate file set (one job per 10^12-file plan)
+            reader = reader.schema(base.properties["schema_ddl"])
+        sample = reader.parquet(
+            *[self.store.abs(p) for p in sample_files]
         ).select(*self.config.zorder_columns)
         boundaries = compute_zorder_boundaries(
             sample, list(self.config.zorder_columns),
-            bits=self.config.zorder_bits)
+            bits=self.config.zorder_bits, total_rows=approx_rows)
 
         cfg = TableConfig(
             zorder_columns=self.config.zorder_columns,
@@ -129,11 +142,41 @@ class MoonTable:
         # of completion order (each bin owns its output file names).
         run_bins = bins if max_bins is None else bins[:max_bins]
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=comp.bin_concurrency) as pool:
-            records = list(pool.map(
-                lambda b: rewrite_bin(self.spark, self.store, b, config=cfg,
-                                      boundaries=boundaries, job_id=job_id),
-                run_bins))
+
+        # AQE is disabled for the rewrite fan-out: adaptive re-planning
+        # adds a materialization barrier per shuffle, and with many
+        # concurrent jobs whose scan stages run Arrow/pandas UDFs the
+        # barriers serialize badly (measured ~6x slowdown at 16
+        # concurrent bins).  The bin jobs have a fixed two-stage shape
+        # (scan→sort-write), so AQE has nothing to adapt anyway.
+        # the candidate set's delete vectors, exploded once and cached —
+        # every bin anti-joins against (a filter of) this one DataFrame
+        # instead of re-reading the DV sidecar parquet per bin
+        all_dv = sorted({p for b in run_bins for p in b.dv_paths})
+        deletes = None
+        if all_dv:
+            deletes = scan_op.deletes_df(
+                self.spark, self.store, all_dv,
+                [p for b in run_bins for p in b.files]).persist()
+
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            with ThreadPoolExecutor(max_workers=comp.bin_concurrency) as pool:
+                records = list(pool.map(
+                    lambda b: rewrite_bin(
+                        self.spark, self.store, b, config=cfg,
+                        boundaries=boundaries, job_id=job_id,
+                        schema_ddl=base.properties.get("schema_ddl"),
+                        project=base.schema,
+                        column_defaults=base.properties.get(
+                            "column_defaults"),
+                        deletes=deletes),
+                    run_bins))
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            if deletes is not None:
+                deletes.unpersist()
         if max_bins is not None and len(bins) > max_bins:
             return base  # simulated kill; lineage already on disk
 
@@ -242,6 +285,99 @@ class MoonTable:
             self.spark, self.store, base, changes,
             key_columns=key_columns, config=self.config,
             broadcast_changes=broadcast_changes, job_tag=job_tag)
+
+    def load_files(self, paths: list[str], *, copy: bool = False) -> Snapshot:
+        """Bulk-register existing Parquet files (metadata-only ingest;
+        moonlink ``LoadFiles``, ``batch_ingestion.rs``)."""
+        from moonlink_spark.sources.bulk_load import load_files
+        return load_files(self.store, paths, config=self.config, copy=copy)
+
+    def create_snapshot(self) -> Snapshot:
+        """Force a new (content-identical) snapshot version — the
+        ``ForceSnapshot``/``create_snapshot(lsn)`` surface
+        (``moonlink_backend/src/lib.rs:145``): callers use it as a named
+        point-in-time to pin readers or retention against."""
+        base = self.store.read_snapshot()
+        entries = [self._entry_from_manifest_row(e)
+                   for e in self.store.manifest_entries(base.version)]
+        props = dict(base.properties)
+        props.update({"flush_lsn": base.flush_lsn + 1,
+                      "operation": "create-snapshot",
+                      "job_id": f"snap-v{base.version:06d}"})
+        return self.store.commit(entries, schema=base.schema,
+                                 stats_columns=self.config.stats_columns,
+                                 properties=props,
+                                 expected_parent=base.version)
+
+    # -- schema evolution (add/drop columns only, mirroring
+    #    mooncake_table.rs:616-651 / file_catalog.rs:685-704) -----------
+    POS_COL = "_pos"
+
+    def _schema_ddl(self, schema: list[str], types: Mapping[str, str]) -> str:
+        return ", ".join(f"`{c}` {types.get(c, 'string')}" for c in schema)
+
+    def add_column(self, name: str, type_ddl: str = "string",
+                   default=None) -> Snapshot:
+        """Add a column.  Metadata-only: existing files are untouched;
+        scans fill the column with NULL (or ``default``) for
+        pre-existing rows; the next compaction bakes values in."""
+        base = self.store.read_snapshot()
+        if name in base.schema:
+            raise ValueError(f"column {name!r} already exists")
+        schema = [c for c in base.schema if c != self.POS_COL] \
+            + [name, self.POS_COL]
+        props = dict(base.properties)
+        types = dict(props.get("schema_types") or
+                     {c: "string" for c in base.schema})
+        types.setdefault(self.POS_COL, "bigint")
+        types[name] = type_ddl
+        defaults = dict(props.get("column_defaults") or {})
+        if default is not None:
+            defaults[name] = default
+        props.update({
+            "schema_types": types,
+            "schema_ddl": self._schema_ddl(schema, types),
+            "column_defaults": defaults,
+            "flush_lsn": base.flush_lsn + 1,
+            "operation": f"add-column-{name}",
+            "job_id": f"addcol-{name}-v{base.version:06d}",
+        })
+        entries = [self._entry_from_manifest_row(e)
+                   for e in self.store.manifest_entries(base.version)]
+        return self.store.commit(entries, schema=schema,
+                                 stats_columns=self.config.stats_columns,
+                                 properties=props,
+                                 expected_parent=base.version)
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Drop a column.  Metadata-only: the column simply leaves the
+        schema projection (never read again — column pruning); the next
+        compaction physically sheds it."""
+        base = self.store.read_snapshot()
+        if name not in base.schema or name == self.POS_COL:
+            raise ValueError(f"cannot drop {name!r}")
+        schema = [c for c in base.schema if c != name]
+        props = dict(base.properties)
+        types = dict(props.get("schema_types") or
+                     {c: "string" for c in base.schema})
+        types.setdefault(self.POS_COL, "bigint")
+        types.pop(name, None)
+        defaults = dict(props.get("column_defaults") or {})
+        defaults.pop(name, None)
+        props.update({
+            "schema_types": types,
+            "schema_ddl": self._schema_ddl(schema, types),
+            "column_defaults": defaults,
+            "flush_lsn": base.flush_lsn + 1,
+            "operation": f"drop-column-{name}",
+            "job_id": f"dropcol-{name}-v{base.version:06d}",
+        })
+        entries = [self._entry_from_manifest_row(e)
+                   for e in self.store.manifest_entries(base.version)]
+        return self.store.commit(entries, schema=schema,
+                                 stats_columns=self.config.stats_columns,
+                                 properties=props,
+                                 expected_parent=base.version)
 
     # -- retention -------------------------------------------------------
     def expire_snapshots(self, retain_last: int = 2) -> dict:

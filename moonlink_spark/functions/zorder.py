@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+# key under which compute_zorder_boundaries stores the global zkey
+# quantile cutpoints (int64 array) alongside the per-column boundaries
+ZCUTS_KEY = "__zcuts__"
+
 
 def _string_proxy_np(s: pd.Series) -> np.ndarray:
     """First-7-bytes big-endian integer of a string column (vectorized)."""
@@ -48,6 +52,7 @@ def compute_zorder_boundaries(
     bits: int = 12,
     sample_cap: int = 262_144,
     seed: int = 42,
+    total_rows: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Quantile boundaries per clustering column from a seeded sample.
 
@@ -60,7 +65,10 @@ def compute_zorder_boundaries(
     *layout* decision: bucket skew only costs write balance, never
     correctness.)"""
     sel = df.select(*columns)
-    n = sel.count()
+    # callers that know the row count (e.g. from manifest metadata) pass
+    # it to skip the count job — at 10^12-file scale the count is a full
+    # footer sweep, while the manifest sum is free
+    n = total_rows if total_rows is not None else sel.count()
     if n == 0:
         return {c: np.array([], dtype=np.float64) for c in columns}
     fraction = min(1.0, (sample_cap * 1.25) / n)
@@ -70,11 +78,19 @@ def compute_zorder_boundaries(
     n_b = (1 << bits) - 1
     probs = np.linspace(0.0, 1.0, n_b + 2)[1:-1]
     out: dict[str, np.ndarray] = {}
+    bucketed = []
     for c in columns:
         vals = (_string_proxy_np(sample[c].astype(str))
                 if dtypes[c] == "string"
                 else sample[c].fillna(0).to_numpy(dtype=np.float64))
         out[c] = np.quantile(vals, probs).astype(np.float64)
+        bucketed.append(np.searchsorted(out[c], vals, side="right"))
+    # global zkey distribution cutpoints (ZCUTS_KEY): rewrite bins carve
+    # these into per-output-file ranges so output splits are explicit
+    # and deterministic (no runtime range sampling)
+    zk = morton_interleave(bucketed, bits)
+    out[ZCUTS_KEY] = np.quantile(
+        zk, np.linspace(0.0, 1.0, 4097)[1:-1]).astype(np.int64)
     return out
 
 

@@ -43,13 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
-from moonlink_spark.functions.zorder import with_zorder_key
+from moonlink_spark.functions.zorder import ZCUTS_KEY, with_zorder_key
 from moonlink_spark.operators.planner import CompactionBin
 from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan_files
 from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore, _atomic_write
 
 ZKEY_COL = "_zkey"
 OLDPOS_COL = "_oldpos"
+OFILE_COL = "_ofile"
 # zstd recompresses snappy input roughly ~0.7×; used only to size the
 # output partition count, actual rolling is by partition.
 RECOMPRESS_FACTOR = 0.75
@@ -128,6 +129,10 @@ def rewrite_bin(
     config: TableConfig,
     boundaries: dict,
     job_id: str,
+    schema_ddl: str | None = None,
+    project: list[str] | None = None,
+    column_defaults: dict | None = None,
+    deletes: DataFrame | None = None,
 ) -> dict:
     """Execute (or resume past) one bin; returns its lineage record."""
     cached = load_valid_lineage(store, job_id, bin.bin_id)
@@ -135,31 +140,54 @@ def rewrite_bin(
         return cached
 
     live = scan_files(spark, store, bin.files, bin.dv_paths,
-                      bin.deleted_rows, with_location=True)
+                      bin.deleted_rows, with_location=True,
+                      schema_ddl=schema_ddl, project=project,
+                      column_defaults=column_defaults, deletes=deletes)
     live = live.withColumnRenamed(POS_COL, OLDPOS_COL)
 
     zcols = [c for c in config.zorder_columns]
-    live = with_zorder_key(live, zcols, boundaries,
-                           bits=config.zorder_bits, out_col=ZKEY_COL)
+    if zcols:
+        live = with_zorder_key(live, zcols, boundaries,
+                               bits=config.zorder_bits, out_col=ZKEY_COL)
+    else:  # compaction without clustering: preserve (file, pos) order
+        live = live.withColumn(ZKEY_COL, F.lit(0).cast("long"))
 
-    # One deterministic sorted partition per bin, rolled into
-    # target-sized files by the writer (maxRecordsPerFile — the exact
-    # analogue of moonlink's size-rolled parquet writer,
-    # disk_slice.rs:183-254 / compactor.rs:286-292).  NOT
-    # repartitionByRange: the range sampler seeds off the RDD id, so a
+    # Deterministic parallel split: the global zkey cutpoints (computed
+    # once per job from the boundary sample) are carved into n_out
+    # contiguous ranges; each row's range id is a JVM array-filter over
+    # the (small) literal cut array, and the shuffle hashes on that id.
+    # NOT repartitionByRange: its sampler seeds off the RDD id, so a
     # resumed run would split outputs differently than the original —
-    # violating the resume-determinism invariant.  The sort key is
-    # total ((zkey, cluster cols, source file, source pos) is unique),
-    # so the single-partition sort is byte-stable across reruns; the
-    # planner's bin_target_bytes bounds how much one sort task holds.
+    # violating the resume-determinism invariant.  Hash collisions can
+    # co-locate two ranges in one task; maxRecordsPerFile still rolls
+    # that task's sorted output into target-sized files (the analogue
+    # of moonlink's size-rolled writer, disk_slice.rs:183-254), so the
+    # only cost is slightly looser bounds on those files.  The sort key
+    # is total ((zkey, cluster cols, source file, source pos) is
+    # unique), so outputs are byte-stable across reruns.
     target = config.compaction.target_file_bytes
     n_out = max(1, math.ceil(bin.live_bytes_est * RECOMPRESS_FACTOR / target))
     rows_per_file = max(1, math.ceil(bin.live_rows / n_out))
-    clustered = (
-        live.repartition(1)
-        .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
-        .drop(ZKEY_COL, FILE_COL, OLDPOS_COL)
-    )
+    zcuts = boundaries.get(ZCUTS_KEY)
+    if n_out > 1 and zcuts is not None and len(zcuts):
+        idx = [int(round(j * len(zcuts) / n_out))
+               for j in range(1, n_out)]
+        cuts = sorted({int(zcuts[min(i, len(zcuts) - 1)]) for i in idx})
+        cut_arr = F.array(*[F.lit(c).cast("long") for c in cuts])
+        ranged = live.withColumn(
+            OFILE_COL,
+            F.size(F.filter(cut_arr, lambda c: c <= F.col(ZKEY_COL))))
+        clustered = (
+            ranged.repartition(2 * n_out, OFILE_COL)
+            .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
+            .drop(ZKEY_COL, FILE_COL, OLDPOS_COL, OFILE_COL)
+        )
+    else:
+        clustered = (
+            live.repartition(1)
+            .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
+            .drop(ZKEY_COL, FILE_COL, OLDPOS_COL)
+        )
     final = assign_positions(clustered)
 
     tmp_dir = os.path.join(store.warehouse, "tmp", job_id,

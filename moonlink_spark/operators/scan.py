@@ -94,11 +94,43 @@ def scan_files(
     dv_cardinality: int,
     *,
     with_location: bool = False,
+    schema_ddl: str | None = None,
+    project: list[str] | None = None,
+    column_defaults: Mapping[str, object] | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
-    """Read an explicit file set applying its delete vectors."""
-    reader = spark.read.parquet(*[store.abs(p) for p in data_files])
-    df = _with_relative_file(reader, store)
-    dels = deletes_df(spark, store, dv_paths, data_files)
+    """Read an explicit file set applying its delete vectors.
+
+    ``deletes`` overrides the DV read with a prebuilt (file, pos)
+    DataFrame — callers running many scans over one snapshot (the
+    compaction fan-out) build and persist it once instead of re-reading
+    the DV sidecars per scan.
+
+    ``schema_ddl`` pins the read schema (schema evolution: files written
+    before an added column came along simply yield nulls for it — no
+    ``mergeSchema`` footer sweep, which would touch every footer at
+    planning time); ``project`` selects/orders the logical columns, so
+    columns dropped from the table schema are never read (column
+    pruning does the work); ``column_defaults`` backfills added columns
+    for pre-existing rows (coalesce semantics: genuine nulls in new data
+    are filled too — the documented approximation of Iceberg's
+    initial-default)."""
+    reader = spark.read
+    if schema_ddl:
+        reader = reader.schema(schema_ddl)
+    df = reader.parquet(*[store.abs(p) for p in data_files])
+    df = _with_relative_file(df, store)
+    if project:
+        df = df.select(*project, FILE_COL)
+    if column_defaults:
+        for col, default in column_defaults.items():
+            if default is not None and col in df.columns:
+                df = df.withColumn(col, F.coalesce(F.col(col),
+                                                   F.lit(default)))
+    if deletes is not None:
+        dels = deletes.filter(F.col(FILE_COL).isin(data_files))
+    else:
+        dels = deletes_df(spark, store, dv_paths, data_files)
     if dv_cardinality <= BROADCAST_DV_ROWS:
         dels = F.broadcast(dels)
     live = df.join(dels, on=[FILE_COL, POS_COL], how="left_anti")
@@ -128,7 +160,13 @@ def scan(
     dv_paths = sorted({r["dv_path"] for r in plan_rows if r["dv_path"]})
     dv_card = sum(r["dv_cardinality"] for r in plan_rows)
     if not files:
-        schema = ", ".join(f"`{c}` string" for c in snapshot.schema)
-        return spark.createDataFrame([], schema)
-    return scan_files(spark, store, files, dv_paths, dv_card,
-                      with_location=with_location)
+        ddl = snapshot.properties.get("schema_ddl")
+        if not ddl:
+            ddl = ", ".join(f"`{c}` string" for c in snapshot.schema)
+        return spark.createDataFrame([], ddl)
+    return scan_files(
+        spark, store, files, dv_paths, dv_card,
+        with_location=with_location,
+        schema_ddl=snapshot.properties.get("schema_ddl"),
+        project=snapshot.schema,
+        column_defaults=snapshot.properties.get("column_defaults"))

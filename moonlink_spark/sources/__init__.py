@@ -1,0 +1,1 @@
+from moonlink_spark.sources.bulk_load import load_files  # noqa: F401

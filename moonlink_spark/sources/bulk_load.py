@@ -1,0 +1,100 @@
+"""Bulk file load: register existing Parquet files into the table.
+
+The engine's analogue of moonlink's ``LoadFiles`` event
+(``table_notify.rs:117-124`` → ``storage/mooncake_table/
+batch_ingestion.rs:1-120``): ingest already-written Parquet files
+*without rewriting them* — metadata-only, one footer pass per file for
+row counts / byte sizes / min-max bounds, then a single manifest commit.
+
+Two modes, mirroring the reference's unvalidated fast path vs the safe
+path:
+
+- ``copy=False`` (default, ``LoadFiles`` parity): files are adopted
+  in-place; they must already live under the warehouse and carry a
+  ``_pos`` column.
+- ``copy=True``: files are linked/copied into ``data/`` first (use when
+  importing from outside the warehouse).
+
+A file without ``_pos`` is rejected (positional delete vectors could
+never address it); callers ingest such data through
+:meth:`MoonTable.merge` (upserts) instead, which writes fresh
+position-stamped files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from moonlink_spark.config import TableConfig
+from moonlink_spark.snapshotstore import DATA_DIR, Snapshot, SnapshotStore
+
+
+def _entry_for(store: SnapshotStore, rel: str,
+               stats_columns: tuple[str, ...]) -> dict:
+    from moonlink_spark.operators.rewrite import _footer_stats
+    st = _footer_stats(store.abs(rel), stats_columns)
+    return {"path": rel, **st}
+
+
+def load_files(
+    store: SnapshotStore,
+    paths: list[str],
+    *,
+    config: TableConfig,
+    schema: list[str] | None = None,
+    copy: bool = False,
+    job_tag: str = "load",
+) -> Snapshot:
+    """Append ``paths`` (Parquet) to the current snapshot; returns the
+    committed successor.  Metadata-only: no data is read or shuffled —
+    at 10^12-file scale this is the difference between an import taking
+    seconds (footer stats) and a full rewrite."""
+    base = store.read_snapshot()
+    tbl_schema = schema or base.schema
+
+    new_entries = []
+    for i, p in enumerate(sorted(paths)):
+        ap = os.path.abspath(p)
+        cols = {c.name for c in pq.read_schema(ap)}
+        missing = [c for c in tbl_schema if c not in cols]
+        if missing:
+            raise ValueError(f"{p}: missing table columns {missing} "
+                             "(note: files must carry _pos)")
+        if copy:
+            rel = os.path.join(
+                DATA_DIR,
+                f"data-{job_tag}-v{base.version:06d}-{i:06d}.parquet")
+            shutil.copy2(ap, store.abs(rel))
+        else:
+            if not ap.startswith(store.warehouse + os.sep):
+                raise ValueError(
+                    f"{p}: outside the warehouse; pass copy=True")
+            rel = store.rel(ap)
+        new_entries.append(_entry_for(store, rel, config.stats_columns))
+
+    entries = []
+    for e in store.manifest_entries(base.version):
+        entries.append({
+            "path": e["path"], "rows": e["rows"], "bytes": e["bytes"],
+            "dv_path": e.get("dv_path"),
+            "dv_cardinality": e.get("dv_cardinality") or 0,
+            "bounds": {c: (e[f"min_{c}"], e[f"max_{c}"])
+                       for c in config.stats_columns
+                       if e.get(f"min_{c}") is not None},
+        })
+    entries.extend(new_entries)
+
+    props = dict(base.properties)
+    props.update({
+        "flush_lsn": base.flush_lsn + 1,
+        "job_id": f"{job_tag}-v{base.version:06d}",
+        "operation": "load-files",
+        "loaded_files": len(new_entries),
+        "loaded_rows": sum(e["rows"] for e in new_entries),
+    })
+    return store.commit(entries, schema=tbl_schema,
+                        stats_columns=config.stats_columns,
+                        properties=props, expected_parent=base.version)

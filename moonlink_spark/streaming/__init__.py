@@ -1,0 +1,1 @@
+from moonlink_spark.streaming.cdc_apply import apply_cdc_stream  # noqa: F401

@@ -1,0 +1,79 @@
+"""Structured Streaming CDC apply: a change stream → MERGE commits.
+
+The Spark-idiomatic stand-in for moonlink's per-table event loop
+(``table_handler.rs:30-207``: CDC events batched off an mpsc channel,
+committed by LSN): here the channel is a streaming DataFrame of change
+rows (``_op`` ∈ {'delete','upsert'} + key/payload columns), the batch
+boundary is the micro-batch, and the LSN is the micro-batch id.
+
+``foreachBatch`` is the right tool, not a custom stateful operator: a
+MERGE must atomically rewrite table *metadata* (DV sidecars + manifest
+commit), which is driver-side table maintenance, exactly what
+foreachBatch exists for.  Each micro-batch becomes one snapshot commit,
+giving the same transactional batching moonlink gets from
+``commit(lsn)`` (``mooncake_table.rs:1290-1312``).
+
+Exactly-once across restarts: Structured Streaming replays an
+incomplete micro-batch after recovery, so the apply is made idempotent
+by recording ``stream_batch_id`` in the snapshot properties — a
+replayed batch whose id is already committed for this stream is skipped
+(the analogue of moonlink replaying WAL events above the persisted LSN,
+``storage/wal.rs:104-170``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def apply_cdc_stream(
+    table,
+    changes: DataFrame,
+    *,
+    key_columns: list[str],
+    stream_id: str = "cdc",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    broadcast_changes: bool = True,
+) -> StreamingQuery:
+    """Attach a streaming change DataFrame to ``table`` (a
+    :class:`~moonlink_spark.engine.MoonTable`).  Returns the running
+    ``StreamingQuery``; every micro-batch commits one snapshot."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence: skip batches already committed for this stream
+        store = table.store
+        current = store.read_snapshot()
+        for v in reversed(store.versions()):
+            props = store.read_snapshot(v).properties
+            if (props.get("stream_id") == stream_id
+                    and props.get("stream_batch_id") is not None
+                    and int(props["stream_batch_id"]) >= batch_id):
+                return
+        if batch_df.isEmpty():
+            return
+        snap = table.merge(
+            batch_df, key_columns=key_columns,
+            broadcast_changes=broadcast_changes,
+            job_tag=f"stream-{stream_id}-b{batch_id:06d}")
+        # stamp streaming lineage onto the committed header
+        import json
+        import os
+
+        from moonlink_spark.snapshotstore import _atomic_write
+        hdr_path = store.header_path(snap.version)
+        with open(hdr_path) as f:
+            hdr = json.load(f)
+        hdr["properties"]["stream_id"] = stream_id
+        hdr["properties"]["stream_batch_id"] = batch_id
+        _atomic_write(hdr_path,
+                      json.dumps(hdr, indent=1, sort_keys=True).encode())
+
+    writer = changes.writeStream.foreachBatch(_apply) \
+        .queryName(f"moonlink-cdc-{stream_id}")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -70,21 +70,22 @@ def _zipf_repo_weights(n_repos: int, hot_fraction: float) -> np.ndarray:
 
 
 def _make_content(rng: np.random.Generator, n_rows: int,
-                  lo: int, hi: int) -> list[str]:
+                  lo: int, hi: int) -> pa.Array:
     """Vectorized pseudo-source text: log-uniform byte lengths in
-    [lo, hi], token stream drawn from a code-ish vocabulary."""
+    [lo, hi], token stream drawn from a code-ish vocabulary.  The join
+    runs in Arrow C++ (``binary_join`` over a ListArray) — no per-row
+    Python, so synthesis keeps up with multi-GB bench inputs."""
     target = np.exp(rng.uniform(np.log(lo), np.log(hi), n_rows))
     # tokens per row ~= target_bytes / avg_token_len
     avg = _VOCAB_LEN.mean()
     n_tok = np.maximum(4, (target / avg).astype(np.int64))
     ids = rng.integers(0, len(_VOCAB), n_tok.sum())
-    out: list[str] = []
-    off = 0
-    vocab = _VOCAB  # local
-    for k in n_tok:
-        out.append(" ".join(vocab[ids[off:off + k]]))
-        off += k
-    return out
+    flat = pa.array(_VOCAB[ids], pa.string())
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    import pyarrow.compute as pc
+    return pc.binary_join(lists, " ")
 
 
 def _file_batch(seed: int, file_idx: int, *, n_repos: int,
@@ -113,7 +114,7 @@ def _file_batch(seed: int, file_idx: int, *, n_repos: int,
         "path": pa.array(paths, pa.string()),
         "commit": pa.array(commits, pa.string()),
         "lang": pa.array(langs, pa.string()),
-        "content": pa.array(content, pa.string()),
+        "content": content,
         "_pos": pa.array(np.arange(n, dtype=np.int64)),
     })
 
@@ -219,12 +220,16 @@ def synthesize_cdc_aftermath(
         if dv is not None:
             e["dv_path"], e["dv_cardinality"] = dv
 
+    types = {c: "string" for c in SCHEMA}
+    types["_pos"] = "bigint"
+    ddl = ", ".join(f"`{c}` {types[c]}" for c in SCHEMA)
     return store.commit(
         entries,
         schema=SCHEMA,
         stats_columns=STATS_COLUMNS,
         properties={"flush_lsn": flush_lsn, "origin": "synth",
-                    "seed": seed, "n_files": n_files},
+                    "seed": seed, "n_files": n_files,
+                    "schema_types": types, "schema_ddl": ddl},
         expected_parent=None,
     )
 

@@ -1,0 +1,152 @@
+"""Bulk load, create_snapshot, schema evolution, streaming CDC apply."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore
+from moonlink_spark.streaming import apply_cdc_stream
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=64 << 10, bin_target_bytes=256 << 10,
+    bin_concurrency=2))
+
+KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=51, n_files=8, rows_per_file=(30, 80),
+                             n_repos=4, content_bytes=(64, 128))
+    return MoonTable(spark, w, CFG)
+
+
+def _extra_file(path: str, n: int = 5) -> None:
+    import numpy as np
+    t = pa.table({
+        "repo": pa.array(["orgZ/loaded"] * n),
+        "path": pa.array([f"src/l{i}.rs" for i in range(n)]),
+        "commit": pa.array([f"{i:040x}" for i in range(n)]),
+        "lang": pa.array(["rust"] * n),
+        "content": pa.array([f"loaded content {i}" for i in range(n)]),
+        "_pos": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    pq.write_table(t, path)
+
+
+def test_load_files_copy_and_inplace(spark, table, tmp_path):
+    before = table.scan().count()
+    outside = str(tmp_path / "ext.parquet")
+    _extra_file(outside, 5)
+    snap = table.load_files([outside], copy=True)
+    assert table.scan(snap.version).count() == before + 5
+    assert snap.properties["loaded_rows"] == 5
+
+    # in-place adoption requires the file to be inside the warehouse
+    inside = table.store.abs(os.path.join(DATA_DIR, "adopted.parquet"))
+    _extra_file(inside, 3)
+    snap2 = table.load_files([inside])
+    assert table.scan(snap2.version).count() == before + 8
+    with pytest.raises(ValueError):
+        table.load_files([outside])  # outside without copy=True
+
+
+def test_load_files_rejects_missing_pos(spark, table, tmp_path):
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"repo": pa.array(["a"])}), bad)
+    with pytest.raises(ValueError):
+        table.load_files([bad], copy=True)
+
+
+def test_create_snapshot_pins_content(spark, table):
+    v0 = table.scan().count()
+    snap = table.create_snapshot()
+    assert snap.version == 1
+    assert snap.properties["operation"] == "create-snapshot"
+    assert table.scan(1).count() == v0
+
+
+def test_add_column_defaults_and_bake(spark, table):
+    snap = table.add_column("license", "string", default="unknown")
+    assert "license" in snap.schema
+    df = table.scan(snap.version)
+    assert df.filter(F.col("license") == "unknown").count() == df.count()
+
+    # merge an upsert carrying the new column
+    one = (table.scan(snap.version)
+           .select(*KEYS, "lang", "content", "license")
+           .orderBy(*KEYS).limit(1)
+           .withColumn("license", F.lit("mit"))
+           .withColumn("_op", F.lit("upsert")))
+    s2 = table.merge(one, key_columns=KEYS)
+    assert table.scan(s2.version).filter(
+        F.col("license") == "mit").count() == 1
+
+    # compaction bakes the column into files physically
+    s3 = table.optimize("full")
+    entries = SnapshotStore(table.store.warehouse).manifest_entries(s3.version)
+    cols = {c.name for c in pq.read_schema(table.store.abs(entries[0]["path"]))}
+    assert "license" in cols
+    got = table.scan(s3.version)
+    assert got.filter(F.col("license") == "mit").count() == 1
+    assert got.filter(F.col("license") == "unknown").count() == got.count() - 1
+
+
+def test_drop_column_pruned_and_shed(spark, table):
+    snap = table.drop_column("lang")
+    assert "lang" not in snap.schema
+    assert "lang" not in table.scan(snap.version).columns
+    # old snapshot still has it (isolation)
+    assert "lang" in table.scan(0).columns
+    s2 = table.optimize("full")
+    entries = SnapshotStore(table.store.warehouse).manifest_entries(s2.version)
+    cols = {c.name for c in pq.read_schema(table.store.abs(entries[0]["path"]))}
+    assert "lang" not in cols
+
+
+def test_streaming_cdc_apply(spark, table, tmp_path):
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    live = table.scan().select(*KEYS, "lang", "content")
+    dels = live.orderBy(*KEYS).limit(4).withColumn("_op", F.lit("delete"))
+    ins = spark.createDataFrame(
+        [("orgS/stream", "s.rs", "e" * 40, "rust", "streamed", "upsert")],
+        "repo string, path string, commit string, lang string, "
+        "content string, _op string")
+    dels.coalesce(1).write.parquet(str(src / "batch0"))
+    ins.coalesce(1).write.parquet(str(src / "batch1"))
+
+    before = table.scan().count()
+    changes = (spark.readStream
+               .schema("repo string, path string, commit string, "
+                       "lang string, content string, _op string")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(f"{src}/*"))
+    q = apply_cdc_stream(table, changes, key_columns=KEYS,
+                         stream_id="t1", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    after = table.scan().count()
+    assert after == before - 4 + 1
+    assert table.scan().filter(F.col("repo") == "orgS/stream").count() == 1
+    # micro-batch lineage stamped on committed snapshots
+    store = table.store
+    stamped = [store.read_snapshot(v).properties.get("stream_batch_id")
+               for v in store.versions()
+               if store.read_snapshot(v).properties.get("stream_id") == "t1"]
+    assert stamped and all(b is not None for b in stamped)
+
+    # replaying the same stream from the same checkpoint: no new commits
+    v_before = store.current_version()
+    q2 = apply_cdc_stream(table, changes, key_columns=KEYS,
+                          stream_id="t1", checkpoint_dir=ckpt)
+    q2.awaitTermination(60)
+    assert store.current_version() == v_before
