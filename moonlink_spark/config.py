@@ -74,6 +74,9 @@ class TableConfig:
     # 4096 rank buckets per dim — far finer than any realistic output
     # file count, at 1/16th the boundary-array cost of 16 bits).
     zorder_bits: int = 12
+    # Space-filling curve: "morton" (bit interleave) or "hilbert"
+    # (strictly better locality, ~2x the key-compute cost).
+    zorder_curve: str = "morton"
     compaction: CompactionConfig = field(default_factory=CompactionConfig)
     # Compression: fresh ingest files are snappy, compacted files zstd
     # (parquet_utils.rs:8-20).

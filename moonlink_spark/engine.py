@@ -126,12 +126,14 @@ class MoonTable:
         ).select(*self.config.zorder_columns)
         boundaries = compute_zorder_boundaries(
             sample, list(self.config.zorder_columns),
-            bits=self.config.zorder_bits, total_rows=approx_rows)
+            bits=self.config.zorder_bits, total_rows=approx_rows,
+            curve=self.config.zorder_curve)
 
         cfg = TableConfig(
             zorder_columns=self.config.zorder_columns,
             stats_columns=self.config.stats_columns,
             zorder_bits=self.config.zorder_bits,
+            zorder_curve=self.config.zorder_curve,
             compaction=comp,
             ingest_compression=self.config.ingest_compression,
             compact_compression=self.config.compact_compression,

@@ -53,6 +53,7 @@ def compute_zorder_boundaries(
     sample_cap: int = 262_144,
     seed: int = 42,
     total_rows: int | None = None,
+    curve: str = "morton",
 ) -> dict[str, np.ndarray]:
     """Quantile boundaries per clustering column from a seeded sample.
 
@@ -88,7 +89,7 @@ def compute_zorder_boundaries(
     # global zkey distribution cutpoints (ZCUTS_KEY): rewrite bins carve
     # these into per-output-file ranges so output splits are explicit
     # and deterministic (no runtime range sampling)
-    zk = morton_interleave(bucketed, bits)
+    zk = CURVES[curve](bucketed, bits)
     out[ZCUTS_KEY] = np.quantile(
         zk, np.linspace(0.0, 1.0, 4097)[1:-1]).astype(np.int64)
     return out
@@ -125,19 +126,51 @@ def morton_interleave(buckets: list[np.ndarray], bits: int) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def hilbert_interleave(buckets: list[np.ndarray], bits: int) -> np.ndarray:
+    """2-D Hilbert curve distance of bucket coordinates (vectorized
+    xy→d).  Hilbert preserves locality strictly better than Morton (no
+    quadrant jumps): consecutive keys are always adjacent cells, so
+    range-partitioned files get the tightest possible 2-D footprints.
+    Falls back to Morton for ndim != 2."""
+    if len(buckets) != 2:
+        return morton_interleave(buckets, bits)
+    x = buckets[0].astype(np.int64).copy()
+    y = buckets[1].astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: where ry==0 → (maybe flip) then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, s - 1 - x, x)
+        y = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y, x), np.where(swap, x, y)
+        s >>= 1
+    return d
+
+
+CURVES = {"morton": morton_interleave, "hilbert": hilbert_interleave}
+
+
 def with_zorder_key(
     df: DataFrame,
     columns: list[str],
     boundaries: dict[str, np.ndarray],
     bits: int = 12,
     out_col: str = "_zkey",
+    curve: str = "morton",
 ) -> DataFrame:
-    """Append the Morton key column.  The pandas UDF captures the (small)
-    boundary arrays in its closure — they ship once per task via the
-    serialized function, the batch work is pure numpy."""
+    """Append the space-filling-curve key column (Morton or Hilbert).
+    The pandas UDF captures the (small) boundary arrays in its closure —
+    they ship once per task via the serialized function, the batch work
+    is pure numpy."""
     dtypes = dict(df.dtypes)
     col_kinds = [(c, dtypes[c] == "string") for c in columns]
     bnds = {c: np.asarray(boundaries[c], dtype=np.float64) for c in columns}
+    interleave = CURVES[curve]
 
     @pandas_udf(T.LongType())
     def _zkey(*cols: pd.Series) -> pd.Series:
@@ -147,6 +180,6 @@ def with_zorder_key(
                      else s.fillna(0).to_numpy(dtype=np.float64))
             bucketed.append(
                 np.searchsorted(bnds[name], proxy, side="right"))
-        return pd.Series(morton_interleave(bucketed, bits))
+        return pd.Series(interleave(bucketed, bits))
 
     return df.withColumn(out_col, _zkey(*[F.col(c) for c in columns]))

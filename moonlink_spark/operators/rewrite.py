@@ -148,7 +148,8 @@ def rewrite_bin(
     zcols = [c for c in config.zorder_columns]
     if zcols:
         live = with_zorder_key(live, zcols, boundaries,
-                               bits=config.zorder_bits, out_col=ZKEY_COL)
+                               bits=config.zorder_bits, out_col=ZKEY_COL,
+                               curve=config.zorder_curve)
     else:  # compaction without clustering: preserve (file, pos) order
         live = live.withColumn(ZKEY_COL, F.lit(0).cast("long"))
 

@@ -133,6 +133,47 @@ def _dv_positions(rng: np.random.Generator, n_rows: int,
     return np.sort(rng.choice(n_rows, size=k, replace=False)).astype(np.int64)
 
 
+def _gen_one_file(args) -> tuple[dict, dict | None]:
+    """Generate + write one data file; returns (manifest entry, DV
+    record or None).  Top-level so it pickles into worker processes."""
+    (warehouse, seed, i, n_repos, weights, rows_lo, rows_hi,
+     c_lo, c_hi) = args
+    store = SnapshotStore(warehouse)
+    table = _file_batch(seed, i, n_repos=n_repos, weights=weights,
+                        rows_lo=rows_lo, rows_hi=rows_hi,
+                        content_lo=c_lo, content_hi=c_hi)
+    rel = os.path.join(DATA_DIR, f"data-{seed:04d}-{i:06d}.parquet")
+    pq.write_table(table, store.abs(rel), compression="snappy")
+    n = table.num_rows
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, i, 7]))
+    u = rng.uniform()
+    category = ("full" if u < 0.02 else
+                "heavy" if u < 0.07 else
+                "scattered" if u < 0.37 else "none")
+    pos = _dv_positions(rng, n, category)
+    dv_rec = None
+    if pos is not None:
+        dv_rec = {
+            "referenced_file": rel,
+            "positions": pos.tolist(),
+            "cardinality": int(len(pos)),
+            "max_row_count": int(n),
+        }
+    import pyarrow.compute as pc
+    bounds = {}
+    for c in STATS_COLUMNS:
+        col = table[c]
+        bounds[c] = (pc.min(col).as_py(), pc.max(col).as_py())
+    entry = {
+        "path": rel,
+        "rows": n,
+        "bytes": os.path.getsize(store.abs(rel)),
+        "bounds": bounds,
+    }
+    return entry, dv_rec
+
+
 def synthesize_cdc_aftermath(
     warehouse: str,
     *,
@@ -152,68 +193,41 @@ def synthesize_cdc_aftermath(
     rows_lo, rows_hi = rows_per_file
     c_lo, c_hi = content_bytes
 
-    entries: list[dict] = []
-    # DV sidecars are grouped ~20 referenced files per parquet to mimic
-    # many small puffin blobs (gives optimize("index") real merge work).
-    dv_buf: list[dict] = []
-    dv_file_no = 0
+    # Phase 1 — data files: embarrassingly parallel (every draw is
+    # seeded by (seed, file_idx), so generation order / worker count
+    # never changes the bytes).  Process pool for n_files >= 64.
+    args = [(warehouse, seed, i, n_repos, weights, rows_lo, rows_hi,
+             c_lo, c_hi) for i in range(n_files)]
+    if n_files >= 64:
+        import multiprocessing as mp
+        with mp.get_context("fork").Pool(min(24, os.cpu_count() or 4)) as p:
+            results = p.map(_gen_one_file, args, chunksize=8)
+    else:
+        results = [_gen_one_file(a) for a in args]
 
-    def flush_dv_buf() -> str | None:
-        nonlocal dv_file_no
-        if not dv_buf:
-            return None
-        rel = os.path.join(DV_DIR, f"dv-{dv_file_no:06d}.parquet")
-        dv_file_no += 1
+    entries = [r[0] for r in results]
+
+    # Phase 2 — DV sidecars: grouped ~dv_files_per_sidecar referenced
+    # files per parquet to mimic many small puffin blobs (gives
+    # optimize("index") real merge work).  Serial, deterministic order.
+    pending: dict[str, tuple[str, int]] = {}  # file -> (dv_path, card)
+    dv_records = [r[1] for r in results if r[1] is not None]
+    for j in range(0, len(dv_records), dv_files_per_sidecar):
+        group = dv_records[j:j + dv_files_per_sidecar]
+        rel = os.path.join(DV_DIR,
+                           f"dv-{j // dv_files_per_sidecar:06d}.parquet")
         t = pa.table({
-            "referenced_file": pa.array([d["referenced_file"] for d in dv_buf]),
-            "positions": pa.array([d["positions"] for d in dv_buf],
+            "referenced_file": pa.array([d["referenced_file"] for d in group]),
+            "positions": pa.array([d["positions"] for d in group],
                                   pa.list_(pa.int64())),
-            "cardinality": pa.array([d["cardinality"] for d in dv_buf],
+            "cardinality": pa.array([d["cardinality"] for d in group],
                                     pa.int64()),
-            "max_row_count": pa.array([d["max_row_count"] for d in dv_buf],
+            "max_row_count": pa.array([d["max_row_count"] for d in group],
                                       pa.int64()),
         })
         pq.write_table(t, store.abs(rel), compression="zstd")
-        for d in dv_buf:
+        for d in group:
             pending[d["referenced_file"]] = (rel, d["cardinality"])
-        dv_buf.clear()
-        return rel
-
-    pending: dict[str, tuple[str, int]] = {}  # file -> (dv_path, card)
-
-    for i in range(n_files):
-        table = _file_batch(seed, i, n_repos=n_repos, weights=weights,
-                            rows_lo=rows_lo, rows_hi=rows_hi,
-                            content_lo=c_lo, content_hi=c_hi)
-        rel = os.path.join(DATA_DIR, f"data-{seed:04d}-{i:06d}.parquet")
-        pq.write_table(table, store.abs(rel), compression="snappy")
-        n = table.num_rows
-
-        rng = np.random.default_rng(np.random.SeedSequence([seed, i, 7]))
-        u = rng.uniform()
-        category = ("full" if u < 0.02 else
-                    "heavy" if u < 0.07 else
-                    "scattered" if u < 0.37 else "none")
-        pos = _dv_positions(rng, n, category)
-        if pos is not None:
-            dv_buf.append({
-                "referenced_file": rel,
-                "positions": pos.tolist(),
-                "cardinality": int(len(pos)),
-                "max_row_count": int(n),
-            })
-            if len(dv_buf) >= dv_files_per_sidecar:
-                flush_dv_buf()
-
-        bounds = {c: (min(table[c].to_pylist()), max(table[c].to_pylist()))
-                  for c in STATS_COLUMNS}
-        entries.append({
-            "path": rel,
-            "rows": n,
-            "bytes": os.path.getsize(store.abs(rel)),
-            "bounds": bounds,
-        })
-    flush_dv_buf()
 
     for e in entries:
         dv = pending.get(e["path"])

@@ -37,6 +37,40 @@ def test_morton_is_monotone_per_dim():
     assert (z2 >= z).all()
 
 
+def test_hilbert_is_bijective_and_adjacent():
+    from moonlink_spark.functions.zorder import hilbert_interleave
+    bits = 5
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_interleave([xs.ravel().astype(np.uint64),
+                            ys.ravel().astype(np.uint64)], bits)
+    # bijection onto [0, n^2)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # locality: consecutive curve positions are adjacent grid cells
+    order = np.argsort(d)
+    x_sorted, y_sorted = xs.ravel()[order], ys.ravel()[order]
+    step = np.abs(np.diff(x_sorted)) + np.abs(np.diff(y_sorted))
+    assert (step == 1).all()
+
+
+def test_hilbert_curve_engine_roundtrip(spark, tmp_path):
+    from moonlink_spark.snapshotstore import SnapshotStore
+    from tests.oracle import content_sha_multiset, live_rows_pandas
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=47, n_files=8, rows_per_file=(30, 90),
+                             n_repos=4, content_bytes=(64, 128))
+    cfg = TableConfig(zorder_curve="hilbert",
+                      compaction=CompactionConfig(
+                          target_file_bytes=64 << 10,
+                          bin_target_bytes=256 << 10, bin_concurrency=2))
+    t = MoonTable(spark, w, cfg)
+    store = SnapshotStore(w)
+    before = content_sha_multiset(live_rows_pandas(store, 0))
+    snap = t.optimize("full")
+    assert content_sha_multiset(live_rows_pandas(store, snap.version)) \
+        == before
+
+
 def test_string_proxy_preserves_order():
     import pandas as pd
     s = pd.Series(["", "a", "aa", "ab", "b", "org1/x", "org2/a", "zzzzzzzzz"])
