@@ -36,7 +36,12 @@ from moonlink_spark.operators import merge as merge_op
 from moonlink_spark.operators import scan as scan_op
 from moonlink_spark.operators.planner import plan_compaction
 from moonlink_spark.operators.rewrite import rewrite_bin
-from moonlink_spark.snapshotstore import DV_DIR, Snapshot, SnapshotStore
+from moonlink_spark.snapshotstore import (
+    DV_DIR,
+    CommitConflict,
+    Snapshot,
+    SnapshotStore,
+)
 
 # index-merge trigger: min 16 small DV sidecars, mirroring
 # index_merge_config.rs:258-268 (min 16 / max 32 index blocks).
@@ -183,35 +188,68 @@ class MoonTable:
             return base  # simulated kill; lineage already on disk
 
         compacted = {p for b in bins for p in b.files}
-        entries = []
-        for e in self.store.manifest_entries(base.version):
-            if e["path"] in compacted:
-                continue
-            entries.append(self._entry_from_manifest_row(e))
-        for rec in records:
-            for out in rec["outputs"]:
-                entries.append({**out, "dv_path": None, "dv_cardinality": 0})
+        metrics = {
+            "bins": len(records),
+            "input_files": len(compacted),
+            "output_files": sum(len(r["outputs"]) for r in records),
+            "rows_in": sum(r["rows_in"] for r in records),
+            "rows_deleted": sum(r["rows_deleted"] for r in records),
+            "rows_out": sum(r["rows_out"] for r in records),
+            "bytes_in": sum(r["bytes_in"] for r in records),
+            "bytes_out": sum(r["bytes_out"] for r in records),
+        }
 
-        props = dict(base.properties)
-        props.update({
-            "flush_lsn": base.flush_lsn,
-            "job_id": job_id,
-            "operation": f"optimize-{mode}",
-            "metrics": {
-                "bins": len(records),
-                "input_files": len(compacted),
-                "output_files": sum(len(r["outputs"]) for r in records),
-                "rows_in": sum(r["rows_in"] for r in records),
-                "rows_deleted": sum(r["rows_deleted"] for r in records),
-                "rows_out": sum(r["rows_out"] for r in records),
-                "bytes_in": sum(r["bytes_in"] for r in records),
-                "bytes_out": sum(r["bytes_out"] for r in records),
-            },
-        })
-        return self.store.commit(
-            entries, schema=base.schema,
-            stats_columns=self.config.stats_columns,
-            properties=props, expected_parent=base.version)
+        # Commit with rebase-and-retry on concurrent commits (the
+        # engine's analogue of moonlink's 5-retry commit loop,
+        # table_property.rs:14-24).  A rebase is safe iff every
+        # compacted input file is still present with an UNCHANGED
+        # delete-vector state in the new current manifest — then the
+        # concurrent commit only touched other files (e.g. a MERGE
+        # into non-candidate files) and we re-point our swap at the
+        # new base.  If a compacted file gained deletes or vanished,
+        # the rewrite is stale and must abort (rerun re-plans).
+        commit_base = base
+        for attempt in range(5):
+            entries = []
+            for e in self.store.manifest_entries(commit_base.version):
+                if e["path"] in compacted:
+                    continue
+                entries.append(self._entry_from_manifest_row(e))
+            for rec in records:
+                for out in rec["outputs"]:
+                    entries.append(
+                        {**out, "dv_path": None, "dv_cardinality": 0})
+            props = dict(commit_base.properties)
+            props.update({
+                "flush_lsn": commit_base.flush_lsn,
+                "job_id": job_id,
+                "operation": f"optimize-{mode}",
+                "metrics": metrics,
+            })
+            try:
+                return self.store.commit(
+                    entries, schema=commit_base.schema,
+                    stats_columns=self.config.stats_columns,
+                    properties=props,
+                    expected_parent=commit_base.version)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                new_base = self.store.read_snapshot()
+                by_path = {e["path"]: e for e in
+                           self.store.manifest_entries(new_base.version)}
+                old = {e["path"]: e for e in
+                       self.store.manifest_entries(commit_base.version)}
+                for p in compacted:
+                    cur = by_path.get(p)
+                    if (cur is None
+                            or cur.get("dv_path") != old[p].get("dv_path")
+                            or (cur.get("dv_cardinality") or 0)
+                            != (old[p].get("dv_cardinality") or 0)):
+                        raise CommitConflict(
+                            f"compacted input {p} changed concurrently; "
+                            "rerun optimize") from None
+                commit_base = new_base
 
     def _optimize_index(self, base: Snapshot, job_id: str) -> Snapshot:
         """Consolidate many small DV sidecars into few — the engine's
@@ -282,11 +320,21 @@ class MoonTable:
     def merge(self, changes: DataFrame, *, key_columns: list[str],
               broadcast_changes: bool = True,
               job_tag: str = "merge") -> Snapshot:
-        base = self.store.read_snapshot()
-        return merge_op.merge_into(
-            self.spark, self.store, base, changes,
-            key_columns=key_columns, config=self.config,
-            broadcast_changes=broadcast_changes, job_tag=job_tag)
+        # a concurrent commit invalidates the computed row positions, so
+        # the whole MERGE re-runs against the fresh snapshot (same
+        # 5-retry contract as the commit loop, table_property.rs:14-24;
+        # `changes` is a deterministic input, so a retry is just a
+        # replan)
+        for attempt in range(5):
+            base = self.store.read_snapshot()
+            try:
+                return merge_op.merge_into(
+                    self.spark, self.store, base, changes,
+                    key_columns=key_columns, config=self.config,
+                    broadcast_changes=broadcast_changes, job_tag=job_tag)
+            except CommitConflict:
+                if attempt == 4:
+                    raise
 
     def load_files(self, paths: list[str], *, copy: bool = False) -> Snapshot:
         """Bulk-register existing Parquet files (metadata-only ingest;

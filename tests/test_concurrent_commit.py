@@ -1,0 +1,108 @@
+"""Concurrent-committer behavior: rebase-and-retry vs abort.
+
+Mirrors moonlink's commit retry contract (5 retries,
+table_property.rs:14-24) with lakehouse conflict semantics:
+
+- a concurrent commit that does NOT touch the compaction's input files
+  (checkpoint snapshot, merge into other files) → optimize rebases its
+  manifest swap onto the new base and commits;
+- a concurrent commit that changes a compacted file's delete-vector
+  state → the rewrite is stale → CommitConflict surfaces (caller
+  reruns, which replans against the new snapshot);
+- MERGE retries by re-running against the fresh snapshot.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import CommitConflict, SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+from tests.oracle import content_sha_multiset, live_rows_pandas
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=48 << 10, bin_target_bytes=192 << 10,
+    bin_concurrency=2))
+KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=83, n_files=10, rows_per_file=(30, 70),
+                             n_repos=4, content_bytes=(48, 96))
+    return MoonTable(spark, w, CFG)
+
+
+def _inject_before_optimize_commit(monkeypatch, side_effect):
+    """Run ``side_effect`` once, right before the first optimize commit."""
+    orig = SnapshotStore.commit
+    state = {"armed": True}
+
+    def hijacked(self, entries, **kw):
+        op = (kw.get("properties") or {}).get("operation", "")
+        if state["armed"] and op.startswith("optimize"):
+            state["armed"] = False
+            side_effect()
+        return orig(self, entries, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "commit", hijacked)
+
+
+def test_optimize_rebases_over_unrelated_commit(spark, table, monkeypatch):
+    store = SnapshotStore(table.store.warehouse)
+    before = content_sha_multiset(live_rows_pandas(store, 0))
+
+    def unrelated():
+        MoonTable(spark, table.store.warehouse, CFG).create_snapshot()
+
+    _inject_before_optimize_commit(monkeypatch, unrelated)
+    snap = table.optimize("full")
+    # v1 = injected checkpoint, v2 = rebased optimize
+    assert snap.version == 2
+    assert snap.properties["operation"] == "optimize-full"
+    assert content_sha_multiset(live_rows_pandas(store, 2)) == before
+
+
+def test_optimize_aborts_when_input_gains_deletes(spark, table, monkeypatch):
+    def conflicting_merge():
+        other = MoonTable(spark, table.store.warehouse, CFG)
+        dels = (other.scan(0).select(*KEYS, "lang", "content")
+                .orderBy(*KEYS).limit(3)
+                .withColumn("_op", F.lit("delete")))
+        other.merge(dels, key_columns=KEYS, job_tag="sneaky")
+
+    _inject_before_optimize_commit(monkeypatch, conflicting_merge)
+    with pytest.raises(CommitConflict, match="changed concurrently"):
+        table.optimize("full")
+    # a rerun (fresh plan over the merged snapshot) succeeds and folds
+    # the sneaky deletes too
+    snap = table.optimize("full")
+    store = SnapshotStore(table.store.warehouse)
+    assert all((e["dv_cardinality"] or 0) == 0
+               for e in store.manifest_entries(snap.version))
+    oracle = live_rows_pandas(store, snap.version)
+    got = sorted(r["h"] for r in table.scan(snap.version).selectExpr(
+        "sha2(content,256) as h").collect())
+    assert got == content_sha_multiset(oracle)
+
+
+def test_merge_retries_over_concurrent_snapshot(spark, table, monkeypatch):
+    orig = SnapshotStore.commit
+    state = {"armed": True}
+
+    def hijacked(self, entries, **kw):
+        op = (kw.get("properties") or {}).get("operation", "")
+        if state["armed"] and op == "merge":
+            state["armed"] = False
+            MoonTable(spark, table.store.warehouse, CFG).create_snapshot()
+        return orig(self, entries, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "commit", hijacked)
+    dels = (table.scan(0).select(*KEYS, "lang", "content")
+            .orderBy(*KEYS).limit(5).withColumn("_op", F.lit("delete")))
+    n0 = table.scan(0).count()
+    snap = table.merge(dels, key_columns=KEYS)
+    assert snap.properties["operation"] == "merge"
+    assert table.scan(snap.version).count() == n0 - 5
