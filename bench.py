@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "dv_antijoin_scan",
     "merge_latest_wins",
+    "events_sessionize",
     "manifest_binning",
     "zorder_morton_key",
     "dedup_exact",

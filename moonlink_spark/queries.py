@@ -407,6 +407,47 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("moving_sum_3"))
 
 
+@_register("events_sessionize", """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch form (gaps-and-islands): a new session
+    starts after a >30 min silence per user.  The batch twin of the
+    Structured Streaming session-window operator — one shuffle on the
+    session key, lag + running-sum windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ → exact epoch micros (session tz is UTC; only
+    # within-user differences matter, so the interpretation cancels)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((micros - prev) > 1_800_000_000), 1)
+        .otherwise(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (marked.withColumn("session_id",
+                              F.sum("new_sess").over(cum).cast("bigint"))
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 # 2. training-data operators
 # ---------------------------------------------------------------------------
