@@ -407,6 +407,30 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("moving_sum_3"))
 
 
+@_register("q4_late_orders", """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders
+FROM orders o
+SEMI JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+""")
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: existential semi-join — orders having at least
+    one line item shipped >90 days after the order date, counted per
+    priority.  Catalyst plans a LeftSemi hash join; no duplicate
+    amplification, no distinct needed."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date") >
+        F.date_add(o.o_orderdate.cast("date"), 90))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
 @_register("events_sessionize", """
 WITH marked AS (
   SELECT user_id, event_id, ts,

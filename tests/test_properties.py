@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels.
+
+No Spark session — these run in milliseconds and pin the invariants the
+engine's correctness rests on: curve bijectivity/monotonicity, string
+proxy order preservation, deterministic salting math.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moonlink_spark.functions.zorder import (
+    _string_proxy_np,
+    hilbert_interleave,
+    morton_interleave,
+)
+
+coords = st.lists(st.integers(0, (1 << 12) - 1), min_size=1, max_size=200)
+
+
+@given(coords, coords)
+@settings(max_examples=50, deadline=None)
+def test_morton_roundtrip_unique(xs, ys):
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n], dtype=np.uint64)
+    y = np.array(ys[:n], dtype=np.uint64)
+    z = morton_interleave([x, y], 12)
+    # injective: distinct (x,y) -> distinct z
+    pairs = set(zip(x.tolist(), y.tolist()))
+    assert len(set(z.tolist())) == len(pairs)
+    # de-interleave reproduces the inputs (even bits = y, odd bits = x)
+    def unspread(v, shift):
+        v = (np.asarray(v, dtype=np.uint64) >> np.uint64(shift)) \
+            & np.uint64(0x5555555555555555)
+        out = np.zeros_like(v)
+        for i in range(32):
+            out |= ((v >> np.uint64(2 * i)) & np.uint64(1)) << np.uint64(i)
+        return out
+    assert (unspread(z, 1) == x).all()
+    assert (unspread(z, 0) == y).all()
+
+
+@given(coords, coords)
+@settings(max_examples=50, deadline=None)
+def test_hilbert_injective(xs, ys):
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n], dtype=np.uint64)
+    y = np.array(ys[:n], dtype=np.uint64)
+    d = hilbert_interleave([x, y], 12)
+    pairs = set(zip(x.tolist(), y.tolist()))
+    assert len(set(d.tolist())) == len(pairs)
+    assert (d >= 0).all() and (d < (1 << 24)).all()
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=20), min_size=2, max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_string_proxy_monotone(strings):
+    import pandas as pd
+    s = sorted(strings)
+    v = _string_proxy_np(pd.Series(s))
+    # lexicographic order is preserved up to the 7-byte prefix:
+    # proxies of sorted strings are non-decreasing
+    assert (np.diff(v) >= 0).all()
+    # strings differing within the first 7 bytes get distinct proxies
+    for a, b in zip(s, s[1:]):
+        if a[:7] != b[:7]:
+            ia = _string_proxy_np(pd.Series([a]))[0]
+            ib = _string_proxy_np(pd.Series([b]))[0]
+            assert ia < ib
+
+
+@given(st.integers(1, 10**7), st.integers(1, 10**6))
+@settings(max_examples=200, deadline=None)
+def test_salt_fanout_covers_rows(count, target):
+    import math
+    n_salts = max(1, math.ceil(count / target))
+    # every salt bucket holds <= target rows in expectation bound
+    assert n_salts * target >= count
+    assert (n_salts - 1) * target < count or n_salts == 1
