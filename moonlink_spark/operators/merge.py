@@ -67,7 +67,21 @@ def merge_into(
     data_cols = [c for c in snapshot.schema if c != POS_COL]
 
     # -- 1. match change keys to live row positions ----------------------
-    loc = scan(spark, store, snapshot, with_location=True).select(
+    # manifest-bounds pruning: files whose [min,max] range on the lead
+    # key column cannot intersect the change batch's key range are never
+    # scanned — the engine's stand-in for moonlink's point-lookup key
+    # index (persisted_bucket_hash_map.rs): at 10^12 files a CDC batch
+    # touches a tiny key range, so this is the difference between
+    # scanning thousands of files and scanning all of them.
+    predicates = None
+    k0 = key_columns[0]
+    if k0 in config.stats_columns:
+        r = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")) \
+            .collect()[0]
+        if r["lo"] is not None:
+            predicates = {k0: ("between", r["lo"], r["hi"])}
+    loc = scan(spark, store, snapshot, with_location=True,
+               predicates=predicates).select(
         *key_columns, FILE_COL, POS_COL)
     keys = changes.select(*key_columns).distinct()
     if broadcast_changes:

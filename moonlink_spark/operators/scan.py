@@ -53,16 +53,35 @@ def _with_relative_file(df: DataFrame, store: SnapshotStore) -> DataFrame:
 
 
 def prune_manifest(manifest: DataFrame,
-                   predicates: Mapping[str, str] | None) -> DataFrame:
+                   predicates: Mapping[str, object] | None) -> DataFrame:
     """Filter manifest entries whose [min,max] bounds can satisfy the
-    equality predicates. Unknown bounds (nulls) are conservatively kept."""
+    predicates.  Unknown bounds (nulls) are conservatively kept.
+
+    Predicate forms per column:
+      value                  — equality
+      ("==" | "<" | "<=" | ">" | ">=", value)
+      ("between", lo, hi)    — closed range
+    """
     if not predicates:
         return manifest
-    for col, value in predicates.items():
-        lo, hi = f"min_{col}", f"max_{col}"
-        keep = (F.col(lo).isNull() | F.col(hi).isNull() |
-                ((F.col(lo) <= F.lit(value)) & (F.col(hi) >= F.lit(value))))
-        manifest = manifest.filter(keep)
+    for col, pred in predicates.items():
+        lo, hi = F.col(f"min_{col}"), F.col(f"max_{col}")
+        unknown = lo.isNull() | hi.isNull()
+        if not isinstance(pred, tuple):
+            pred = ("==", pred)
+        op = pred[0]
+        if op == "==":
+            keep = (lo <= F.lit(pred[1])) & (hi >= F.lit(pred[1]))
+        elif op in ("<", "<="):
+            # any row can be < v only if the file's min is
+            keep = lo < F.lit(pred[1]) if op == "<" else lo <= F.lit(pred[1])
+        elif op in (">", ">="):
+            keep = hi > F.lit(pred[1]) if op == ">" else hi >= F.lit(pred[1])
+        elif op == "between":
+            keep = (hi >= F.lit(pred[1])) & (lo <= F.lit(pred[2]))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        manifest = manifest.filter(unknown | keep)
     return manifest
 
 

@@ -111,6 +111,22 @@ def test_zorder_tightens_repo_bounds(spark, compacted):
     assert tight >= len(spans) / 3
 
 
+def test_prune_manifest_range_ops(spark):
+    rows = [("f1", "a", "c"), ("f2", "d", "f"), ("f3", "g", "k"),
+            ("f4", None, None)]
+    m = spark.createDataFrame(rows, "path string, min_repo string, "
+                                    "max_repo string")
+    def files(pred):
+        return sorted(r["path"] for r in
+                      prune_manifest(m, {"repo": pred}).collect())
+    assert files("e") == ["f2", "f4"]               # equality
+    assert files(("<", "d")) == ["f1", "f4"]
+    assert files(("<=", "d")) == ["f1", "f2", "f4"]
+    assert files((">", "f")) == ["f3", "f4"]
+    assert files((">=", "f")) == ["f2", "f3", "f4"]
+    assert files(("between", "b", "e")) == ["f1", "f2", "f4"]
+
+
 def test_manifest_pruning_reduces_files(spark, compacted):
     w, t = compacted
     manifest = t.manifest(1)
