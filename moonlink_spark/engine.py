@@ -116,8 +116,11 @@ class MoonTable:
         total_rows = sum(b.rows for b in bins)
         # boundary sample: a deterministic ~64-file subset keeps the
         # quantile pass O(1) in candidate-set size; row count comes from
-        # the manifest (no count job)
-        stride = max(1, len(all_inputs) // 64)
+        # the manifest (no count job).  ceil-stride so the sample spans
+        # the whole candidate set (floor-stride of 1 at 65-127 files
+        # would take the lexicographically-first 64 — skewed boundaries
+        # on path-correlated data)
+        stride = max(1, math.ceil(len(all_inputs) / 64))
         sample_files = sorted(all_inputs)[::stride][:64]
         approx_rows = max(1, int(total_rows * len(sample_files)
                                  / len(all_inputs)))
@@ -208,17 +211,33 @@ class MoonTable:
         # into non-candidate files) and we re-point our swap at the
         # new base.  If a compacted file gained deletes or vanished,
         # the rewrite is stale and must abort (rerun re-plans).
+        #
+        # The successor manifest is computed as a DataFrame (old
+        # manifest anti-join compacted ∪ new output entries — the
+        # reference's manifest-rewrite-as-data,
+        # puffin_writer_proxy.rs:253-364) and streamed into the commit:
+        # the driver never materializes the full manifest.
+        compacted_df = scan_op.file_list_df(
+            self.spark, sorted(compacted), "path")
+        out_rows = []
+        for rec in records:
+            for out in rec["outputs"]:
+                flat = {"path": out["path"], "rows": out["rows"],
+                        "bytes": out["bytes"], "dv_path": None,
+                        "dv_cardinality": 0}
+                for c in self.config.stats_columns:
+                    mn, mx = (out.get("bounds") or {}).get(c, (None, None))
+                    flat[f"min_{c}"] = mn
+                    flat[f"max_{c}"] = mx
+                out_rows.append(tuple(flat.get(f.name)
+                                      for f in manifest.schema.fields))
         commit_base = base
         for attempt in range(5):
-            entries = []
-            for e in self.store.manifest_entries(commit_base.version):
-                if e["path"] in compacted:
-                    continue
-                entries.append(self._entry_from_manifest_row(e))
-            for rec in records:
-                for out in rec["outputs"]:
-                    entries.append(
-                        {**out, "dv_path": None, "dv_cardinality": 0})
+            mdf = self.store.manifest_df(self.spark, commit_base.version)
+            keep = mdf.join(F.broadcast(compacted_df), on="path",
+                            how="left_anti")
+            final = keep.unionByName(self.spark.createDataFrame(
+                out_rows, schema=mdf.schema))
             props = dict(commit_base.properties)
             props.update({
                 "flush_lsn": commit_base.flush_lsn,
@@ -227,28 +246,43 @@ class MoonTable:
                 "metrics": metrics,
             })
             try:
+                entries_iter = (r.asDict() for r in
+                                final.orderBy("path").toLocalIterator())
                 return self.store.commit(
-                    entries, schema=commit_base.schema,
+                    entries_iter, schema=commit_base.schema,
                     stats_columns=self.config.stats_columns,
                     properties=props,
-                    expected_parent=commit_base.version)
+                    expected_parent=commit_base.version,
+                    presorted=True)
             except CommitConflict:
                 if attempt == 4:
                     raise
                 new_base = self.store.read_snapshot()
-                by_path = {e["path"]: e for e in
-                           self.store.manifest_entries(new_base.version)}
-                old = {e["path"]: e for e in
-                       self.store.manifest_entries(commit_base.version)}
-                for p in compacted:
-                    cur = by_path.get(p)
-                    if (cur is None
-                            or cur.get("dv_path") != old[p].get("dv_path")
-                            or (cur.get("dv_cardinality") or 0)
-                            != (old[p].get("dv_cardinality") or 0)):
-                        raise CommitConflict(
-                            f"compacted input {p} changed concurrently; "
-                            "rerun optimize") from None
+                # staleness check as a join, not a driver dict: any
+                # compacted input whose (dv_path, dv_cardinality)
+                # changed — or that vanished — invalidates the rewrite
+                old_sel = (self.store.manifest_df(
+                    self.spark, commit_base.version)
+                    .join(F.broadcast(compacted_df), on="path",
+                          how="left_semi")
+                    .select("path", F.col("dv_path").alias("_odv"),
+                            F.col("dv_cardinality").alias("_ocard")))
+                new_sel = (self.store.manifest_df(
+                    self.spark, new_base.version)
+                    .select("path", F.col("dv_path").alias("_ndv"),
+                            F.col("dv_cardinality").alias("_ncard"),
+                            F.lit(True).alias("_present")))
+                stale = (old_sel.join(new_sel, on="path", how="left")
+                         .filter(F.col("_present").isNull()
+                                 | ~F.col("_ndv").eqNullSafe(F.col("_odv"))
+                                 | ~F.coalesce("_ncard", F.lit(0))
+                                 .eqNullSafe(F.coalesce("_ocard",
+                                                        F.lit(0))))
+                         .limit(1).count())
+                if stale:
+                    raise CommitConflict(
+                        "compacted inputs changed concurrently; "
+                        "rerun optimize") from None
                 commit_base = new_base
 
     def _optimize_index(self, base: Snapshot, job_id: str) -> Snapshot:
@@ -256,14 +290,20 @@ class MoonTable:
         analogue of moonlink's file-index merge (merge >=16 small index
         blocks into one GlobalIndex, ``snapshot_maintenance.rs:227-309``).
         Metadata-only: no data file is touched."""
-        entries = self.store.manifest_entries(base.version)
-        live_dv = sorted({e["dv_path"] for e in entries if e["dv_path"]})
+        mdf = self.store.manifest_df(self.spark, base.version)
+        # the sidecar list is planning metadata (files to read) — the
+        # only driver-side materialization in this path
+        live_dv = sorted(r["dv_path"] for r in
+                         mdf.filter(F.col("dv_path").isNotNull())
+                         .select("dv_path").distinct().collect())
         if len(live_dv) < MIN_DV_SIDECARS_TO_MERGE:
             return base
-        live_files = [e["path"] for e in entries if e["dv_path"]]
+        live_files = (mdf.filter(F.col("dv_path").isNotNull())
+                      .select(F.col("path").alias("referenced_file")))
         dv = (self.spark.read.parquet(
                 *[self.store.abs(p) for p in live_dv])
-              .filter(F.col("referenced_file").isin(live_files))
+              .join(F.broadcast(live_files), on="referenced_file",
+                    how="left_semi")
               .select("referenced_file",
                       F.explode("positions").alias("pos"), "max_row_count"))
         merged = (
@@ -275,51 +315,52 @@ class MoonTable:
                     "max_row_count")
         )
         tmp = os.path.join(self.store.warehouse, "tmp", job_id)
-        n_out = max(1, math.ceil(len(live_files) / 4096))
+        n_files_with_dv = mdf.filter(F.col("dv_path").isNotNull()).count()
+        n_out = max(1, math.ceil(n_files_with_dv / 4096))
         (merged.repartitionByRange(n_out, "referenced_file")
          .sortWithinPartitions("referenced_file")
          .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
         parts = sorted(p for p in os.listdir(tmp)
                        if p.startswith("part-") and p.endswith(".parquet"))
-        mapping: dict[str, tuple[str, int]] = {}
+        new_rels = []
         for j, part in enumerate(parts):
             rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
             os.replace(os.path.join(tmp, part), self.store.abs(rel))
-            for r in (self.spark.read.parquet(self.store.abs(rel))
-                      .select("referenced_file", "cardinality").collect()):
-                mapping[r["referenced_file"]] = (rel, r["cardinality"])
-        shutil.rmtree(tmp, ignore_errors=True)
-
-        out = []
-        for e in entries:
-            ent = self._entry_from_manifest_row(e)
-            if e["path"] in mapping:
-                ent["dv_path"], ent["dv_cardinality"] = mapping[e["path"]]
-            out.append(ent)
+            new_rels.append(rel)
+        # one job over the renamed sidecars recovers file → (sidecar,
+        # cardinality); no per-part collect loop
+        upd = (self.spark.read.parquet(
+                  *[self.store.abs(r) for r in new_rels])
+               .select(F.col("referenced_file").alias("path"),
+                       merge_op._rel_file_expr(
+                           F.input_file_name(),
+                           self.store.warehouse).alias("_new_dv"),
+                       F.col("cardinality").alias("_new_card")))
+        final = (mdf.join(F.broadcast(upd), on="path", how="left")
+                 .withColumn("dv_path", F.coalesce("_new_dv", "dv_path"))
+                 .withColumn("dv_cardinality",
+                             F.coalesce("_new_card", "dv_cardinality"))
+                 .drop("_new_dv", "_new_card"))
         props = dict(base.properties)
         props.update({"flush_lsn": base.flush_lsn, "job_id": job_id,
                       "operation": "optimize-index",
                       "metrics": {"dv_sidecars_in": len(live_dv),
                                   "dv_sidecars_out": len(parts)}})
-        return self.store.commit(
-            out, schema=base.schema,
+        entries_iter = (r.asDict() for r in
+                        final.orderBy("path").toLocalIterator())
+        snap = self.store.commit(
+            entries_iter, schema=base.schema,
             stats_columns=self.config.stats_columns,
-            properties=props, expected_parent=base.version)
-
-    def _entry_from_manifest_row(self, e: dict) -> dict:
-        return {
-            "path": e["path"], "rows": e["rows"], "bytes": e["bytes"],
-            "dv_path": e.get("dv_path"),
-            "dv_cardinality": e.get("dv_cardinality") or 0,
-            "bounds": {c: (e[f"min_{c}"], e[f"max_{c}"])
-                       for c in self.config.stats_columns
-                       if e.get(f"min_{c}") is not None},
-        }
+            properties=props, expected_parent=base.version,
+            presorted=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return snap
 
     # -- mutation --------------------------------------------------------
     def merge(self, changes: DataFrame, *, key_columns: list[str],
               broadcast_changes: bool = True,
-              job_tag: str = "merge") -> Snapshot:
+              job_tag: str = "merge",
+              extra_properties: Mapping | None = None) -> Snapshot:
         # a concurrent commit invalidates the computed row positions, so
         # the whole MERGE re-runs against the fresh snapshot (same
         # 5-retry contract as the commit loop, table_property.rs:14-24;
@@ -331,7 +372,8 @@ class MoonTable:
                 return merge_op.merge_into(
                     self.spark, self.store, base, changes,
                     key_columns=key_columns, config=self.config,
-                    broadcast_changes=broadcast_changes, job_tag=job_tag)
+                    broadcast_changes=broadcast_changes, job_tag=job_tag,
+                    extra_properties=extra_properties)
             except CommitConflict:
                 if attempt == 4:
                     raise
@@ -348,16 +390,16 @@ class MoonTable:
         (``moonlink_backend/src/lib.rs:145``): callers use it as a named
         point-in-time to pin readers or retention against."""
         base = self.store.read_snapshot()
-        entries = [self._entry_from_manifest_row(e)
-                   for e in self.store.manifest_entries(base.version)]
         props = dict(base.properties)
         props.update({"flush_lsn": base.flush_lsn + 1,
                       "operation": "create-snapshot",
                       "job_id": f"snap-v{base.version:06d}"})
-        return self.store.commit(entries, schema=base.schema,
-                                 stats_columns=self.config.stats_columns,
-                                 properties=props,
-                                 expected_parent=base.version)
+        return self.store.commit(
+            self.store.manifest_rows_iter(base.version),
+            schema=base.schema,
+            stats_columns=self.config.stats_columns,
+            properties=props,
+            expected_parent=base.version, presorted=True)
 
     # -- schema evolution (add/drop columns only, mirroring
     #    mooncake_table.rs:616-651 / file_catalog.rs:685-704) -----------
@@ -392,12 +434,11 @@ class MoonTable:
             "operation": f"add-column-{name}",
             "job_id": f"addcol-{name}-v{base.version:06d}",
         })
-        entries = [self._entry_from_manifest_row(e)
-                   for e in self.store.manifest_entries(base.version)]
-        return self.store.commit(entries, schema=schema,
-                                 stats_columns=self.config.stats_columns,
-                                 properties=props,
-                                 expected_parent=base.version)
+        return self.store.commit(
+            self.store.manifest_rows_iter(base.version), schema=schema,
+            stats_columns=self.config.stats_columns,
+            properties=props,
+            expected_parent=base.version, presorted=True)
 
     def drop_column(self, name: str) -> Snapshot:
         """Drop a column.  Metadata-only: the column simply leaves the
@@ -422,12 +463,11 @@ class MoonTable:
             "operation": f"drop-column-{name}",
             "job_id": f"dropcol-{name}-v{base.version:06d}",
         })
-        entries = [self._entry_from_manifest_row(e)
-                   for e in self.store.manifest_entries(base.version)]
-        return self.store.commit(entries, schema=schema,
-                                 stats_columns=self.config.stats_columns,
-                                 properties=props,
-                                 expected_parent=base.version)
+        return self.store.commit(
+            self.store.manifest_rows_iter(base.version), schema=schema,
+            stats_columns=self.config.stats_columns,
+            properties=props,
+            expected_parent=base.version, presorted=True)
 
     # -- retention -------------------------------------------------------
     def expire_snapshots(self, retain_last: int = 2) -> dict:

@@ -75,13 +75,21 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
-                        n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+                        n_hashes: int = 8, band_size: int = 2,
+                        max_bucket_size: int | None = 1000) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join per band, union.
 
     Returns distinct (id_a < id_b) candidate pairs. Each band join keys
     on the band hash — uniformly distributed, so the self-join shuffle
-    has no hot keys even when the corpus has huge near-dup clusters
-    (those become big buckets; at scale, cap bucket size before pairing)."""
+    has no hot keys even when the corpus has huge near-dup clusters.
+
+    ``max_bucket_size`` is the quadratic-blowup guard: a bucket of b
+    documents emits b²/2 pairs, so one giant near-dup cluster (e.g. a
+    boilerplate README shared by 10^6 repos) would emit 5·10^11 pairs
+    from a single bucket.  Buckets above the cap are dropped *whole*
+    (deterministic, oracle-expressible); their members are exact-scale
+    duplicates by construction and are caught by exact_dedup far more
+    cheaply than by pairwise verification.  ``None`` disables the cap."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     # all bands stacked into one (band_id, band_key) relation -> a
@@ -97,6 +105,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
     ]
     banded = (sig.select(F.col(id_col), F.array(*band_keys).alias("bks"))
               .select(id_col, F.explode("bks").alias("band_key")))
+    if max_bucket_size is not None:
+        ok = (banded.groupBy("band_key")
+              .agg(F.count(F.lit(1)).alias("_bsz"))
+              .filter(F.col("_bsz") <= max_bucket_size)
+              .select("band_key"))
+        banded = banded.join(ok, on="band_key", how="left_semi")
     left, right = banded.alias("l"), banded.alias("r")
     return (left.join(right, on="band_key")
             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -107,19 +121,33 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join.
 
     postings(shingle -> ids) self-joined on shingle gives co-occurrence
     counts |A∩B|; |A∪B| = |A|+|B|-|A∩B|. The join key is the shingle —
-    common shingles are the skew risk, the same hot-key problem as any
-    term-postings join; threshold>0 lets ultra-common shingles be capped
-    upstream at true scale."""
+    common shingles are the skew/quadratic risk of any term-postings
+    join: one boilerplate shingle shared by d documents emits d²/2 join
+    rows.  ``max_shingle_df`` caps that: shingles with document
+    frequency above it are dropped from the *co-occurrence* side (like
+    a stopword list learned from the corpus).  Document sizes |A|,|B|
+    keep counting all shingles, so capped pairs can only lose
+    intersection — Jaccard is underestimated, never inflated: the cap
+    yields false negatives on pairs whose overlap is entirely
+    boilerplate, never false positives.  ``None`` disables the cap."""
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    co = (sh.alias("l").join(sh.alias("r"), on="shingle")
+    co_sh = sh
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df)
+                .select("shingle"))
+        co_sh = sh.join(rare, on="shingle", how="left_semi")
+    co = (co_sh.alias("l").join(co_sh.alias("r"), on="shingle")
           .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
           .groupBy(F.col(f"l.{id_col}").alias("id_a"),
                    F.col(f"r.{id_col}").alias("id_b"))
@@ -168,22 +196,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", *,
-                            threshold: float = 0.9) -> DataFrame:
-    """All-pairs cosine near-dup (verification-scale). The 100 TB path
-    buckets by random-hyperplane LSH first (similarity.lsh_bucket) and
-    runs this within buckets only."""
-    normed = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
+                            threshold: float = 0.9,
+                            bucket_col: str | None = None) -> DataFrame:
+    """Cosine near-dup pairs above ``threshold``.
+
+    Without ``bucket_col`` this is the all-pairs verification kernel —
+    a cartesian self-join, O(n²), fine for verification sets only.  With
+    ``bucket_col`` (precomputed LSH bucket ids, e.g.
+    ``similarity.axis_lsh_bucket``) the join becomes an *equi-join on
+    the bucket* — a plain shuffled hash join, cost bounded by per-bucket
+    sizes instead of n².  This is the 100 TB path: bucket → pair within
+    bucket → threshold."""
+    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")]
+    if bucket_col is not None:
+        cols.append(F.col(bucket_col))
+    normed = emb.select(*cols).withColumn(
         "norm", F.sqrt(F.aggregate(
             "v", F.lit(0.0), lambda a, x: a + x * x)))
     l, r = normed.alias("l"), normed.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
         F.lit(0.0), lambda a, x: a + x)
+    if bucket_col is not None:
+        joined = (l.join(r, on=bucket_col)
+                  .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    else:
+        joined = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     return (
-        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        joined
         .withColumn("cosine", dot / (F.col("l.norm") * F.col("r.norm")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"l.{id_col}").alias("id_a"),

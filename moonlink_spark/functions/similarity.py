@@ -74,8 +74,15 @@ def train_centroids(corpus: DataFrame, *, vec_col: str = "embedding",
                     n_centroids: int = 16, sample_rows: int = 4096,
                     iters: int = 5, seed: int = 13) -> np.ndarray:
     """Deterministic mini k-means on a bounded driver-side sample
-    (sample_rows is O(centroids), independent of corpus size)."""
+    (sample_rows is O(centroids), independent of corpus size).
+
+    The sample is the ``sample_rows`` smallest rows by ``xxhash64`` of
+    the vector — a deterministic spread across the whole corpus
+    (executed as per-partition top-k + merge, no full sort), instead of
+    ``limit()``'s first-partitions bias which would train centroids on
+    whatever data happened to land in partition 0."""
     sample = (corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+              .orderBy(F.xxhash64(F.col("v")))
               .limit(sample_rows).collect())
     x = np.array([r["v"] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -166,3 +173,27 @@ def lsh_bucket(df: DataFrame, *, vec_col: str = "embedding",
             (signs @ (1 << np.arange(n_planes))).astype(np.int32))
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+# deterministic axis choices for axis_lsh_bucket (seeded once; spread
+# over a 64-dim embedding)
+AXIS_LSH_DIMS = (0, 9, 21, 33, 47, 58)
+
+
+def axis_lsh_bucket(df: DataFrame, *, vec_col: str = "embedding",
+                    dims: tuple[int, ...] = AXIS_LSH_DIMS,
+                    out_col: str = "bucket") -> DataFrame:
+    """Axis-aligned hyperplane LSH bucket id: bit i = sign of
+    ``v[dims[i]]`` — the hyperplanes are coordinate axes (a fixed seeded
+    choice of dimensions) instead of Gaussian draws.
+
+    Same locality-sensitive family as :func:`lsh_bucket` for
+    sign-symmetric embeddings, but a pure whole-stage-codegen expression
+    (no UDF, no Arrow round-trip) *and* expressible in ANSI SQL — which
+    is what lets the bucketed near-dup pipeline carry a DuckDB oracle."""
+    v = F.col(vec_col).cast("array<double>")
+    b = F.lit(0)
+    for i, d in enumerate(dims):
+        b = b + F.when(F.element_at(v, d + 1) > 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, b.cast("int"))

@@ -18,6 +18,21 @@ merge-on-sync (``iceberg_table_syncer.rs:376-435``):
 - inserted rows land in fresh snappy "ingest" files (tiny-file MoR debt,
   by design — a later ``optimize()`` folds everything copy-on-write).
 
+Scale shape: the table's manifest is never collected to the driver — the
+successor manifest is computed as a DataFrame (old manifest left-joined
+with the new per-file DV mapping, unioned with the fresh ingest
+entries) and streamed into the commit (cf. the reference's
+manifest-rewrite-as-data design, ``puffin_writer_proxy.rs:253-364``).
+Only change-batch-sized artifacts (affected file list, ingest file
+stats) touch the driver.
+
+Concurrency: artifact names embed a per-attempt random nonce, so two
+committers racing from the same base version can never overwrite each
+other's already-published DV/data files — the loser's files are simply
+orphans, collected by a later ``expire_snapshots`` (mirrors the unique
+uuids in moonlink's puffin/data file names,
+``iceberg_table_syncer.rs:482-557``).
+
 The result is a new snapshot version; the base version is untouched
 (snapshot isolation).
 """
@@ -27,14 +42,21 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import uuid
+from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
 from moonlink_spark.operators import skew
-from moonlink_spark.operators.rewrite import _footer_stats, assign_positions
-from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan
+from moonlink_spark.operators.rewrite import assign_positions, footer_stats_many
+from moonlink_spark.operators.scan import (
+    FILE_COL,
+    POS_COL,
+    file_list_df,
+    scan,
+)
 from moonlink_spark.snapshotstore import (
     DATA_DIR,
     DV_DIR,
@@ -43,6 +65,13 @@ from moonlink_spark.snapshotstore import (
 )
 
 OP_COL = "_op"
+
+
+def _rel_file_expr(col, warehouse: str):
+    """Manifest-relative path from an ``input_file_name()`` value."""
+    return F.replace(
+        F.regexp_replace(col, "^file:/*", "/"),
+        F.lit(warehouse + "/"), F.lit(""))
 
 
 def merge_into(
@@ -55,147 +84,204 @@ def merge_into(
     config: TableConfig,
     broadcast_changes: bool = True,
     job_tag: str = "merge",
+    extra_properties: Mapping[str, object] | None = None,
 ) -> Snapshot:
     """Apply ``changes`` to ``snapshot``; returns the committed successor.
 
     ``changes`` columns: ``_op`` ('delete' | 'upsert'), the key columns,
     and for upserts the full table payload.  One batch is one atomic
     commit (one LSN in moonlink terms); the caller pre-dedups keys within
-    a batch.
+    a batch.  ``extra_properties`` are merged into the committed
+    snapshot's properties atomically with the commit (used by the
+    streaming CDC apply to stamp its exactly-once watermark).
     """
-    job_id = f"{job_tag}-v{snapshot.version:06d}"
+    nonce = uuid.uuid4().hex[:8]
+    job_id = f"{job_tag}-v{snapshot.version:06d}-{nonce}"
     data_cols = [c for c in snapshot.schema if c != POS_COL]
+    changes = changes.persist()
+    new_dels = None
+    try:
+        # -- 1. match change keys to live row positions ------------------
+        # manifest-bounds pruning: files whose [min,max] range on the
+        # lead key column cannot intersect the change batch's key range
+        # are never scanned — the engine's stand-in for moonlink's
+        # point-lookup key index (persisted_bucket_hash_map.rs): at
+        # 10^12 files a CDC batch touches a tiny key range, so this is
+        # the difference between scanning thousands of files and
+        # scanning all of them.
+        predicates = None
+        k0 = key_columns[0]
+        if k0 in config.stats_columns:
+            r = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")) \
+                .collect()[0]
+            if r["lo"] is not None:
+                predicates = {k0: ("between", r["lo"], r["hi"])}
+        loc = scan(spark, store, snapshot, with_location=True,
+                   predicates=predicates).select(
+            *key_columns, FILE_COL, POS_COL)
+        keys = changes.select(*key_columns).distinct()
+        if broadcast_changes:
+            matched = loc.join(F.broadcast(keys), on=key_columns,
+                               how="inner")
+        else:
+            # huge change batch: salt the (possibly skewed) first key col
+            plan = skew.plan_salts(loc, key_columns[0])
+            probe = skew.with_salt(loc, key_columns[0], plan,
+                                   salt_source=key_columns[1:]
+                                   or key_columns)
+            build = skew.explode_salts(keys, key_columns[0], plan)
+            # build side was replicated per salt; probe rows carry one
+            # salt — every probe row meets exactly one replica of its key
+            matched = probe.join(build, on=[*key_columns, skew.SALT_COL],
+                                 how="inner").drop(skew.SALT_COL)
+        new_dels = matched.select(FILE_COL, POS_COL).persist()
 
-    # -- 1. match change keys to live row positions ----------------------
-    # manifest-bounds pruning: files whose [min,max] range on the lead
-    # key column cannot intersect the change batch's key range are never
-    # scanned — the engine's stand-in for moonlink's point-lookup key
-    # index (persisted_bucket_hash_map.rs): at 10^12 files a CDC batch
-    # touches a tiny key range, so this is the difference between
-    # scanning thousands of files and scanning all of them.
-    predicates = None
-    k0 = key_columns[0]
-    if k0 in config.stats_columns:
-        r = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")) \
-            .collect()[0]
-        if r["lo"] is not None:
-            predicates = {k0: ("between", r["lo"], r["hi"])}
-    loc = scan(spark, store, snapshot, with_location=True,
-               predicates=predicates).select(
-        *key_columns, FILE_COL, POS_COL)
-    keys = changes.select(*key_columns).distinct()
-    if broadcast_changes:
-        matched = loc.join(F.broadcast(keys), on=key_columns, how="inner")
-    else:
-        # huge change batch: salt the (possibly skewed) first key column
-        plan = skew.plan_salts(loc, key_columns[0])
-        probe = skew.with_salt(loc, key_columns[0], plan,
-                               salt_source=key_columns[1:] or key_columns)
-        build = skew.explode_salts(keys, key_columns[0], plan)
-        # build side was replicated per salt; probe rows carry one salt —
-        # every probe row meets exactly one replica of its key.
-        matched = probe.join(build, on=[*key_columns, skew.SALT_COL],
-                             how="inner").drop(skew.SALT_COL)
-    new_dels = matched.select(FILE_COL, POS_COL)
+        # -- 2. merge with existing DVs per affected file ----------------
+        # `affected` is change-batch-sized (the files a CDC batch
+        # touches), not table-sized — safe to plan with driver-side.
+        manifest = spark.read.parquet(snapshot.manifest_path)
+        affected = [r[FILE_COL] for r in
+                    new_dels.select(FILE_COL).distinct().collect()]
+        upd = None  # DataFrame (path, _new_dv, _new_card) or None
+        if affected:
+            aff_paths = file_list_df(spark, affected, "path")
+            old_dv_paths = sorted(
+                r["dv_path"] for r in
+                manifest.join(F.broadcast(aff_paths), on="path",
+                              how="left_semi")
+                .filter(F.col("dv_path").isNotNull())
+                .select("dv_path").distinct().collect())
+            old = None
+            if old_dv_paths:
+                old = (
+                    spark.read.parquet(
+                        *[store.abs(p) for p in old_dv_paths])
+                    .join(F.broadcast(file_list_df(
+                        spark, affected, "referenced_file")),
+                        on="referenced_file", how="left_semi")
+                    .select(F.col("referenced_file").alias(FILE_COL),
+                            F.explode("positions").alias(POS_COL)))
+            alldels = new_dels if old is None else new_dels.union(old)
+            merged = (
+                alldels.groupBy(FILE_COL)
+                .agg(F.array_sort(F.collect_set(POS_COL)).alias("positions"))
+                .withColumn("cardinality", F.size("positions").cast("long"))
+                .withColumnRenamed(FILE_COL, "referenced_file")
+            )
+            # DV sidecars record the referenced file's row count
+            # (DV-bitmap sizing parity with the puffin blob property
+            # ``mooncake-deletion-vector-max-num-rows``); it comes from
+            # the manifest by join, never a driver map.
+            rows_map = (manifest
+                        .join(F.broadcast(aff_paths), on="path",
+                              how="left_semi")
+                        .select(F.col("path").alias("referenced_file"),
+                                F.col("rows").alias("max_row_count")))
+            merged = merged.join(rows_map, on="referenced_file")
 
-    # -- 2. merge with existing DVs per affected file --------------------
-    manifest = spark.read.parquet(snapshot.manifest_path)
-    entries = {e["path"]: dict(e) for e in
-               (r.asDict() for r in manifest.collect())}
+            tmp = os.path.join(store.warehouse, "tmp", job_id, "dv")
+            n_dv = max(1, math.ceil(len(affected) / 512))
+            (merged.repartitionByRange(n_dv, "referenced_file")
+             .sortWithinPartitions("referenced_file")
+             .write.mode("overwrite").option("compression", "zstd")
+             .parquet(tmp))
+            parts = sorted(p for p in os.listdir(tmp)
+                           if p.startswith("part-")
+                           and p.endswith(".parquet"))
+            new_rels = []
+            for j, part in enumerate(parts):
+                rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
+                os.replace(os.path.join(tmp, part), store.abs(rel))
+                new_rels.append(rel)
+            # one job over the renamed sidecars recovers the per-file
+            # mapping (file → sidecar, cardinality); input_file_name()
+            # identifies the sidecar each row landed in
+            upd = (spark.read.parquet(*[store.abs(r) for r in new_rels])
+                   .select(
+                       F.col("referenced_file").alias("path"),
+                       _rel_file_expr(F.input_file_name(),
+                                      store.warehouse).alias("_new_dv"),
+                       F.col("cardinality").alias("_new_card")))
+            shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
+                          ignore_errors=True)
 
-    affected = [r[FILE_COL] for r in
-                new_dels.select(FILE_COL).distinct().collect()]
-    dv_rel: dict[str, tuple[str, int]] = {}
-    if affected:
-        old_dv_paths = sorted({entries[f]["dv_path"] for f in affected
-                               if entries[f].get("dv_path")})
-        old = None
-        if old_dv_paths:
-            old = (spark.read.parquet(*[store.abs(p) for p in old_dv_paths])
-                   .filter(F.col("referenced_file").isin(affected))
-                   .select(F.col("referenced_file").alias(FILE_COL),
-                           F.explode("positions").alias(POS_COL)))
-        alldels = new_dels if old is None else new_dels.union(old)
-        merged = (
-            alldels.groupBy(FILE_COL)
-            .agg(F.array_sort(F.collect_set(POS_COL)).alias("positions"))
-            .withColumn("cardinality", F.size("positions").cast("long"))
-            .withColumnRenamed(FILE_COL, "referenced_file")
+        # -- 3. write inserted rows as fresh ingest files ----------------
+        inserts = changes.filter(F.col(OP_COL) == "upsert") \
+            .select(*data_cols)
+        new_entries: list[dict] = []
+        n_ins = inserts.count()
+        if n_ins:
+            tmp = os.path.join(store.warehouse, "tmp", job_id, "ins")
+            # roll ingest files at ~the mem-slice flush row budget
+            # (131072 rows, mooncake_table_config.rs:158-163)
+            n_files = max(1, math.ceil(n_ins / 131_072))
+            final = assign_positions(
+                inserts.repartitionByRange(n_files, *key_columns)
+                .sortWithinPartitions(*key_columns))
+            (final.write.mode("overwrite")
+             .option("compression", config.ingest_compression).parquet(tmp))
+            parts = sorted(p for p in os.listdir(tmp)
+                           if p.startswith("part-")
+                           and p.endswith(".parquet"))
+            rels = []
+            for j, part in enumerate(parts):
+                rel = os.path.join(DATA_DIR,
+                                   f"data-{job_id}-{j:04d}.parquet")
+                os.replace(os.path.join(tmp, part), store.abs(rel))
+                rels.append(rel)
+            for rel, st in zip(rels, footer_stats_many(
+                    [store.abs(r) for r in rels], config.stats_columns)):
+                if st["rows"]:
+                    new_entries.append({"path": rel, **st})
+            shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
+                          ignore_errors=True)
+
+        # -- 4. commit: successor manifest as a DataFrame ----------------
+        out = manifest
+        if upd is not None:
+            out = (manifest.join(F.broadcast(upd), on="path", how="left")
+                   .withColumn("dv_path",
+                               F.coalesce("_new_dv", "dv_path"))
+                   .withColumn("dv_cardinality",
+                               F.coalesce("_new_card", "dv_cardinality"))
+                   .drop("_new_dv", "_new_card"))
+        if new_entries:
+            stats_cols = [c for c in config.stats_columns]
+            rows = []
+            for e in new_entries:
+                flat = {"path": e["path"], "rows": e["rows"],
+                        "bytes": e["bytes"], "dv_path": None,
+                        "dv_cardinality": 0}
+                for c in stats_cols:
+                    mn, mx = (e.get("bounds") or {}).get(c, (None, None))
+                    flat[f"min_{c}"] = mn
+                    flat[f"max_{c}"] = mx
+                rows.append(tuple(flat.get(f.name) for f in
+                                  manifest.schema.fields))
+            out = out.unionByName(
+                spark.createDataFrame(rows, schema=manifest.schema))
+
+        props = dict(snapshot.properties)
+        props.update({
+            "flush_lsn": snapshot.flush_lsn + 1,
+            "job_id": job_id,
+            "operation": "merge",
+            "merged_deletes": len(affected),
+            "inserted_rows": n_ins,
+        })
+        if extra_properties:
+            props.update(extra_properties)
+        entries_iter = (r.asDict() for r in
+                        out.orderBy("path").toLocalIterator())
+        return store.commit(
+            entries_iter,
+            schema=snapshot.schema,
+            stats_columns=config.stats_columns,
+            properties=props,
+            expected_parent=snapshot.version,
+            presorted=True,
         )
-        rows_map = spark.createDataFrame(
-            [(f, entries[f]["rows"]) for f in affected],
-            "referenced_file string, max_row_count long")
-        merged = merged.join(F.broadcast(rows_map), on="referenced_file")
-
-        tmp = os.path.join(store.warehouse, "tmp", job_id, "dv")
-        n_dv = max(1, math.ceil(len(affected) / 512))
-        (merged.repartitionByRange(n_dv, "referenced_file")
-         .sortWithinPartitions("referenced_file")
-         .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
-        parts = sorted(p for p in os.listdir(tmp)
-                       if p.startswith("part-") and p.endswith(".parquet"))
-        for j, part in enumerate(parts):
-            rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
-            os.replace(os.path.join(tmp, part), store.abs(rel))
-            for r in (spark.read.parquet(store.abs(rel))
-                      .select("referenced_file", "cardinality").collect()):
-                dv_rel[r["referenced_file"]] = (rel, r["cardinality"])
-        shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
-                      ignore_errors=True)
-
-    # -- 3. write inserted rows as fresh ingest files --------------------
-    inserts = changes.filter(F.col(OP_COL) == "upsert").select(*data_cols)
-    new_entries: list[dict] = []
-    n_ins = inserts.count()
-    if n_ins:
-        tmp = os.path.join(store.warehouse, "tmp", job_id, "ins")
-        # roll ingest files at ~the mem-slice flush row budget (131072
-        # rows, mooncake_table_config.rs:158-163)
-        n_files = max(1, math.ceil(n_ins / 131_072))
-        final = assign_positions(
-            inserts.repartitionByRange(n_files, *key_columns)
-            .sortWithinPartitions(*key_columns))
-        (final.write.mode("overwrite")
-         .option("compression", config.ingest_compression).parquet(tmp))
-        parts = sorted(p for p in os.listdir(tmp)
-                       if p.startswith("part-") and p.endswith(".parquet"))
-        for j, part in enumerate(parts):
-            rel = os.path.join(DATA_DIR, f"data-{job_id}-{j:04d}.parquet")
-            os.replace(os.path.join(tmp, part), store.abs(rel))
-            st = _footer_stats(store.abs(rel), config.stats_columns)
-            if st["rows"]:
-                new_entries.append({"path": rel, **st})
-        shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
-                      ignore_errors=True)
-
-    # -- 4. commit -------------------------------------------------------
-    out_entries = []
-    for path, e in entries.items():
-        ent = {
-            "path": path, "rows": e["rows"], "bytes": e["bytes"],
-            "dv_path": e.get("dv_path"),
-            "dv_cardinality": e.get("dv_cardinality") or 0,
-            "bounds": {c: (e.get(f"min_{c}"), e.get(f"max_{c}"))
-                       for c in config.stats_columns
-                       if e.get(f"min_{c}") is not None},
-        }
-        if path in dv_rel:
-            ent["dv_path"], ent["dv_cardinality"] = dv_rel[path]
-        out_entries.append(ent)
-    out_entries.extend(new_entries)
-
-    props = dict(snapshot.properties)
-    props.update({
-        "flush_lsn": snapshot.flush_lsn + 1,
-        "job_id": job_id,
-        "operation": "merge",
-        "merged_deletes": len(affected),
-        "inserted_rows": n_ins,
-    })
-    return store.commit(
-        out_entries,
-        schema=snapshot.schema,
-        stats_columns=config.stats_columns,
-        properties=props,
-        expected_parent=snapshot.version,
-    )
+    finally:
+        if new_dels is not None:
+            new_dels.unpersist()
+        changes.unpersist()

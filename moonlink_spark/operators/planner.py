@@ -69,6 +69,48 @@ def select_candidates(manifest: DataFrame,
     return manifest.filter(cond)
 
 
+def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
+                   out_col: str) -> DataFrame:
+    """Running sum of ``value_col`` in ascending ``order_col`` order,
+    computed two-phase: range-partition on the order column, cumsum
+    *within* each partition (parallel windows), then add broadcast
+    per-partition prefix offsets.  No single task ever sees the whole
+    dataset — a global ``Window.orderBy`` funnels everything through one
+    task, a straggler at 10^8+ manifest rows.
+
+    The result depends only on the global order (``order_col`` must be
+    unique), not on where the range partitioner draws its boundaries, so
+    reruns produce identical values (resume determinism) even though the
+    partitioner's sampling is not itself deterministic.  Caller must
+    consume the result while ``df``'s lineage is stable (we persist
+    internally; call ``.unpersist()`` on the returned DataFrame's
+    ``_cached`` attribute when done)."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (df.repartitionByRange(n_part, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("_part", F.spark_partition_id())
+            .persist())
+    psums = (part.groupBy("_part").agg(F.sum(value_col).alias("_s"))
+             .orderBy("_part").collect())
+    offs, acc = [], 0
+    for r in psums:
+        offs.append((int(r["_part"]), acc))
+        acc += int(r["_s"] or 0)
+    if not offs:
+        offs = [(0, 0)]
+    off_df = spark.createDataFrame(offs, "_part int, _off long")
+    w = (Window.partitionBy("_part").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (part.join(F.broadcast(off_df), on="_part", how="left")
+           .withColumn(out_col,
+                       F.sum(value_col).over(w)
+                       + F.coalesce(F.col("_off"), F.lit(0)))
+           .drop("_part", "_off"))
+    out._cached = part  # noqa: SLF001 — lifecycle handle for the caller
+    return out
+
+
 def plan_compaction(manifest: DataFrame,
                     config: CompactionConfig) -> list[CompactionBin]:
     """Select candidates, cap per-op file count, pack into bins.
@@ -83,19 +125,18 @@ def plan_compaction(manifest: DataFrame,
         cand = (cand.orderBy(F.col("bytes").asc(), F.col("path").asc())
                 .limit(config.max_files_to_compact))
 
-    # deterministic order, running-sum binning
-    w = (Window.orderBy("path")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # deterministic order, running-sum binning (two-phase parallel cumsum)
+    cum = ordered_cumsum(cand, "path", "bytes", "_cum")
     binned = (
-        cand.withColumn("_cum", F.sum("bytes").over(w))
-        .withColumn("_bin",
-                    F.floor((F.col("_cum") - F.col("bytes"))
-                            / F.lit(config.bin_target_bytes)))
+        cum.withColumn("_bin",
+                       F.floor((F.col("_cum") - F.col("bytes"))
+                               / F.lit(config.bin_target_bytes)))
         .select("path", "rows", "bytes", "dv_path", "dv_cardinality", "_bin")
         .orderBy("path")
     )
 
     rows = list(binned.toLocalIterator())
+    cum._cached.unpersist()
     if len(rows) < config.min_files_to_compact:
         # moonlink's `Nothing` outcome (too few candidates to bother
         # merging).  In FULL mode only (deletion trigger disabled ⇒

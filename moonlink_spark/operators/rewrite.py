@@ -74,7 +74,14 @@ def assign_positions(df: DataFrame, pos_col: str = POS_COL) -> DataFrame:
 
 
 def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
-    """rows/bytes/bounds from the parquet footer only (no data read)."""
+    """rows/bytes/bounds from the parquet footer only (no data read).
+
+    Bounds keep the footer statistics' native type (int stays int, …) —
+    the manifest stores them typed (``snapshotstore.bound_type``) so
+    pruning compares in column type, never lexicographically.  Writers
+    that cannot emit a spec-valid truncated max omit min/max entirely
+    (``has_min_max`` false), so footer bounds are always safe to prune
+    on."""
     md = pq.ParquetFile(path).metadata
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     bounds: dict[str, tuple] = {}
@@ -91,12 +98,28 @@ def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
         if mn is not None:
-            bounds[c] = (str(mn), str(mx))
+            bounds[c] = (mn, mx)
     return {
         "rows": md.num_rows,
         "bytes": os.path.getsize(path),
         "bounds": bounds,
     }
+
+
+def footer_stats_many(paths: list[str],
+                      stats_columns: tuple[str, ...]) -> list[dict]:
+    """Footer stats for many files, concurrently.
+
+    Each footer read is a few ms of I/O; done sequentially on the driver
+    it becomes the finalization bottleneck at thousands of output files
+    (hours at 100k).  Footer decoding releases the GIL inside pyarrow, so
+    a thread pool gets near-linear speedup without any Spark job."""
+    if len(paths) <= 4:
+        return [_footer_stats(p, stats_columns) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        return list(pool.map(lambda p: _footer_stats(p, stats_columns),
+                             paths))
 
 
 # -- lineage ---------------------------------------------------------------
@@ -201,13 +224,17 @@ def rewrite_bin(
     # deterministic final names: rename spark part files in part order
     parts = sorted(p for p in os.listdir(tmp_dir)
                    if p.startswith("part-") and p.endswith(".parquet"))
-    outputs = []
-    rows_out = 0
+    rels = []
     for j, part in enumerate(parts):
         rel = os.path.join(
             DATA_DIR, f"data-{job_id}-b{bin.bin_id:05d}-{j:04d}.parquet")
         os.replace(os.path.join(tmp_dir, part), store.abs(rel))
-        st = _footer_stats(store.abs(rel), config.stats_columns)
+        rels.append(rel)
+    stats = footer_stats_many([store.abs(r) for r in rels],
+                              config.stats_columns)
+    outputs = []
+    rows_out = 0
+    for rel, st in zip(rels, stats):
         if st["rows"] == 0:
             os.remove(store.abs(rel))
             continue

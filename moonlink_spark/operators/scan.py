@@ -52,6 +52,25 @@ def _with_relative_file(df: DataFrame, store: SnapshotStore) -> DataFrame:
     )
 
 
+def _check_pred_type(bound_dtype: str, col: str, values: tuple) -> None:
+    """Refuse type-mismatched pruning loudly: comparing a numeric value
+    against string-typed bounds (or vice versa) would compare
+    lexicographically ("9" > "10") and silently drop matching files —
+    wrong results, not a crash.  Bounds are typed per column
+    (``snapshotstore.bound_type``); a mismatch here means the predicate
+    value's Python type disagrees with the manifest's bound type."""
+    for v in values:
+        if v is None:
+            continue
+        is_str = isinstance(v, str)
+        if (bound_dtype == "string") != is_str:
+            raise TypeError(
+                f"predicate on {col!r}: value {v!r} "
+                f"({type(v).__name__}) is incompatible with the "
+                f"manifest's {bound_dtype}-typed bounds — pruning would "
+                "be lexicographic and silently wrong")
+
+
 def prune_manifest(manifest: DataFrame,
                    predicates: Mapping[str, object] | None) -> DataFrame:
     """Filter manifest entries whose [min,max] bounds can satisfy the
@@ -64,7 +83,14 @@ def prune_manifest(manifest: DataFrame,
     """
     if not predicates:
         return manifest
+    dtypes = dict(manifest.dtypes)
     for col, pred in predicates.items():
+        bdt = dtypes.get(f"min_{col}")
+        if bdt is None:
+            raise ValueError(f"no bounds for column {col!r} in manifest")
+        _check_pred_type(
+            bdt, col,
+            tuple(pred[1:]) if isinstance(pred, tuple) else (pred,))
         lo, hi = F.col(f"min_{col}"), F.col(f"max_{col}")
         unknown = lo.isNull() | hi.isNull()
         if not isinstance(pred, tuple):
@@ -85,6 +111,16 @@ def prune_manifest(manifest: DataFrame,
     return manifest
 
 
+def file_list_df(spark: SparkSession, files: list[str],
+                 col: str = FILE_COL) -> DataFrame:
+    """A one-column DataFrame of file paths, for semi-joining instead of
+    a literal ``isin`` list: an IN-expression over thousands of paths
+    bloats the plan tree (and its codegen) linearly, while a broadcast
+    semi-join against this DataFrame stays O(1) in plan size no matter
+    how many files the manifest selected."""
+    return spark.createDataFrame([(f,) for f in files], f"{col} string")
+
+
 def deletes_df(spark: SparkSession, store: SnapshotStore,
                dv_paths: list[str], data_files: list[str]) -> DataFrame:
     """Exploded delete vectors: one row per deleted (file, position),
@@ -95,8 +131,9 @@ def deletes_df(spark: SparkSession, store: SnapshotStore,
     if not dv_paths:
         return spark.createDataFrame([], f"{FILE_COL} string, {POS_COL} long")
     dv = spark.read.parquet(*[store.abs(p) for p in dv_paths])
+    wanted = file_list_df(spark, data_files, "referenced_file")
     return (
-        dv.filter(F.col("referenced_file").isin(data_files))
+        dv.join(F.broadcast(wanted), on="referenced_file", how="left_semi")
         .select(
             F.col("referenced_file").alias(FILE_COL),
             F.explode("positions").alias(POS_COL),
@@ -147,7 +184,9 @@ def scan_files(
                 df = df.withColumn(col, F.coalesce(F.col(col),
                                                    F.lit(default)))
     if deletes is not None:
-        dels = deletes.filter(F.col(FILE_COL).isin(data_files))
+        dels = deletes.join(
+            F.broadcast(file_list_df(spark, data_files)),
+            on=FILE_COL, how="left_semi")
     else:
         dels = deletes_df(spark, store, dv_paths, data_files)
     if dv_cardinality <= BROADCAST_DV_ROWS:
@@ -179,10 +218,21 @@ def scan(
     dv_paths = sorted({r["dv_path"] for r in plan_rows if r["dv_path"]})
     dv_card = sum(r["dv_cardinality"] for r in plan_rows)
     if not files:
+        # Empty scan (empty table, or pruning eliminated every file —
+        # e.g. a MERGE batch of brand-new keys outside all file bounds).
+        # The shape must match scan_files output exactly: callers like
+        # merge_into select the location columns unconditionally.
         ddl = snapshot.properties.get("schema_ddl")
         if not ddl:
             ddl = ", ".join(f"`{c}` string" for c in snapshot.schema)
-        return spark.createDataFrame([], ddl)
+        empty = spark.createDataFrame([], ddl)
+        if with_location:
+            if FILE_COL not in empty.columns:
+                empty = empty.withColumn(FILE_COL,
+                                         F.lit(None).cast("string"))
+            if POS_COL not in empty.columns:
+                empty = empty.withColumn(POS_COL, F.lit(None).cast("long"))
+        return empty
     return scan_files(
         spark, store, files, dv_paths, dv_card,
         with_location=with_location,

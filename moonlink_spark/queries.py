@@ -150,8 +150,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    rmin = r.agg(F.min("r_name").alias("m")).collect()[0]["m"]
-    rf = r.filter(F.col("r_name") == rmin)
+    # scalar subquery stays lazy: cross-join the 1-row min(r_name) agg
+    # instead of collect()ing it to the driver
+    rmin = r.agg(F.min("r_name").alias("_rmin"))
+    rf = (r.crossJoin(F.broadcast(rmin))
+          .filter(F.col("r_name") == F.col("_rmin")).drop("_rmin"))
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -328,7 +331,7 @@ def expire_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register("salt_fanout_plan", """
-SELECT n_salts, COUNT(*) AS n_keys, SUM(cnt) AS total_rows
+SELECT n_salts, COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows
 FROM (
   SELECT user_id, COUNT(*) AS cnt,
          GREATEST(1, CAST(CEIL(COUNT(*) / 25.0) AS BIGINT)) AS n_salts
@@ -548,17 +551,23 @@ bands AS (
   SELECT doc_id, md5(sig_4::VARCHAR || '_' || sig_5::VARCHAR) FROM sigs
   UNION ALL
   SELECT doc_id, md5(sig_6::VARCHAR || '_' || sig_7::VARCHAR) FROM sigs
-)
+),
+small_buckets AS (
+  SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= 1000
+),
+kept AS (SELECT b.* FROM bands b JOIN small_buckets USING (band_key))
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+FROM kept l JOIN kept r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
 """)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms, word-3-gram shingles) + LSH (4 bands × 2):
     candidate near-dup pairs (dedup.py). All joins key on uniform band
-    hashes."""
+    hashes; buckets larger than 1000 docs are dropped whole (quadratic
+    blowup guard — the oracle applies the identical cap)."""
     docs = _duped_docs(spark, sf_dir)
     sigs = dd.minhash_signature(docs, n_hashes=8, shingle_n=3)
-    return dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    return dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2,
+                                  max_bucket_size=1000)
 
 
 @_register("dedup_ngram_jaccard", f"""
@@ -575,9 +584,11 @@ shingles AS (
     FROM toks)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 1000),
+cosh AS (SELECT s.* FROM shingles s JOIN rare USING (sh)),
 co AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
-  FROM shingles l JOIN shingles r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  FROM cosh l JOIN cosh r ON l.sh = r.sh AND l.doc_id < r.doc_id
   GROUP BY l.doc_id, r.doc_id
 )
 SELECT id_a, id_b,
@@ -589,9 +600,12 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.5 via inverted-index join
     (dedup.py) — catches the truncated near-duplicates LSH candidates
-    must be verified against."""
+    must be verified against.  Shingles appearing in >1000 docs are
+    excluded from the co-occurrence join (hot-postings cap; the oracle
+    applies the identical cap)."""
     return dd.ngram_jaccard_pairs(_duped_docs(spark, sf_dir),
-                                  shingle_n=3, threshold=0.5)
+                                  shingle_n=3, threshold=0.5,
+                                  max_shingle_df=1000)
 
 
 def _simhash_sql(bits: int) -> str:
@@ -646,6 +660,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
     corpus = e.select("vec_id", "embedding").unionAll(dup)
     return dd.embedding_neardup_pairs(corpus, threshold=0.999)
+
+
+def _axis_bucket_sql(col: str, dims: tuple[int, ...]) -> str:
+    """DuckDB twin of similarity.axis_lsh_bucket (1-indexed arrays)."""
+    return " + ".join(
+        f"(CASE WHEN {col}[{d + 1}]::DOUBLE > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(dims))
+
+
+@_register("dedup_embedding_neardup_lsh", f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 10 = 0
+),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {_axis_bucket_sql('embedding', sim.AXIS_LSH_DIMS)} AS bucket
+  FROM corpus
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM bucketed l JOIN bucketed r
+  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+      >= 0.999
+""")
+def dedup_embedding_neardup_lsh(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The *scale path* for embedding near-dup: axis-hyperplane LSH
+    bucket (pure codegen, similarity.axis_lsh_bucket) → within-bucket
+    cosine pairs (dedup.py, equi-join on bucket — a shuffled hash join
+    bounded by bucket sizes, not the O(n²) cartesian of the all-pairs
+    kernel)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = (e.filter(F.col("vec_id") % 10 == 0)
+           .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    corpus = e.select("vec_id", "embedding").unionAll(dup)
+    bucketed = sim.axis_lsh_bucket(corpus)
+    return dd.embedding_neardup_pairs(bucketed, threshold=0.999,
+                                      bucket_col="bucket")
 
 
 @_register("similarity_topk", """

@@ -81,8 +81,11 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 # Manifest parquet schema. Bounds columns are appended as
-# ``min_<col>`` / ``max_<col>`` (string-typed; the north-rule table's
-# stats columns are all strings).
+# ``min_<col>`` / ``max_<col>``, typed in the stats column's native type
+# (cf. the typed Iceberg ``Datum`` bounds moonlink aggregates,
+# ``parquet_stats_utils.rs:180-320``) — string bounds on a numeric
+# column would prune lexicographically ("9" > "10") and silently drop
+# matching files.
 _BASE_FIELDS = [
     ("path", pa.string()),
     ("rows", pa.int64()),
@@ -90,6 +93,40 @@ _BASE_FIELDS = [
     ("dv_path", pa.string()),
     ("dv_cardinality", pa.int64()),
 ]
+
+# DDL type name (lowercased, parameters stripped) → arrow bound type.
+_DDL_TO_ARROW = {
+    "string": pa.string(),
+    "varchar": pa.string(),
+    "boolean": pa.bool_(),
+    "tinyint": pa.int32(),
+    "smallint": pa.int32(),
+    "int": pa.int32(),
+    "integer": pa.int32(),
+    "bigint": pa.int64(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
+
+
+def bound_type(ddl: str | None) -> pa.DataType | None:
+    """Arrow type for a bounds column given the column's DDL type.
+
+    ``None`` means bounds are not representable losslessly for that type
+    (decimal, nested, binary …): the manifest stores NULL bounds and the
+    pruner conservatively keeps the file — never a wrong answer, only a
+    wider scan."""
+    if not ddl:
+        return pa.string()
+    base = ddl.split("(")[0].strip().lower()
+    return _DDL_TO_ARROW.get(base)
+
+
+_MANIFEST_BATCH_ROWS = 65_536
 
 
 class SnapshotStore:
@@ -166,33 +203,96 @@ class SnapshotStore:
         snap = self.read_snapshot(version)
         return pq.read_table(snap.manifest_path).to_pylist()
 
+    def manifest_rows_iter(self, version: int | None = None):
+        """Stream manifest rows (dicts, ascending ``path`` — manifests
+        are written sorted) with bounded memory: metadata-only commits
+        (create_snapshot, schema evolution, bulk load) pipe this straight
+        into :meth:`commit` ``presorted=True`` and never hold the full
+        manifest, regardless of entry count."""
+        snap = self.read_snapshot(version)
+        pf = pq.ParquetFile(snap.manifest_path)
+        for batch in pf.iter_batches(batch_size=_MANIFEST_BATCH_ROWS):
+            yield from batch.to_pylist()
+
     # -- write -----------------------------------------------------------
     def write_manifest(self, version: int, entries: Iterable[dict],
-                       stats_columns: Iterable[str]) -> str:
+                       stats_columns: Iterable[str],
+                       stats_types: dict | None = None,
+                       presorted: bool = False) -> str:
         """Write ``manifest-v{N}.parquet`` deterministically (entries
-        sorted by path) and return its path. Does NOT publish the version."""
-        rows = sorted(entries, key=lambda e: e["path"])
+        sorted by path) and return its path. Does NOT publish the version.
+
+        ``entries`` is an *iterable* and is streamed to parquet in
+        batches: with ``presorted=True`` (caller guarantees ascending
+        ``path`` order — e.g. rows from ``df.orderBy('path')
+        .toLocalIterator()``) the driver never holds more than one batch
+        of manifest rows, which is what makes a 10^8-entry manifest
+        commit feasible.  Entries carry bounds either nested
+        (``bounds={col: (mn, mx)}``) or flat (``min_<col>``/``max_<col>``
+        keys, i.e. manifest-row shape).
+
+        ``stats_types`` maps stats column → DDL type; bounds columns are
+        written in the matching native arrow type (typed pruning).
+        Unsupported types get NULL bounds (conservatively never pruned).
+        """
+        stats_columns = list(stats_columns)
+        stats_types = stats_types or {}
         fields = list(_BASE_FIELDS)
+        btypes: dict[str, pa.DataType | None] = {}
         for c in stats_columns:
-            fields.append((f"min_{c}", pa.string()))
-            fields.append((f"max_{c}", pa.string()))
+            bt = bound_type(stats_types.get(c, "string"))
+            btypes[c] = bt
+            t = bt if bt is not None else pa.string()
+            fields.append((f"min_{c}", t))
+            fields.append((f"max_{c}", t))
         schema = pa.schema(fields)
-        cols: dict[str, list] = {name: [] for name, _ in fields}
-        for e in rows:
-            cols["path"].append(e["path"])
-            cols["rows"].append(int(e["rows"]))
-            cols["bytes"].append(int(e["bytes"]))
-            cols["dv_path"].append(e.get("dv_path"))
-            cols["dv_cardinality"].append(int(e.get("dv_cardinality") or 0))
-            bounds = e.get("bounds") or {}
-            for c in stats_columns:
-                mn, mx = bounds.get(c, (None, None))
-                cols[f"min_{c}"].append(mn)
-                cols[f"max_{c}"].append(mx)
-        table = pa.Table.from_pydict(cols, schema=schema)
+
+        if not presorted:
+            entries = sorted(entries, key=lambda e: e["path"])
+
         path = self.manifest_path(version)
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, compression="zstd")
+        writer = pq.ParquetWriter(tmp, schema, compression="zstd")
+
+        def _flush(cols: dict) -> None:
+            arrays = []
+            for name, typ in fields:
+                arrays.append(pa.array(cols[name], type=typ))
+            writer.write_batch(
+                pa.RecordBatch.from_arrays(arrays,
+                                           schema=schema))
+
+        try:
+            cols: dict[str, list] = {name: [] for name, _ in fields}
+            n = 0
+            wrote_any = False
+            for e in entries:
+                cols["path"].append(e["path"])
+                cols["rows"].append(int(e["rows"]))
+                cols["bytes"].append(int(e["bytes"]))
+                cols["dv_path"].append(e.get("dv_path"))
+                cols["dv_cardinality"].append(
+                    int(e.get("dv_cardinality") or 0))
+                bounds = e.get("bounds")
+                for c in stats_columns:
+                    if bounds is not None:
+                        mn, mx = bounds.get(c, (None, None))
+                    else:
+                        mn, mx = e.get(f"min_{c}"), e.get(f"max_{c}")
+                    if btypes[c] is None:
+                        mn = mx = None
+                    cols[f"min_{c}"].append(mn)
+                    cols[f"max_{c}"].append(mx)
+                n += 1
+                if n >= _MANIFEST_BATCH_ROWS:
+                    _flush(cols)
+                    wrote_any = True
+                    cols = {name: [] for name, _ in fields}
+                    n = 0
+            if n or not wrote_any:
+                _flush(cols)
+        finally:
+            writer.close()
         os.rename(tmp, path)
         return path
 
@@ -204,6 +304,7 @@ class SnapshotStore:
         stats_columns: Iterable[str],
         properties: dict[str, Any] | None = None,
         expected_parent: int | None = None,
+        presorted: bool = False,
     ) -> Snapshot:
         """Publish a new version whose manifest is ``entries``.
 
@@ -211,6 +312,10 @@ class SnapshotStore:
         advanced the table past it, raise :class:`CommitConflict` (caller
         retries by replanning — same contract as moonlink's 5-retry commit
         loop, ``table_property.rs:14-24``).
+
+        Bound-column types come from ``properties['schema_types']`` (DDL
+        names per column, maintained by schema evolution / bulk load);
+        absent that, bounds are string-typed (the north-rule table).
         """
         current = self.current_version() if self.exists() else None
         if expected_parent is not None and current != expected_parent:
@@ -218,7 +323,9 @@ class SnapshotStore:
                 f"expected parent v{expected_parent}, found v{current}")
         version = 0 if current is None else current + 1
 
-        self.write_manifest(version, entries, stats_columns)
+        stats_types = (properties or {}).get("schema_types")
+        self.write_manifest(version, entries, stats_columns,
+                            stats_types=stats_types, presorted=presorted)
         header = {
             "format_version": 1,
             "version": version,

@@ -23,9 +23,11 @@ position-stamped files.
 
 from __future__ import annotations
 
+import heapq
 import os
 import shutil
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from moonlink_spark.config import TableConfig
@@ -37,6 +39,29 @@ def _entry_for(store: SnapshotStore, rel: str,
     from moonlink_spark.operators.rewrite import _footer_stats
     st = _footer_stats(store.abs(rel), stats_columns)
     return {"path": rel, **st}
+
+
+def _ddl_of(t: pa.DataType) -> str:
+    """Arrow type → DDL name for the manifest's typed bounds (cf. the
+    type map moonlink's stats aggregation covers,
+    ``parquet_stats_utils.rs:180-320``)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return "binary"  # unsupported for bounds — stored as NULL (kept)
 
 
 def load_files(
@@ -56,9 +81,11 @@ def load_files(
     tbl_schema = schema or base.schema
 
     new_entries = []
+    file_schema = None
     for i, p in enumerate(sorted(paths)):
         ap = os.path.abspath(p)
-        cols = {c.name for c in pq.read_schema(ap)}
+        file_schema = pq.read_schema(ap)
+        cols = {c.name for c in file_schema}
         missing = [c for c in tbl_schema if c not in cols]
         if missing:
             raise ValueError(f"{p}: missing table columns {missing} "
@@ -75,19 +102,13 @@ def load_files(
             rel = store.rel(ap)
         new_entries.append(_entry_for(store, rel, config.stats_columns))
 
-    entries = []
-    for e in store.manifest_entries(base.version):
-        entries.append({
-            "path": e["path"], "rows": e["rows"], "bytes": e["bytes"],
-            "dv_path": e.get("dv_path"),
-            "dv_cardinality": e.get("dv_cardinality") or 0,
-            "bounds": {c: (e[f"min_{c}"], e[f"max_{c}"])
-                       for c in config.stats_columns
-                       if e.get(f"min_{c}") is not None},
-        })
-    entries.extend(new_entries)
-
     props = dict(base.properties)
+    # typed bounds: record each column's DDL type (from the imported
+    # files' parquet schema) so the manifest's min/max columns compare
+    # in native type — never lexicographically on numbers
+    if "schema_types" not in props and file_schema is not None:
+        props["schema_types"] = {
+            f.name: _ddl_of(f.type) for f in file_schema}
     props.update({
         "flush_lsn": base.flush_lsn + 1,
         "job_id": f"{job_tag}-v{base.version:06d}",
@@ -95,6 +116,12 @@ def load_files(
         "loaded_files": len(new_entries),
         "loaded_rows": sum(e["rows"] for e in new_entries),
     })
-    return store.commit(entries, schema=tbl_schema,
+    # streamed sorted-merge of the old manifest and the new entries —
+    # the driver never holds the full manifest
+    merged = heapq.merge(store.manifest_rows_iter(base.version),
+                         sorted(new_entries, key=lambda e: e["path"]),
+                         key=lambda e: e["path"])
+    return store.commit(merged, schema=tbl_schema,
                         stats_columns=config.stats_columns,
-                        properties=props, expected_parent=base.version)
+                        properties=props, expected_parent=base.version,
+                        presorted=True)

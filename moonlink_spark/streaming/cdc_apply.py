@@ -15,10 +15,15 @@ giving the same transactional batching moonlink gets from
 
 Exactly-once across restarts: Structured Streaming replays an
 incomplete micro-batch after recovery, so the apply is made idempotent
-by recording ``stream_batch_id`` in the snapshot properties — a
-replayed batch whose id is already committed for this stream is skipped
-(the analogue of moonlink replaying WAL events above the persisted LSN,
-``storage/wal.rs:104-170``).
+by stamping a per-stream high-watermark map (``streams: {stream_id:
+last_batch_id}``) into the snapshot properties *atomically with the
+MERGE commit itself* (``extra_properties``) — a replayed batch whose id
+is already committed for this stream is skipped (the analogue of
+moonlink replaying WAL events above the persisted LSN,
+``storage/wal.rs:104-170``).  The check is O(1): properties propagate
+through every commit, so the current snapshot's map is authoritative —
+no walk over historical versions, and no post-commit mutation of a
+published (immutable) snapshot header.
 """
 
 from __future__ import annotations
@@ -42,33 +47,22 @@ def apply_cdc_stream(
     ``StreamingQuery``; every micro-batch commits one snapshot."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotence: skip batches already committed for this stream
-        store = table.store
-        current = store.read_snapshot()
-        for v in reversed(store.versions()):
-            props = store.read_snapshot(v).properties
-            if (props.get("stream_id") == stream_id
-                    and props.get("stream_batch_id") is not None
-                    and int(props["stream_batch_id"]) >= batch_id):
-                return
+        # idempotence: the current snapshot's per-stream watermark map is
+        # authoritative (properties propagate through every commit) — a
+        # replayed batch at or below it is a no-op.  O(1), no version walk.
+        current = table.store.read_snapshot()
+        streams = dict(current.properties.get("streams") or {})
+        last = streams.get(stream_id)
+        if last is not None and int(last) >= batch_id:
+            return
         if batch_df.isEmpty():
             return
-        snap = table.merge(
+        streams[stream_id] = batch_id
+        table.merge(
             batch_df, key_columns=key_columns,
             broadcast_changes=broadcast_changes,
-            job_tag=f"stream-{stream_id}-b{batch_id:06d}")
-        # stamp streaming lineage onto the committed header
-        import json
-        import os
-
-        from moonlink_spark.snapshotstore import _atomic_write
-        hdr_path = store.header_path(snap.version)
-        with open(hdr_path) as f:
-            hdr = json.load(f)
-        hdr["properties"]["stream_id"] = stream_id
-        hdr["properties"]["stream_batch_id"] = batch_id
-        _atomic_write(hdr_path,
-                      json.dumps(hdr, indent=1, sort_keys=True).encode())
+            job_tag=f"stream-{stream_id}-b{batch_id:06d}",
+            extra_properties={"streams": streams})
 
     writer = changes.writeStream.foreachBatch(_apply) \
         .queryName(f"moonlink-cdc-{stream_id}")

@@ -137,12 +137,11 @@ def test_streaming_cdc_apply(spark, table, tmp_path):
     after = table.scan().count()
     assert after == before - 4 + 1
     assert table.scan().filter(F.col("repo") == "orgS/stream").count() == 1
-    # micro-batch lineage stamped on committed snapshots
+    # per-stream watermark stamped atomically with the merge commit:
+    # the current snapshot's `streams` map is the O(1) idempotence source
     store = table.store
-    stamped = [store.read_snapshot(v).properties.get("stream_batch_id")
-               for v in store.versions()
-               if store.read_snapshot(v).properties.get("stream_id") == "t1"]
-    assert stamped and all(b is not None for b in stamped)
+    assert store.read_snapshot().properties.get("streams", {}) \
+        .get("t1") == 1
 
     # replaying the same stream from the same checkpoint: no new commits
     v_before = store.current_version()

@@ -1,0 +1,186 @@
+"""Typed per-column bounds + pruning correctness.
+
+The reference aggregates typed Iceberg ``Datum`` bounds per column
+(``storage/table/iceberg/parquet_stats_utils.rs:180-320``); bounds
+stored as strings would compare lexicographically on numeric columns
+("9" > "10") and *silently drop matching files* during pruning.  These
+tests pin the typed-bounds contract end to end:
+
+- bounds land in the manifest in the column's native type;
+- pruning on a numeric column keeps every file whose range contains the
+  predicate value (the lexicographic counterexample: 5 ∈ [2, 11]);
+- a type-mismatched predicate is refused loudly (TypeError), never
+  silently lexicographic;
+- MERGE's automatic lead-key pruning is correct on an int key;
+- MERGE whose change-key range misses every file's bounds (pure inserts
+  of new keys) commits insert-only instead of crashing (the round-1
+  empty-prune regression: moonlink's contract is that deletes matching
+  nothing are silently dropped, ``mooncake_table.rs:1241-1288``
+  ``delete_if_exists``).
+"""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.operators.scan import prune_manifest
+from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+INT_CFG = TableConfig(
+    zorder_columns=("name",),
+    stats_columns=("id", "name"),
+    compaction=CompactionConfig(target_file_bytes=64 << 10,
+                                bin_target_bytes=256 << 10,
+                                bin_concurrency=2),
+)
+
+INT_SCHEMA = ["id", "name", "_pos"]
+INT_TYPES = {"id": "int", "name": "string", "_pos": "bigint"}
+INT_DDL = "`id` int, `name` string, `_pos` bigint"
+
+
+def _int_table(spark, tmp_path, file_ranges):
+    """Fresh warehouse with an int-keyed table, one data file per
+    (lo, hi) id range."""
+    w = str(tmp_path / "wh-int")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    store.commit([], schema=INT_SCHEMA, stats_columns=INT_CFG.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": INT_TYPES,
+                             "schema_ddl": INT_DDL},
+                 expected_parent=None)
+    t = MoonTable(spark, w, INT_CFG)
+    paths = []
+    for i, (lo, hi) in enumerate(file_ranges):
+        ids = list(range(lo, hi + 1))
+        tb = pa.table({
+            "id": pa.array(ids, pa.int32()),
+            "name": pa.array([f"n{v:06d}" for v in ids]),
+            "_pos": pa.array(np.arange(len(ids), dtype=np.int64)),
+        })
+        p = store.abs(f"{DATA_DIR}/f{i:03d}.parquet")
+        pq.write_table(tb, p)
+        paths.append(p)
+    t.load_files(paths)
+    return t
+
+
+def test_typed_bounds_stored_natively(spark, tmp_path):
+    t = _int_table(spark, tmp_path, [(2, 11), (50, 60)])
+    m = t.manifest()
+    dtypes = dict(m.dtypes)
+    assert dtypes["min_id"] == "int"
+    assert dtypes["max_id"] == "int"
+    assert dtypes["min_name"] == "string"
+    rows = {r["path"]: r for r in m.collect()}
+    f0 = rows[f"{DATA_DIR}/f000.parquet"]
+    assert (f0["min_id"], f0["max_id"]) == (2, 11)
+
+
+def test_prune_numeric_not_lexicographic(spark, tmp_path):
+    # 5 ∈ [2, 11] numerically but "11" < "5" lexicographically — string
+    # bounds would drop the file
+    t = _int_table(spark, tmp_path, [(2, 11), (50, 60)])
+    kept = prune_manifest(t.manifest(), {"id": ("==", 5)}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/f000.parquet"]
+    assert t.scan(predicates={"id": ("==", 5)}) \
+        .filter(F.col("id") == 5).count() == 1
+
+
+def test_prune_type_mismatch_refused(spark, tmp_path):
+    t = _int_table(spark, tmp_path, [(2, 11)])
+    with pytest.raises(TypeError):
+        prune_manifest(t.manifest(), {"id": ("==", "5")})
+    with pytest.raises(TypeError):
+        prune_manifest(t.manifest(), {"name": ("==", 7)})
+    with pytest.raises(ValueError):
+        prune_manifest(t.manifest(), {"nosuch": ("==", 1)})
+
+
+def test_merge_int_key_autoprune_correct(spark, tmp_path):
+    t = _int_table(spark, tmp_path, [(2, 11), (50, 60)])
+    before = t.scan().count()
+    ch = spark.createDataFrame([(5, None, "delete")],
+                               "id int, name string, _op string")
+    snap = t.merge(ch, key_columns=["id"])
+    after = t.scan(snap.version)
+    assert after.count() == before - 1
+    assert after.filter(F.col("id") == 5).count() == 0
+
+
+def test_prune_never_drops_matching_file_property(spark, tmp_path):
+    """Property: for random int file ranges and random predicates, every
+    file whose [min,max] intersects the predicate survives pruning."""
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(40):
+        lo = rng.randint(-1000, 1000)
+        hi = lo + rng.randint(0, 500)
+        rows.append((f"f{i:03d}", 10, 100, None, 0, lo, hi))
+    m = spark.createDataFrame(
+        rows, "path string, rows long, bytes long, dv_path string, "
+              "dv_cardinality long, min_id int, max_id int")
+
+    def expected(pred):
+        op = pred[0]
+        out = set()
+        for p, _, _, _, _, lo, hi in rows:
+            if op == "==" and lo <= pred[1] <= hi:
+                out.add(p)
+            elif op == "<" and lo < pred[1]:
+                out.add(p)
+            elif op == "<=" and lo <= pred[1]:
+                out.add(p)
+            elif op == ">" and hi > pred[1]:
+                out.add(p)
+            elif op == ">=" and hi >= pred[1]:
+                out.add(p)
+            elif op == "between" and hi >= pred[1] and lo <= pred[2]:
+                out.add(p)
+        return out
+
+    preds = []
+    for _ in range(8):
+        op = rng.choice(["==", "<", "<=", ">", ">=", "between"])
+        v = rng.randint(-1200, 1200)
+        preds.append((op, v, v + rng.randint(0, 400))
+                     if op == "between" else (op, v))
+    for pred in preds:
+        got = {r["path"] for r in
+               prune_manifest(m, {"id": pred}).collect()}
+        assert got == expected(pred), f"pred {pred}"
+
+
+STR_KEYS = ["repo", "path", "commit"]
+
+
+def test_merge_only_new_keys_into_nonempty(spark, tmp_path):
+    """Round-1 regression: a change batch whose lead-key range misses
+    every file's bounds prunes the scan to empty — MERGE must degrade to
+    an insert-only commit, not crash on missing location columns."""
+    w = str(tmp_path / "wh-str")
+    synthesize_cdc_aftermath(w, seed=77, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64))
+    t = MoonTable(spark, w, TableConfig(compaction=CompactionConfig(
+        target_file_bytes=64 << 10, bin_target_bytes=256 << 10,
+        bin_concurrency=2)))
+    before = t.scan().count()
+    # "zzzz/..." sorts after every synthesized repo bound
+    ch = spark.createDataFrame(
+        [("zzzz/brandnew", f"src/n{i}.rs", f"{i:040x}", "rust",
+          f"fresh {i}", "upsert") for i in range(4)],
+        "repo string, path string, commit string, lang string, "
+        "content string, _op string")
+    snap = t.merge(ch, key_columns=STR_KEYS)
+    got = t.scan(snap.version)
+    assert got.count() == before + 4
+    assert got.filter(F.col("repo") == "zzzz/brandnew").count() == 4
+    assert snap.properties["merged_deletes"] == 0
+    assert snap.properties["inserted_rows"] == 4
