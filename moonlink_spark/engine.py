@@ -23,13 +23,13 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.fs import part_files
 from moonlink_spark.functions.zorder import compute_zorder_boundaries
 from moonlink_spark.operators import expire as expire_op
 from moonlink_spark.operators import merge as merge_op
@@ -320,12 +320,12 @@ class MoonTable:
         (merged.repartitionByRange(n_out, "referenced_file")
          .sortWithinPartitions("referenced_file")
          .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
-        parts = sorted(p for p in os.listdir(tmp)
-                       if p.startswith("part-") and p.endswith(".parquet"))
+        parts = part_files(self.store.fs, tmp)
         new_rels = []
         for j, part in enumerate(parts):
             rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
-            os.replace(os.path.join(tmp, part), self.store.abs(rel))
+            self.store.fs.rename(os.path.join(tmp, part),
+                                 self.store.abs(rel))
             new_rels.append(rel)
         # one job over the renamed sidecars recovers file → (sidecar,
         # cardinality); no per-part collect loop
@@ -353,7 +353,7 @@ class MoonTable:
             stats_columns=self.config.stats_columns,
             properties=props, expected_parent=base.version,
             presorted=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.store.fs.rmtree(tmp)
         return snap
 
     # -- mutation --------------------------------------------------------
@@ -478,14 +478,15 @@ class MoonTable:
     def metrics(self, job_id: str | None = None) -> list[dict]:
         """Lineage records (per-bin rows/bytes counters) for one job or
         all jobs."""
+        fs = self.store.fs
         root = os.path.join(self.store.warehouse, "checkpoints")
         out = []
-        for job in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        for job in sorted(fs.list(root)) if fs.is_dir(root) else []:
             if job_id and job != job_id:
                 continue
             jdir = os.path.join(root, job)
-            for name in sorted(os.listdir(jdir)):
+            for name in sorted(fs.list(jdir)):
                 if name.endswith(".json"):
-                    with open(os.path.join(jdir, name)) as f:
-                        out.append(json.load(f))
+                    out.append(json.loads(fs.read_bytes(
+                        os.path.join(jdir, name))))
         return out

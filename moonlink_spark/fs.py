@@ -1,0 +1,115 @@
+"""Filesystem accessor — the single seam for driver-side I/O.
+
+Mirrors the reference's accessor layer
+(``src/moonlink/src/storage/filesystem/accessor/`` — every metadata or
+file-plumbing operation goes through one trait object, with an
+object-storage cache behind it, ``storage/cache/object_storage/``), so
+that the engine can run against a posix warehouse in the sandbox and an
+object store on a real cluster by swapping one class.
+
+Scope: this seam covers the *driver's* metadata and file-plumbing
+operations (manifest/header/hint writes, part-file renames, orphan
+deletes, listings).  Bulk data reads/writes go through Spark's own
+Hadoop FileSystem layer on the executors — that layer already speaks
+s3a/gs/abfs natively and is not re-wrapped here.
+
+Contract an object-store implementation must honor (documented per
+method; cf. the etag-CAS conditional write moonlink uses for its
+version hint, ``storage/table/iceberg/file_catalog.rs:640-665``):
+
+- :meth:`write_atomic` — readers see the whole object or nothing
+  (posix: tmp + fsync + rename; S3/GCS: a single PUT is atomic).
+- :meth:`publish_cas` — replace ``path`` iff its current content still
+  equals ``expected`` (posix: re-read + rename, safe under the
+  single-coordinator assumption the sandbox satisfies; S3:
+  ``If-Match: <etag>`` conditional PUT; GCS:
+  ``x-goog-if-generation-match``).  This is the commit point — the only
+  operation whose atomicity the whole engine's correctness rests on.
+- :meth:`rename` — atomic replace within the warehouse (object stores
+  lack rename: implement as copy + delete of a *never-published* temp
+  object, which is safe because only ``publish_cas`` makes state
+  visible).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterable, Iterator
+
+
+class PosixFileSystem:
+    """The posix implementation (the sandbox's warehouse)."""
+
+    # -- reads -----------------------------------------------------------
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def list(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        """Every file path under ``root`` (object store: LIST by prefix)."""
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                yield os.path.join(dirpath, name)
+
+    # -- writes ----------------------------------------------------------
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """All-or-nothing publish of ``data`` at ``path``."""
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def publish_cas(self, path: str, data: bytes,
+                    expected: bytes | None) -> bool:
+        """Compare-and-swap publish: write ``data`` at ``path`` iff the
+        current content equals ``expected`` (``None`` = must not exist).
+        Returns False when the precondition fails.  THE commit point."""
+        current = self.read_bytes(path) if os.path.isfile(path) else None
+        if current != expected:
+            return False
+        self.write_atomic(path, data)
+        return True
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic replace (same-filesystem)."""
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def copy(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
+
+
+# module default — the engine's constructors accept an ``fs`` override
+DEFAULT_FS = PosixFileSystem()
+
+
+def part_files(fs: PosixFileSystem, tmp_dir: str) -> list[str]:
+    """Sorted spark part-file names inside a tmp output directory."""
+    return sorted(p for p in fs.list(tmp_dir)
+                  if p.startswith("part-") and p.endswith(".parquet"))

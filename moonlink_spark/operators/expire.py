@@ -35,10 +35,8 @@ def _list_files(store: SnapshotStore) -> list[str]:
     out = []
     for sub in (DATA_DIR, DV_DIR):
         root = os.path.join(store.warehouse, sub)
-        for dirpath, _, names in os.walk(root):
-            for n in names:
-                out.append(os.path.relpath(os.path.join(dirpath, n),
-                                           store.warehouse))
+        for path in store.fs.walk_files(root):
+            out.append(os.path.relpath(path, store.warehouse))
     return out
 
 
@@ -71,8 +69,8 @@ def expire_snapshots(
                .toLocalIterator()]
 
     for rel in orphans:
-        os.remove(store.abs(rel))
+        store.fs.remove(store.abs(rel))
     for v in drop:
-        os.remove(store.header_path(v))
-        os.remove(store.manifest_path(v))
+        store.fs.remove(store.header_path(v))
+        store.fs.remove(store.manifest_path(v))
     return {"expired_versions": drop, "deleted_files": sorted(orphans)}

@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import uuid
 from typing import Mapping
 
@@ -50,6 +49,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
 from moonlink_spark.operators import skew
+from moonlink_spark.fs import part_files
 from moonlink_spark.operators.rewrite import assign_positions, footer_stats_many
 from moonlink_spark.operators.scan import (
     FILE_COL,
@@ -185,13 +185,11 @@ def merge_into(
              .sortWithinPartitions("referenced_file")
              .write.mode("overwrite").option("compression", "zstd")
              .parquet(tmp))
-            parts = sorted(p for p in os.listdir(tmp)
-                           if p.startswith("part-")
-                           and p.endswith(".parquet"))
+            parts = part_files(store.fs, tmp)
             new_rels = []
             for j, part in enumerate(parts):
                 rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
-                os.replace(os.path.join(tmp, part), store.abs(rel))
+                store.fs.rename(os.path.join(tmp, part), store.abs(rel))
                 new_rels.append(rel)
             # one job over the renamed sidecars recovers the per-file
             # mapping (file → sidecar, cardinality); input_file_name()
@@ -202,8 +200,7 @@ def merge_into(
                        _rel_file_expr(F.input_file_name(),
                                       store.warehouse).alias("_new_dv"),
                        F.col("cardinality").alias("_new_card")))
-            shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
-                          ignore_errors=True)
+            store.fs.rmtree(os.path.join(store.warehouse, "tmp", job_id))
 
         # -- 3. write inserted rows as fresh ingest files ----------------
         inserts = changes.filter(F.col(OP_COL) == "upsert") \
@@ -220,21 +217,18 @@ def merge_into(
                 .sortWithinPartitions(*key_columns))
             (final.write.mode("overwrite")
              .option("compression", config.ingest_compression).parquet(tmp))
-            parts = sorted(p for p in os.listdir(tmp)
-                           if p.startswith("part-")
-                           and p.endswith(".parquet"))
+            parts = part_files(store.fs, tmp)
             rels = []
             for j, part in enumerate(parts):
                 rel = os.path.join(DATA_DIR,
                                    f"data-{job_id}-{j:04d}.parquet")
-                os.replace(os.path.join(tmp, part), store.abs(rel))
+                store.fs.rename(os.path.join(tmp, part), store.abs(rel))
                 rels.append(rel)
             for rel, st in zip(rels, footer_stats_many(
                     [store.abs(r) for r in rels], config.stats_columns)):
                 if st["rows"]:
                     new_entries.append({"path": rel, **st})
-            shutil.rmtree(os.path.join(store.warehouse, "tmp", job_id),
-                          ignore_errors=True)
+            store.fs.rmtree(os.path.join(store.warehouse, "tmp", job_id))
 
         # -- 4. commit: successor manifest as a DataFrame ----------------
         out = manifest

@@ -46,7 +46,8 @@ from moonlink_spark.config import TableConfig
 from moonlink_spark.functions.zorder import ZCUTS_KEY, with_zorder_key
 from moonlink_spark.operators.planner import CompactionBin
 from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan_files
-from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore, _atomic_write
+from moonlink_spark.fs import part_files
+from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore
 
 ZKEY_COL = "_zkey"
 OLDPOS_COL = "_oldpos"
@@ -133,13 +134,12 @@ def load_valid_lineage(store: SnapshotStore, job_id: str,
     """Return the bin's lineage record iff it exists and its outputs are
     all present with the recorded sizes (crash-during-rename safety)."""
     path = lineage_path(store, job_id, bin_id)
-    if not os.path.isfile(path):
+    if not store.fs.is_file(path):
         return None
-    with open(path) as f:
-        rec = json.load(f)
+    rec = json.loads(store.fs.read_bytes(path))
     for out in rec["outputs"]:
         p = store.abs(out["path"])
-        if not os.path.isfile(p) or os.path.getsize(p) != out["bytes"]:
+        if not store.fs.is_file(p) or store.fs.size(p) != out["bytes"]:
             return None
     return rec
 
@@ -222,13 +222,12 @@ def rewrite_bin(
      .parquet(tmp_dir))
 
     # deterministic final names: rename spark part files in part order
-    parts = sorted(p for p in os.listdir(tmp_dir)
-                   if p.startswith("part-") and p.endswith(".parquet"))
+    parts = part_files(store.fs, tmp_dir)
     rels = []
     for j, part in enumerate(parts):
         rel = os.path.join(
             DATA_DIR, f"data-{job_id}-b{bin.bin_id:05d}-{j:04d}.parquet")
-        os.replace(os.path.join(tmp_dir, part), store.abs(rel))
+        store.fs.rename(os.path.join(tmp_dir, part), store.abs(rel))
         rels.append(rel)
     stats = footer_stats_many([store.abs(r) for r in rels],
                               config.stats_columns)
@@ -236,13 +235,12 @@ def rewrite_bin(
     rows_out = 0
     for rel, st in zip(rels, stats):
         if st["rows"] == 0:
-            os.remove(store.abs(rel))
+            store.fs.remove(store.abs(rel))
             continue
         rows_out += st["rows"]
         outputs.append({"path": rel, **st})
 
-    import shutil
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    store.fs.rmtree(tmp_dir)
 
     # compactor.rs:277-279 sanity: every input row is either deleted or out
     expected = bin.live_rows
@@ -263,7 +261,7 @@ def rewrite_bin(
         "bytes_in": bin.bytes,
         "bytes_out": sum(o["bytes"] for o in outputs),
     }
-    os.makedirs(store.checkpoint_dir(job_id), exist_ok=True)
-    _atomic_write(lineage_path(store, job_id, bin.bin_id),
-                  json.dumps(rec, indent=1, sort_keys=True).encode())
+    store.fs.makedirs(store.checkpoint_dir(job_id))
+    store.fs.write_atomic(lineage_path(store, job_id, bin.bin_id),
+                          json.dumps(rec, indent=1, sort_keys=True).encode())
     return rec

@@ -45,6 +45,8 @@ from typing import Any, Iterable
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from moonlink_spark.fs import DEFAULT_FS, PosixFileSystem
+
 SNAPSHOT_DIR = "snapshots"
 DATA_DIR = "data"
 DV_DIR = "dv"
@@ -72,12 +74,8 @@ class Snapshot:
 
 
 def _atomic_write(path: str, data: bytes) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
+    """Back-compat shim — new code goes through ``store.fs``."""
+    DEFAULT_FS.write_atomic(path, data)
 
 
 # Manifest parquet schema. Bounds columns are appended as
@@ -130,10 +128,15 @@ _MANIFEST_BATCH_ROWS = 65_536
 
 
 class SnapshotStore:
-    """Filesystem-backed snapshot store rooted at a warehouse directory."""
+    """Filesystem-backed snapshot store rooted at a warehouse directory.
 
-    def __init__(self, warehouse: str):
+    Every driver-side I/O goes through the ``fs`` accessor
+    (:mod:`moonlink_spark.fs`) — the posix default in the sandbox, an
+    object-store implementation on a real cluster."""
+
+    def __init__(self, warehouse: str, fs: PosixFileSystem | None = None):
         self.warehouse = os.path.abspath(warehouse)
+        self.fs = fs or DEFAULT_FS
 
     # -- paths -----------------------------------------------------------
     def abs(self, relpath: str) -> str:
@@ -161,19 +164,19 @@ class SnapshotStore:
     # -- lifecycle -------------------------------------------------------
     def init_warehouse(self) -> None:
         for d in (SNAPSHOT_DIR, DATA_DIR, DV_DIR, CHECKPOINT_DIR):
-            os.makedirs(os.path.join(self.warehouse, d), exist_ok=True)
+            self.fs.makedirs(os.path.join(self.warehouse, d))
 
     def exists(self) -> bool:
-        return os.path.isfile(os.path.join(self.snapshot_dir, VERSION_HINT))
+        return self.fs.is_file(
+            os.path.join(self.snapshot_dir, VERSION_HINT))
 
     def current_version(self) -> int:
         hint = os.path.join(self.snapshot_dir, VERSION_HINT)
-        with open(hint) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_bytes(hint).decode().strip())
 
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.snapshot_dir):
+        for name in self.fs.list(self.snapshot_dir):
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
@@ -182,8 +185,7 @@ class SnapshotStore:
     def read_snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
             version = self.current_version()
-        with open(self.header_path(version)) as f:
-            hdr = json.load(f)
+        hdr = json.loads(self.fs.read_bytes(self.header_path(version)))
         return Snapshot(
             version=hdr["version"],
             parent=hdr.get("parent"),
@@ -251,7 +253,7 @@ class SnapshotStore:
             entries = sorted(entries, key=lambda e: e["path"])
 
         path = self.manifest_path(version)
-        tmp = path + ".tmp"
+        tmp = path + ".manifest-tmp"
         writer = pq.ParquetWriter(tmp, schema, compression="zstd")
 
         def _flush(cols: dict) -> None:
@@ -293,7 +295,7 @@ class SnapshotStore:
                 _flush(cols)
         finally:
             writer.close()
-        os.rename(tmp, path)
+        self.fs.rename(tmp, path)
         return path
 
     def commit(
@@ -333,11 +335,15 @@ class SnapshotStore:
             "schema": schema,
             "properties": properties or {},
         }
-        _atomic_write(self.header_path(version),
-                      json.dumps(header, indent=1, sort_keys=True).encode())
-        # publish: CAS on the version hint
+        self.fs.write_atomic(
+            self.header_path(version),
+            json.dumps(header, indent=1, sort_keys=True).encode())
+        # publish: CAS on the version hint — the one operation whose
+        # atomicity the engine's multi-writer correctness rests on
+        # (posix: re-read + atomic rename; object store: etag-CAS
+        # conditional PUT — see fs.publish_cas)
         hint = os.path.join(self.snapshot_dir, VERSION_HINT)
-        if self.exists() and self.current_version() != current:
+        expected = None if current is None else str(current).encode()
+        if not self.fs.publish_cas(hint, str(version).encode(), expected):
             raise CommitConflict("concurrent commit detected at publish")
-        _atomic_write(hint, str(version).encode())
         return self.read_snapshot(version)

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import heapq
 import os
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -94,7 +93,7 @@ def load_files(
             rel = os.path.join(
                 DATA_DIR,
                 f"data-{job_tag}-v{base.version:06d}-{i:06d}.parquet")
-            shutil.copy2(ap, store.abs(rel))
+            store.fs.copy(ap, store.abs(rel))
         else:
             if not ap.startswith(store.warehouse + os.sep):
                 raise ValueError(
