@@ -175,6 +175,21 @@ def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
     }
 
 
+def run_cpu_calibration(spark, cpus: int, rows: int = 60_000_000) -> float:
+    """Pure-JVM compute probe (sha2 over a range) at the session's
+    thread level — measures how much parallel speedup the HOST actually
+    delivers right now, independent of the engine.  On this sandbox VM
+    the effective CPU capacity drifts session-to-session (burst
+    credits / noisy neighbors; measured 2026-08-17: 4→16 threads gave
+    only 2.4x on pure sha2), so an engine scaling number is only
+    interpretable next to a same-session calibration ceiling."""
+    t0 = time.time()
+    spark.range(0, rows, 1, cpus * 4).selectExpr(
+        "count(case when sha2(cast(id as string), 256) > 'f8' "
+        "then 1 end)").collect()
+    return round(time.time() - t0, 2)
+
+
 def run_queries(spark, sf_dir: str, names: list[str]) -> dict:
     from moonlink_spark.queries import QUERIES
     out = {}
@@ -210,28 +225,56 @@ def main() -> None:
         # (hypervisor CPU cap / DRAM bandwidth: lscpu reports 32
         # single-thread cores but load tops out ~16), not an engine
         # serial section (the single rewrite job has 160-248-task
-        # stages and no driver collect).  Protocol per level: 1 warm-up
-        # (page cache + JIT, measured 3x swing), then median of 3.
+        # stages and no driver collect).
+        #
+        # Anti-noise protocol (round-1 lesson: host capacity drifts >2x
+        # across sessions, dwarfing the scaling signal): the two levels
+        # run in INTERLEAVED blocks — N, 4N, then 4N, N (both orders) —
+        # each block a fresh session with one unmeasured warm-up then
+        # two measured runs; the per-level statistic is the median of
+        # the 4 measured runs, and the full run lists are reported so
+        # the spread is auditable.
+        levels = (4, 16)
+        all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
+        cpu_cal: dict[int, list[float]] = {lv: [] for lv in levels}
+        for block_order in (levels, tuple(reversed(levels))):
+            for cpus in block_order:
+                spark = make_spark(cpus, f"moonlink-bench-{cpus}")
+                run_maintenance(spark, wh, cpus=cpus, single_job=True)
+                cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
+                for _ in range(2):
+                    all_runs[cpus].append(
+                        run_maintenance(spark, wh, cpus=cpus,
+                                        single_job=True))
+                cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
+                spark.stop()
         results = {}
-        for cpus in (4, 16):
-            spark = make_spark(cpus, f"moonlink-bench-{cpus}")
-            run_maintenance(spark, wh, cpus=cpus, single_job=True)
-            spark.sparkContext._jvm.System.gc()
-            runs = []
-            for _ in range(3):
-                runs.append(run_maintenance(spark, wh, cpus=cpus,
-                                            single_job=True))
-                spark.sparkContext._jvm.System.gc()
-            runs.sort(key=lambda r: r["seconds"])
-            med = runs[1]
-            med["all_seconds"] = [r["seconds"] for r in runs]
-            results[cpus] = med
-            spark.stop()
+        for lv in levels:
+            runs = sorted(all_runs[lv], key=lambda r: r["seconds"])
+            med = dict(runs[len(runs) // 2])
+            med["all_seconds"] = sorted(r["seconds"] for r in all_runs[lv])
+            med["cpu_probe_seconds"] = sorted(cpu_cal[lv])
+            results[lv] = med
         t_n, t_4n = results[4]["seconds"], results[16]["seconds"]
         eff = round(t_n / (4 * t_4n), 3)
+        cal_n = sorted(cpu_cal[4])[len(cpu_cal[4]) // 2]
+        cal_4n = sorted(cpu_cal[16])[len(cpu_cal[16]) // 2]
+        host_speedup = round(cal_n / cal_4n, 3)
         print(json.dumps({
             "metric": "scaling_efficiency_4_to_16",
             "value": eff, "unit": "ratio", "sf": sf,
+            "protocol": "interleaved blocks both orders; per block: "
+                        "fresh session, 1 warm-up + 2 measured + "
+                        "pure-JVM sha2 CPU calibration; median per level",
+            "gb_per_min_local4": results[4]["gb_per_min"],
+            "gb_per_min_local16": results[16]["gb_per_min"],
+            # what 4x-the-threads is worth on THIS host right now, on
+            # embarrassingly-parallel pure-CPU work (the attainable
+            # ceiling; 4.0 = ideal hardware)
+            "host_cpu_speedup_4_to_16": host_speedup,
+            "engine_speedup_4_to_16": round(t_n / t_4n, 3),
+            "efficiency_vs_host_ceiling": round(
+                (t_n / t_4n) / host_speedup, 3),
             "local4": results[4], "local16": results[16],
         }))
         return
@@ -240,15 +283,21 @@ def main() -> None:
     t_all = time.time()
     # headline throughput uses the wide-job configuration; the
     # fine-grained resumable bin mode is exercised (and timed) by the
-    # pytest suite.  One unmeasured warm-up pass first: cold JVM/page
-    # cache costs ~2-3x (see BENCH.md), and steady-state is what the
-    # GB/min metric means.
+    # pytest suite.  One unmeasured warm-up pass first (cold JVM/page
+    # cache costs ~2-3x, see BENCH.md), then MEDIAN OF 3 measured runs:
+    # steady-state is what the GB/min metric means, and a single
+    # measured run is hostage to host-capacity drift (round-1 recorded
+    # 267 s for a run that repeatedly measures 75-85 s warm).
     run_maintenance(spark, wh, cpus=args.cpus, single_job=True)
-    maint = run_maintenance(spark, wh, cpus=args.cpus, single_job=True)
+    runs = [run_maintenance(spark, wh, cpus=args.cpus, single_job=True)
+            for _ in range(3)]
+    runs.sort(key=lambda r: r["seconds"])
+    maint = dict(runs[1])
+    maint["all_seconds"] = [r["seconds"] for r in runs]
     queries = {} if args.skip_queries else run_queries(
         spark, args.sf_dir, BENCH_QUERIES)
     total = round(time.time() - t_all, 2)
-    print(json.dumps({
+    record = {
         "metric": "e2e_sec",
         "value": total,
         "unit": "sec",
@@ -256,7 +305,25 @@ def main() -> None:
         "queries": queries,
         "maintenance": maint,
         "maintenance_gb_per_min": maint["gb_per_min"],
-    }))
+    }
+    # attach the committed scaling artifact (produced by
+    # `python bench.py --scaling`, ~25 min — too long to rerun inside
+    # every bench invocation) so the record carries both halves of the
+    # north metric; `scaling_recorded.recorded = true` marks it as a
+    # prior-run artifact, reproducible via the flag.
+    scal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+    if os.path.isfile(scal_path):
+        with open(scal_path) as f:
+            scal = json.load(f)
+        record["scaling_recorded"] = {
+            "recorded": True,
+            "value": scal.get("value"),
+            "gb_per_min_local4": scal.get("gb_per_min_local4"),
+            "gb_per_min_local16": scal.get("gb_per_min_local16"),
+            "protocol": scal.get("protocol"),
+        }
+    print(json.dumps(record))
     spark.stop()
 
 

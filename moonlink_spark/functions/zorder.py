@@ -155,6 +155,52 @@ def hilbert_interleave(buckets: list[np.ndarray], bits: int) -> np.ndarray:
 CURVES = {"morton": morton_interleave, "hilbert": hilbert_interleave}
 
 
+def _jvm_string_proxy(col):
+    """JVM twin of :func:`_string_proxy_np`: first-7-bytes big-endian
+    integer of the UTF-8 encoding, zero-padded, surfaced as double
+    (both sides round the same 56-bit integer to the nearest f64, so
+    ranks agree bit-for-bit with the numpy boundary computation)."""
+    b = F.encode(F.coalesce(col, F.lit("")), "UTF-8")
+    h = F.rpad(F.hex(F.substring(b, 1, 7)), 14, "0")
+    return F.conv(h, 16, 10).cast("double")
+
+
+def _jvm_rank(proxy, bnds: np.ndarray):
+    """#{boundary <= proxy} (``np.searchsorted`` side='right'), as a
+    whole-stage-codegen expression: a two-level search over *literal*
+    boundary arrays — a coarse filter over every-64th boundary picks the
+    block, a fine filter over that 64-element slice finishes.  ~128
+    comparisons/row instead of 4095 (flat filter measured 31 s / 4M
+    rows; two-level 3.0 s — faster than the pandas-UDF searchsorted it
+    replaces, and it scales with task slots instead of bottlenecking on
+    the Arrow→Python worker pipe)."""
+    vals = [float(x) for x in bnds]
+    if not vals:
+        return F.lit(0).cast("long")
+    block = 64
+    arr = F.lit(vals)
+    coarse = F.lit(vals[block - 1::block])
+    blk = F.size(F.filter(coarse, lambda b: b <= proxy))
+    fine = F.slice(arr, blk * block + 1, block)
+    return (blk * block
+            + F.size(F.filter(fine, lambda b: b <= proxy))).cast("long")
+
+
+def _jvm_morton(ranks: list, bits: int):
+    """JVM twin of :func:`morton_interleave` (same bit layout: dim 0
+    takes the higher interleaved bit)."""
+    ndim = len(ranks)
+    if ndim == 1:
+        return ranks[0].cast("long")
+    out = F.lit(0).cast("long")
+    for d, r in enumerate(ranks):
+        r = r.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, i * ndim + (ndim - 1 - d))
+    return out
+
+
 def with_zorder_key(
     df: DataFrame,
     columns: list[str],
@@ -164,12 +210,26 @@ def with_zorder_key(
     curve: str = "morton",
 ) -> DataFrame:
     """Append the space-filling-curve key column (Morton or Hilbert).
-    The pandas UDF captures the (small) boundary arrays in its closure —
-    they ship once per task via the serialized function, the batch work
-    is pure numpy."""
+
+    Morton (the default) is computed entirely JVM-side — rank via
+    two-level literal-array search, interleave via shift/or — keeping
+    the whole rewrite scan stage inside whole-stage codegen: no Arrow
+    round-trip of the clustering columns through Python (measured: the
+    pandas-UDF stage was the one part of the maintenance job that did
+    not scale with task slots).  Hilbert (stateful per-bit rotations)
+    stays a vectorized pandas UDF."""
     dtypes = dict(df.dtypes)
     col_kinds = [(c, dtypes[c] == "string") for c in columns]
     bnds = {c: np.asarray(boundaries[c], dtype=np.float64) for c in columns}
+
+    if curve == "morton":
+        ranks = []
+        for c, is_str in col_kinds:
+            proxy = (_jvm_string_proxy(F.col(c)) if is_str
+                     else F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+            ranks.append(_jvm_rank(proxy, bnds[c]))
+        return df.withColumn(out_col, _jvm_morton(ranks, bits))
+
     interleave = CURVES[curve]
 
     @pandas_udf(T.LongType())

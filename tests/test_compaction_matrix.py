@@ -138,6 +138,88 @@ def test_data_mode_deletion_trigger(spark, warehouse):
     assert sorted(surviving_ids(t, snap.version)) == [1, 2, 3, 4, 4]
 
 
+def test_compaction_after_index_merge(spark, warehouse):
+    """Reference matrix axis 'file indices merged' (compaction_tests.rs
+    cases *_*_2 / fileindex merge states): consolidate DV sidecars via
+    optimize('index') FIRST, then compact — the fold must read the
+    merged sidecars and produce the same survivors as compacting the
+    un-merged layout."""
+    files = [([i * 10 + 1, i * 10 + 2], [f"a{i}", f"b{i}"], [10, 20])
+             for i in range(20)]
+    store = SnapshotStore(warehouse)
+    store.init_warehouse()
+    entries = []
+    for i, (ids, names, ages) in enumerate(files):
+        e = write_users_file(store, i, ids, names, ages)
+        e["bounds"] = {"name": (min(names), max(names))}
+        # one tiny sidecar per file (the un-merged 1-1 layout,
+        # compaction_tests.rs axis (1)) deleting position 0
+        dv = write_users_dv(store, i, {e["path"]: ([0], e["rows"])})
+        e["dv_path"], e["dv_cardinality"] = dv, 1
+        entries.append(e)
+    store.commit(entries, schema=USERS_SCHEMA, stats_columns=("name",),
+                 properties={"flush_lsn": 1}, expected_parent=None)
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    expect = sorted(i * 10 + 2 for i in range(20))  # pos 0 deleted
+
+    s_idx = t.optimize("index")   # >=16 sidecars -> consolidation runs
+    assert s_idx.properties["operation"] == "optimize-index"
+    assert surviving_ids(t, s_idx.version) == expect
+
+    s_full = t.optimize("full")
+    assert surviving_ids(t, s_full.version) == expect
+    ents = SnapshotStore(warehouse).manifest_entries(s_full.version)
+    assert all((e["dv_cardinality"] or 0) == 0 for e in ents)
+    # reload via a second manager (compaction_tests.rs:318-376 shape)
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == expect
+
+
+def test_compaction_2_2_persisted_dv_plus_new_deletes(spark, warehouse):
+    """Reference case family 2_2: a file already carries a persisted DV
+    when MORE deletes arrive (committed via MERGE, producing a superset
+    sidecar — sync_deletion_vector merge semantics); the following
+    compaction folds the union of both delete generations."""
+    make_users_table(warehouse, [CANON], dvs={0: [1]})  # id 2 deleted
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    ch = spark.createDataFrame([(4, None, None, "delete")],
+                               "id int, name string, age int, _op string")
+    s_m = t.merge(ch, key_columns=["id"])
+    assert surviving_ids(t, s_m.version) == [1, 3]
+    s_c = t.optimize("full")
+    assert surviving_ids(t, s_c.version) == [1, 3]
+    ents = SnapshotStore(warehouse).manifest_entries(s_c.version)
+    assert len(ents) == 1 and (ents[0]["dv_cardinality"] or 0) == 0
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [1, 3]
+
+
+def test_compaction_2_3_mixed_partial_and_full(spark, warehouse):
+    """Reference case family 2_3: one input file has rows left after its
+    DV, another has none — compaction emits only survivors and the
+    fully-deleted file contributes nothing (rows_out sanity holds across
+    the mix; DVs live in separate sidecars like distinct puffin blobs)."""
+    store = SnapshotStore(warehouse)
+    store.init_warehouse()
+    e0 = write_users_file(store, 0, [1, 2, 3, 4],
+                          ["a", "b", "c", "d"], [10, 20, 30, 40])
+    e0["bounds"] = {"name": ("a", "d")}
+    e1 = write_users_file(store, 1, [9, 10], ["x", "y"], [90, 100])
+    e1["bounds"] = {"name": ("x", "y")}
+    dv0 = write_users_dv(store, 0, {e0["path"]: ([0, 2], e0["rows"])})
+    dv1 = write_users_dv(store, 1, {e1["path"]: ([0, 1], e1["rows"])})
+    e0["dv_path"], e0["dv_cardinality"] = dv0, 2
+    e1["dv_path"], e1["dv_cardinality"] = dv1, 2
+    store.commit([e0, e1], schema=USERS_SCHEMA, stats_columns=("name",),
+                 properties={"flush_lsn": 1}, expected_parent=None)
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [2, 4]
+    m = snap.properties["metrics"]
+    assert m["rows_out"] == m["rows_in"] - m["rows_deleted"] == 2
+    assert len(SnapshotStore(warehouse).manifest_entries(snap.version)) == 1
+
+
 def test_max_files_cap_smallest_first(spark, warehouse):
     """One data op takes at most max_files_to_compact candidates,
     smallest files first (snapshot_maintenance.rs:115-118)."""

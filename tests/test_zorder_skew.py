@@ -183,3 +183,47 @@ def test_salted_partition_balance(spark):
              .agg(F.count(F.lit(1)).alias("c")).collect()]
     assert len(sizes) >= 4          # spread over several partitions
     assert max(sizes) < 2000        # no single-partition pileup
+
+
+def test_jvm_zkey_matches_numpy_reference(spark):
+    """The JVM Morton path (two-level literal-array rank + shift/or
+    interleave) must agree bit-for-bit with the numpy reference
+    (_string_proxy_np + searchsorted + morton_interleave) — same proxy,
+    same f64 rounding, same boundary comparisons — across empty strings,
+    NULLs, unicode, shared prefixes, and >7-byte strings."""
+    import random
+
+    from moonlink_spark.functions.zorder import (
+        _string_proxy_np,
+        compute_zorder_boundaries,
+        morton_interleave,
+        with_zorder_key,
+    )
+    import pandas as pd
+
+    rng = random.Random(99)
+    strings = (["", "a", "zz", "ümlaut-unicode-日本語", "prefix/shared/x",
+                "prefix/shared/y", "exactly7", "longer-than-seven-bytes"]
+               + [f"org{rng.randint(0, 9)}/repo{rng.randint(0, 999):04d}"
+                  for _ in range(200)])
+    rows = [(s if s != "a" or i % 7 else None,  # sprinkle NULLs
+             float(rng.randint(-500, 500)))
+            for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "repo string, score double")
+    bnds = compute_zorder_boundaries(df, ["repo", "score"], bits=12)
+
+    got = {(r["repo"], r["score"]): r["_zkey"] for r in
+           with_zorder_key(df, ["repo", "score"], bnds,
+                           bits=12, curve="morton").collect()}
+
+    pdf = pd.DataFrame(rows, columns=["repo", "score"])
+    bx = np.searchsorted(bnds["repo"],
+                         _string_proxy_np(pdf["repo"].astype(str)
+                                          .where(pdf["repo"].notna(), "")),
+                         side="right")
+    by = np.searchsorted(bnds["score"],
+                         pdf["score"].fillna(0).to_numpy(np.float64),
+                         side="right")
+    expect = morton_interleave([bx, by], 12)
+    for (row, zk) in zip(rows, expect):
+        assert got[row] == int(zk), f"mismatch for {row}"
