@@ -1,0 +1,243 @@
+"""Multi-table catalog: many MoonTables behind one base path.
+
+Mirrors the reference's two-layer table-management surface:
+
+- ``moonlink_backend::MoonlinkBackend`` keys every public operation by
+  ``(database, table)`` and exposes ``create_table`` / ``drop_table`` /
+  ``list_tables`` (``moonlink_backend/src/lib.rs:168-341``), with
+  ``drop_table`` idempotent (returns Ok when the table doesn't exist,
+  ``lib.rs:263-279``) and ``list_tables`` returning per-table
+  ``TableStatus {database, table, commit_lsn, flush_lsn, cardinality,
+  iceberg_warehouse_location}`` (``table_status.rs:5-17``).
+- a durable metadata store holding one config entry per table that
+  recovery enumerates (``MetadataStoreTrait::{store_table_metadata,
+  delete_table_metadata, get_all_table_metadata_entries}``,
+  ``moonlink_metadata_store/src/base_metadata_store.rs:30-67``; sqlite /
+  postgres backends).
+
+Spark-first translation: the metadata store is a directory of small JSON
+entries (one per table, atomically written through the filesystem
+accessor seam — object-store safe), NOT a database: entry count equals
+table count, which is driver-scale by construction.  Each table's data
+lives in its own warehouse directory ``{base}/{database}/{table}`` with
+its own independent snapshot lineage, so per-table commits never
+contend across tables (moonlink likewise runs one event loop per table,
+``table_handler.rs``).
+
+Layout::
+
+    base_path/
+      _metadata/{database}/{table}.json   # config entry (the registry)
+      {database}/{table}/                 # that table's warehouse
+        snapshots/  data/  dv/  checkpoints/
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from dataclasses import asdict
+from typing import Any
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.fs import DEFAULT_FS, PosixFileSystem
+from moonlink_spark.snapshotstore import SnapshotStore
+
+METADATA_DIR = "_metadata"
+
+
+class TableExists(ValueError):
+    """create_table precondition violated: the id is already registered
+    (cf. ``store_table_metadata`` precondition,
+    ``base_metadata_store.rs:50-55``)."""
+
+
+class NoSuchTable(KeyError):
+    """Operation on an unregistered (database, table) id."""
+
+
+def _validate_not_empty(value: str, what: str) -> None:
+    # lib.rs:178-179 validate_not_empty; also reject path separators so
+    # an id can never escape the base path.
+    if not value or "/" in value or os.sep in value or value.startswith("."):
+        raise ValueError(f"invalid {what}: {value!r}")
+
+
+def _config_to_json(config: TableConfig) -> dict:
+    return asdict(config)
+
+
+def _config_from_json(d: dict) -> TableConfig:
+    comp = CompactionConfig(**d["compaction"])
+    kw = {k: v for k, v in d.items() if k != "compaction"}
+    kw["zorder_columns"] = tuple(kw["zorder_columns"])
+    kw["stats_columns"] = tuple(kw["stats_columns"])
+    return TableConfig(compaction=comp, **kw)
+
+
+class Catalog:
+    """Registry + factory for :class:`MoonTable` instances under one
+    base path."""
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 fs: PosixFileSystem | None = None):
+        self.spark = spark
+        self.base_path = os.path.abspath(base_path)
+        self.fs = fs or DEFAULT_FS
+
+    # -- paths -----------------------------------------------------------
+    def _entry_path(self, database: str, table: str) -> str:
+        return os.path.join(self.base_path, METADATA_DIR, database,
+                            f"{table}.json")
+
+    def warehouse_path(self, database: str, table: str) -> str:
+        return os.path.join(self.base_path, database, table)
+
+    # -- registry --------------------------------------------------------
+    def table_exists(self, database: str, table: str) -> bool:
+        return self.fs.is_file(self._entry_path(database, table))
+
+    def _read_entry(self, database: str, table: str) -> dict:
+        path = self._entry_path(database, table)
+        if not self.fs.is_file(path):
+            raise NoSuchTable(f"{database}.{table}")
+        return json.loads(self.fs.read_bytes(path))
+
+    def _entries(self) -> list[dict]:
+        """All registered table entries — the analogue of
+        ``get_all_table_metadata_entries`` (recovery enumerates this,
+        ``recovery_utils.rs``)."""
+        root = os.path.join(self.base_path, METADATA_DIR)
+        out = []
+        if not self.fs.is_dir(root):
+            return out
+        for database in sorted(self.fs.list(root)):
+            ddir = os.path.join(root, database)
+            if not self.fs.is_dir(ddir):
+                continue
+            for name in sorted(self.fs.list(ddir)):
+                if name.endswith(".json"):
+                    out.append(json.loads(
+                        self.fs.read_bytes(os.path.join(ddir, name))))
+        return out
+
+    # -- lifecycle -------------------------------------------------------
+    def create_table(self, database: str, table: str, *,
+                     schema: list[str],
+                     schema_types: dict[str, str] | None = None,
+                     config: TableConfig | None = None) -> MoonTable:
+        """Register a new table and commit its empty v0 snapshot.
+
+        ``schema`` is the column list (must include ``_pos``, the
+        row-position column every moonlink-style table carries);
+        ``schema_types`` maps column → Spark DDL type (default string —
+        the north-rule table) and drives typed manifest bounds.
+        """
+        _validate_not_empty(database, "database")
+        _validate_not_empty(table, "table")
+        if self.table_exists(database, table):
+            raise TableExists(f"{database}.{table} already exists")
+        if "_pos" not in schema:
+            raise ValueError("schema must include the `_pos` position "
+                             "column (row identity for delete vectors)")
+        config = config or TableConfig()
+        types = dict(schema_types or {})
+        for c in schema:
+            types.setdefault(c, "bigint" if c == "_pos" else "string")
+        ddl = ", ".join(f"`{c}` {types[c]}" for c in schema)
+
+        wh = self.warehouse_path(database, table)
+        store = SnapshotStore(wh, self.fs)
+        store.init_warehouse()
+        if not store.exists():
+            store.commit(
+                [], schema=schema,
+                stats_columns=config.stats_columns,
+                properties={"flush_lsn": 0, "operation": "create-table",
+                            "schema_types": types, "schema_ddl": ddl},
+                expected_parent=None)
+
+        entry = {
+            "database": database,
+            "table": table,
+            # relative so the whole base path can be moved / mirrored
+            "warehouse": posixpath.join(database, table),
+            "table_config": _config_to_json(config),
+        }
+        self.fs.makedirs(os.path.dirname(self._entry_path(database, table)))
+        self.fs.write_atomic(
+            self._entry_path(database, table),
+            json.dumps(entry, indent=1, sort_keys=True).encode())
+        return MoonTable(self.spark, wh, config)
+
+    def get_table(self, database: str, table: str) -> MoonTable:
+        """Open a registered table with its stored config."""
+        entry = self._read_entry(database, table)
+        config = _config_from_json(entry["table_config"])
+        return MoonTable(
+            self.spark, os.path.join(self.base_path, entry["warehouse"]),
+            config)
+
+    def drop_table(self, database: str, table: str) -> bool:
+        """Unregister and delete a table.  Idempotent: returns False if
+        the table was not registered (``lib.rs:263-279`` returns Ok on
+        missing tables).  The registry entry is removed FIRST so a crash
+        mid-drop leaves an orphaned-but-unregistered directory (cleaned
+        by a later drop_table call), never a registered table with
+        missing data."""
+        path = self._entry_path(database, table)
+        existed = self.fs.is_file(path)
+        if existed:
+            self.fs.remove(path)
+        wh = self.warehouse_path(database, table)
+        if self.fs.is_dir(wh):
+            self.fs.rmtree(wh)
+        return existed
+
+    # -- status ----------------------------------------------------------
+    def list_tables(self) -> list[dict[str, Any]]:
+        """Per-table status rows — the ``TableStatus`` analogue
+        (``table_status.rs:5-17``): database, table, current version,
+        flush_lsn, live-row cardinality, warehouse location.
+
+        Cardinality is summed from the manifest's ``rows`` /
+        ``dv_cardinality`` columns only (columnar projection — two int64
+        columns even for a 10^8-entry manifest; never the file list)."""
+        out = []
+        for entry in self._entries():
+            wh = os.path.join(self.base_path, entry["warehouse"])
+            store = SnapshotStore(wh, self.fs)
+            status = {
+                "database": entry["database"],
+                "table": entry["table"],
+                "version": None,
+                "flush_lsn": None,
+                "cardinality": None,
+                "warehouse_location": wh,
+            }
+            if store.exists():
+                snap = store.read_snapshot()
+                t = pq.read_table(snap.manifest_path,
+                                  columns=["rows", "dv_cardinality"])
+                rows = pc.sum(t.column("rows")).as_py() or 0
+                dv = pc.sum(t.column("dv_cardinality")).as_py() or 0
+                status.update({
+                    "version": snap.version,
+                    "flush_lsn": snap.flush_lsn,
+                    "cardinality": int(rows - dv),
+                })
+            out.append(status)
+        return out
+
+    def get_table_schema(self, database: str, table: str) -> list[str]:
+        """Current column list (``get_table_schema``, ``lib.rs:310-322``)."""
+        entry = self._read_entry(database, table)
+        store = SnapshotStore(
+            os.path.join(self.base_path, entry["warehouse"]), self.fs)
+        return store.read_snapshot().schema

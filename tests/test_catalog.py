@@ -1,0 +1,132 @@
+"""Multi-table catalog tests.
+
+Behavioral contract from the reference backend
+(``moonlink_backend/src/lib.rs:168-341``): create/drop/list keyed by
+(database, table); drop is idempotent; list returns per-table status
+(version, flush_lsn, cardinality, location); the metadata registry is
+durable (a fresh Catalog over the same base path sees every table —
+the recovery path, ``base_metadata_store.rs:41``); tables are fully
+independent (commits to one never touch another's lineage).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog, NoSuchTable, TableExists
+from moonlink_spark.config import CompactionConfig, TableConfig
+
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+
+
+def mk_catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "base"))
+
+
+def seed_rows(spark, table, n=50, tag="a"):
+    df = spark.range(n).select(
+        F.concat(F.lit(f"repo-{tag}-"), (F.col("id") % 5).cast("string")
+                 ).alias("repo"),
+        F.concat(F.lit("src/"), F.col("id").cast("string"),
+                 F.lit(".py")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("content-"), F.col("id").cast("string")
+                 ).alias("content"),
+        F.lit("upsert").alias("_op"),
+    )
+    return table.merge(df, key_columns=["repo", "path"], job_tag=f"seed{tag}")
+
+
+def test_create_get_roundtrip_config(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    cfg = TableConfig(
+        zorder_columns=("repo",), stats_columns=("repo", "path"),
+        zorder_bits=10, zorder_curve="hilbert",
+        compaction=CompactionConfig(target_file_bytes=1 << 20))
+    cat.create_table("db1", "events", schema=SCHEMA, config=cfg)
+    t = cat.get_table("db1", "events")
+    assert t.config == cfg
+    assert t.current_version() == 0
+    assert cat.get_table_schema("db1", "events") == SCHEMA
+
+
+def test_create_duplicate_refused_and_bad_names(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    cat.create_table("db1", "t", schema=SCHEMA)
+    with pytest.raises(TableExists):
+        cat.create_table("db1", "t", schema=SCHEMA)
+    for bad in ("", "a/b", "..", ".hidden"):
+        with pytest.raises(ValueError):
+            cat.create_table(bad, "t2", schema=SCHEMA)
+        with pytest.raises(ValueError):
+            cat.create_table("db", bad, schema=SCHEMA)
+    with pytest.raises(ValueError):
+        cat.create_table("db1", "nopos", schema=["a", "b"])
+
+
+def test_tables_independent_and_status(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    ta = cat.create_table("db1", "alpha", schema=SCHEMA)
+    cat.create_table("db2", "beta", schema=SCHEMA)
+    seed_rows(spark, ta, n=40, tag="a")
+
+    tb = cat.get_table("db2", "beta")
+    assert tb.current_version() == 0  # untouched by alpha's merge
+    assert cat.get_table("db1", "alpha").current_version() == 1
+
+    statuses = {(s["database"], s["table"]): s for s in cat.list_tables()}
+    assert set(statuses) == {("db1", "alpha"), ("db2", "beta")}
+    assert statuses[("db1", "alpha")]["cardinality"] == 40
+    assert statuses[("db2", "beta")]["cardinality"] == 0
+    assert statuses[("db1", "alpha")]["version"] == 1
+
+
+def test_registry_durable_across_instances(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    t = cat.create_table("db1", "t", schema=SCHEMA)
+    seed_rows(spark, t, n=30)
+    # a brand-new Catalog (fresh process analogue) sees the table with
+    # its config and data — get_all_table_metadata_entries recovery
+    cat2 = mk_catalog(spark, tmp_path)
+    assert cat2.table_exists("db1", "t")
+    t2 = cat2.get_table("db1", "t")
+    assert t2.scan().count() == 30
+
+
+def test_drop_idempotent_and_removes_data(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    t = cat.create_table("db1", "t", schema=SCHEMA)
+    seed_rows(spark, t, n=10)
+    assert cat.drop_table("db1", "t") is True
+    assert not cat.table_exists("db1", "t")
+    with pytest.raises(NoSuchTable):
+        cat.get_table("db1", "t")
+    # idempotent second drop (lib.rs:263-279 returns Ok when missing)
+    assert cat.drop_table("db1", "t") is False
+    # recreate under the same id starts from scratch
+    t3 = cat.create_table("db1", "t", schema=SCHEMA)
+    assert t3.current_version() == 0
+    assert t3.scan().count() == 0
+
+
+def test_typed_schema_flows_to_bounds(spark, tmp_path):
+    cat = mk_catalog(spark, tmp_path)
+    schema = ["id", "name", "_pos"]
+    t = cat.create_table(
+        "db1", "typed", schema=schema,
+        schema_types={"id": "int", "name": "string"},
+        config=TableConfig(zorder_columns=("id",),
+                           stats_columns=("id", "name")))
+    df = spark.range(100).select(
+        F.col("id").cast("int"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.lit("upsert").alias("_op"))
+    t.merge(df, key_columns=["id"], job_tag="typed")
+    entry = json.loads(
+        t.store.fs.read_bytes(t.store.header_path(1)))
+    assert entry["properties"]["schema_types"]["id"] == "int"
+    # int-typed manifest bounds, not lexicographic strings
+    ents = t.store.manifest_entries(1)
+    assert all(isinstance(e["min_id"], int) for e in ents)
