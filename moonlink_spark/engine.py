@@ -75,6 +75,14 @@ class MoonTable:
     def manifest(self, version: int | None = None) -> DataFrame:
         return self.store.manifest_df(self.spark, version)
 
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Row-level change events committed after ``from_version`` (the
+        incremental-read surface; see :mod:`operators.changelog`)."""
+        from moonlink_spark.operators import changelog
+        return changelog.changes(self.spark, self.store,
+                                 from_version, to_version)
+
     # -- maintenance -----------------------------------------------------
     def optimize(self, mode: str = "data", *,
                  max_bins: int | None = None) -> Snapshot:
@@ -470,9 +478,12 @@ class MoonTable:
             expected_parent=base.version, presorted=True)
 
     # -- retention -------------------------------------------------------
-    def expire_snapshots(self, retain_last: int = 2) -> dict:
-        return expire_op.expire_snapshots(self.spark, self.store,
-                                          retain_last=retain_last)
+    def expire_snapshots(self, retain_last: int = 2, *,
+                         clean_tmp_older_than_seconds: float = 24 * 3600
+                         ) -> dict:
+        return expire_op.expire_snapshots(
+            self.spark, self.store, retain_last=retain_last,
+            clean_tmp_older_than_seconds=clean_tmp_older_than_seconds)
 
     # -- observability ---------------------------------------------------
     def metrics(self, job_id: str | None = None) -> list[dict]:

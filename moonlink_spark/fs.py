@@ -58,6 +58,10 @@ class PosixFileSystem:
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modified epoch seconds (object store: LastModified)."""
+        return os.path.getmtime(path)
+
     def list(self, path: str) -> list[str]:
         return os.listdir(path)
 

@@ -24,6 +24,7 @@ compacted-away files alive until release in the reference
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -40,14 +41,43 @@ def _list_files(store: SnapshotStore) -> list[str]:
     return out
 
 
+def _clean_stale_tmp(store: SnapshotStore, older_than_seconds: float,
+                     now: float) -> list[str]:
+    """Remove ``tmp/{job}`` work directories whose newest file is older
+    than the threshold — the leftovers of jobs that crashed between
+    writing their spark output and renaming it into place (the reference
+    deletes evicted/abandoned cache files from detached tasks,
+    ``table_handler.rs:187-200``).  Age-gated so a concurrent in-flight
+    job's live tmp dir is never pulled out from under it (same contract
+    as Iceberg's ``remove_orphan_files(older_than)``)."""
+    root = os.path.join(store.warehouse, "tmp")
+    removed = []
+    if not store.fs.is_dir(root):
+        return removed
+    for job in sorted(store.fs.list(root)):
+        jdir = os.path.join(root, job)
+        try:
+            newest = max((store.fs.mtime(p)
+                          for p in store.fs.walk_files(jdir)),
+                         default=store.fs.mtime(jdir))
+        except OSError:
+            continue  # vanished concurrently (its owner finished)
+        if now - newest >= older_than_seconds:
+            store.fs.rmtree(jdir)
+            removed.append(os.path.join("tmp", job))
+    return removed
+
+
 def expire_snapshots(
     spark: SparkSession,
     store: SnapshotStore,
     *,
     retain_last: int = 2,
+    clean_tmp_older_than_seconds: float = 24 * 3600,
 ) -> dict:
     """Expire all but the newest ``retain_last`` versions; delete orphaned
-    data/DV files.  Returns {"expired_versions", "deleted_files"}."""
+    data/DV files and stale crashed-job tmp directories.  Returns
+    {"expired_versions", "deleted_files", "deleted_tmp_dirs"}."""
     retain_last = max(1, retain_last)
     versions = store.versions()
     keep = versions[-retain_last:]
@@ -73,4 +103,7 @@ def expire_snapshots(
     for v in drop:
         store.fs.remove(store.header_path(v))
         store.fs.remove(store.manifest_path(v))
-    return {"expired_versions": drop, "deleted_files": sorted(orphans)}
+    tmp_removed = _clean_stale_tmp(store, clean_tmp_older_than_seconds,
+                                   now=time.time())
+    return {"expired_versions": drop, "deleted_files": sorted(orphans),
+            "deleted_tmp_dirs": tmp_removed}

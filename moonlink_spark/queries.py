@@ -901,3 +901,41 @@ def maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("path").alias("n_paths"),
                  F.min(F.sha2(F.col("content"), 256)).alias("min_sha"),
                  F.max(F.sha2(F.col("content"), 256)).alias("max_sha")))
+
+
+@_register("changelog_diff")  # no oracle: stateful multi-commit pipeline
+def changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read: synthesize an aftermath, apply a deterministic
+    change batch (deletes + upserts + inserts), run a content-preserving
+    optimize, and return the per-type/per-version event audit of
+    ``changes()`` across the whole window.  The compaction commit must
+    contribute zero events (replace semantics); the replay invariant
+    (scan(A) + changelog == scan(B)) is enforced in
+    ``tests/test_changelog.py``."""
+    import tempfile
+
+    from moonlink_spark.engine import MoonTable
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+
+    wh = tempfile.mkdtemp(prefix="moonlink-chlog-")
+    synthesize_cdc_aftermath(wh, seed=13, n_files=24,
+                             rows_per_file=(40, 120), n_repos=6,
+                             content_bytes=(64, 256))
+    table = MoonTable(spark, wh)
+    live = table.scan()
+    keys = ["repo", "path", "commit"]
+    dels = (live.orderBy(*keys).limit(25)
+            .select(*[F.col(c) for c in live.columns if c != "_pos"])
+            .withColumn("_op", F.lit("delete")))
+    ups = (live.orderBy(F.desc("path"), "repo", "commit").limit(10)
+           .select(*[F.col(c) for c in live.columns if c != "_pos"])
+           .withColumn("content", F.concat(F.lit("edited:"), F.col("path")))
+           .withColumn("_op", F.lit("upsert")))
+    table.merge(dels.unionByName(ups), key_columns=keys, job_tag="chg")
+    table.optimize("full")  # must emit nothing
+    ch = table.changes(0)
+    return (ch.groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(F.sha2(F.concat_ws("|", "repo", "path", "commit"),
+                              256)).alias("min_key_sha"))
+            .orderBy("_commit_version", "_change_type"))

@@ -41,9 +41,16 @@ def _entry_for(store: SnapshotStore, rel: str,
 
 
 def _ddl_of(t: pa.DataType) -> str:
-    """Arrow type → DDL name for the manifest's typed bounds (cf. the
-    type map moonlink's stats aggregation covers,
-    ``parquet_stats_utils.rs:180-320``)."""
+    """Arrow type → Spark DDL for the column (drives both the pinned
+    read schema and the manifest's typed bounds; cf. the type map
+    moonlink's stats aggregation covers,
+    ``parquet_stats_utils.rs:180-320``, and its array/struct row values,
+    ``row/moonlink_type.rs:5-21``).
+
+    Nested types (array/struct/map) get their full DDL — they must
+    round-trip through the pinned scan schema even though their manifest
+    bounds stay NULL (``bound_type`` knows only scalar types; NULL
+    bounds mean conservatively-never-pruned, not unsupported data)."""
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_boolean(t):
@@ -60,7 +67,14 @@ def _ddl_of(t: pa.DataType) -> str:
         return "date"
     if pa.types.is_timestamp(t):
         return "timestamp"
-    return "binary"  # unsupported for bounds — stored as NULL (kept)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return "binary"
+    try:
+        from pyspark.sql.pandas.types import from_arrow_type
+        return from_arrow_type(t).simpleString()
+    except Exception:
+        return "binary"  # unknown — NULL bounds, file always kept
 
 
 def load_files(

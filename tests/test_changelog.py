@@ -1,0 +1,114 @@
+"""Changelog (incremental read) tests.
+
+Invariants:
+- replaying the changelog on top of scan(A) reproduces scan(B) exactly
+  (the CDC-consumer contract — inserts applied, deletes removed);
+- optimize/compaction commits emit NO events (content-preserving
+  replace), metadata-only commits emit none;
+- delete events carry the deleted row's payload;
+- the window composes: changes(a,b) ∪ changes(b,c) == changes(a,c).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import CompactionConfig, TableConfig
+
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+KEYS = ["repo", "path"]
+
+
+def rows_df(spark, ids, tag="x"):
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id int")
+    return ids_df.select(
+        F.concat(F.lit("r"), (F.col("id") % 4).cast("string")).alias("repo"),
+        F.concat(F.lit("p/"), F.col("id").cast("string")).alias("path"),
+        F.concat(F.lit(tag), F.lit("-c"), F.col("id")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit(tag), F.lit("-content-"), F.col("id")
+                 ).alias("content"),
+        F.lit("upsert").alias("_op"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "base"))
+    t = cat.create_table(
+        "db", "t", schema=SCHEMA,
+        config=TableConfig(
+            compaction=CompactionConfig(min_files_to_compact=2,
+                                        target_file_bytes=1 << 20)))
+    t.merge(rows_df(spark, range(100), tag="v1"), key_columns=KEYS,
+            job_tag="m1")                                    # v1: +100
+    return t
+
+
+def key_set(df):
+    return {(r["repo"], r["path"], r["_change_type"])
+            for r in df.select("repo", "path", "_change_type").collect()}
+
+
+def test_inserts_and_deletes_reported(spark, table):
+    t = table
+    dels = rows_df(spark, range(10), tag="v1") \
+        .withColumn("_op", F.lit("delete"))
+    t.merge(dels, key_columns=KEYS, job_tag="m2")            # v2: -10
+    t.merge(rows_df(spark, range(100, 120), tag="v3"),
+            key_columns=KEYS, job_tag="m3")                  # v3: +20
+
+    ch = t.changes(1)  # v2..v3
+    counts = dict(ch.groupBy("_change_type").count().collect())
+    assert counts == {"delete": 10, "insert": 20}
+    # delete events carry the deleted payload
+    one = ch.filter((F.col("_change_type") == "delete")
+                    & (F.col("path") == "p/3")).collect()
+    assert len(one) == 1 and one[0]["content"] == "v1-content-3"
+    # versions stamped
+    vers = {r["_commit_version"] for r in
+            ch.select("_commit_version").distinct().collect()}
+    assert vers == {2, 3}
+
+
+def test_replay_reproduces_target_snapshot(spark, table):
+    t = table
+    # upsert = delete+insert for 15 existing keys, plus 5 new
+    t.merge(rows_df(spark, list(range(50, 65)) + list(range(200, 205)),
+                    tag="v2"), key_columns=KEYS, job_tag="m2")
+    ch = t.changes(1, 2)
+    base = t.scan(1).select("repo", "path", "content")
+    ins = ch.filter(F.col("_change_type") == "insert") \
+        .select("repo", "path", "content")
+    rm = ch.filter(F.col("_change_type") == "delete") \
+        .select("repo", "path")
+    replayed = base.join(rm, on=KEYS, how="left_anti").unionByName(ins)
+    want = t.scan(2).select("repo", "path", "content")
+    assert replayed.exceptAll(want).count() == 0
+    assert want.exceptAll(replayed).count() == 0
+
+
+def test_compaction_and_metadata_commits_emit_nothing(spark, table):
+    t = table
+    dels = rows_df(spark, range(5), tag="v1") \
+        .withColumn("_op", F.lit("delete"))
+    t.merge(dels, key_columns=KEYS, job_tag="m2")            # v2
+    v_before = t.current_version()
+    t.optimize("full")                                       # replace
+    t.create_snapshot()                                      # metadata
+    t.add_column("license", default="mit")                   # metadata
+    assert t.current_version() == v_before + 3
+    assert t.changes(v_before).count() == 0
+    # while the logical window before still reports its events
+    assert t.changes(1, v_before).count() == 5
+
+
+def test_windows_compose(spark, table):
+    t = table
+    t.merge(rows_df(spark, range(100, 110), tag="v2"),
+            key_columns=KEYS, job_tag="m2")
+    dels = rows_df(spark, range(20, 30), tag="v1") \
+        .withColumn("_op", F.lit("delete"))
+    t.merge(dels, key_columns=KEYS, job_tag="m3")
+    a = key_set(t.changes(1, 2)) | key_set(t.changes(2, 3))
+    assert a == key_set(t.changes(1, 3))
+    assert len(a) == 20

@@ -1,0 +1,108 @@
+"""Nested-type round-trip + crashed-job tmp cleanup.
+
+Reference parity: moonlink rows carry Array/Struct values
+(``row/moonlink_type.rs:5-21``); its stats aggregation skips types it
+can't bound (files stay un-pruned, never wrong).  Abandoned work files
+from crashed detached tasks are deleted later (``table_handler.rs:
+187-200``) — here via age-gated tmp cleanup inside expire_snapshots.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import TableConfig
+
+NESTED_SCHEMA = ["id", "tags", "meta", "content", "_pos"]
+NESTED_TYPES = {
+    "id": "bigint",
+    "tags": "array<string>",
+    "meta": "struct<stars:int,forks:int>",
+    "content": "string",
+}
+
+
+@pytest.fixture()
+def nested_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "base"))
+    return cat.create_table(
+        "db", "nested", schema=NESTED_SCHEMA, schema_types=NESTED_TYPES,
+        config=TableConfig(zorder_columns=("id",),
+                           stats_columns=("id", "content")))
+
+
+def nested_df(spark, n=200):
+    return spark.range(n).select(
+        "id",
+        F.array(F.concat(F.lit("t"), (F.col("id") % 7).cast("string")),
+                F.lit("common")).alias("tags"),
+        F.struct((F.col("id") % 50).cast("int").alias("stars"),
+                 (F.col("id") % 9).cast("int").alias("forks")).alias("meta"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("content"),
+        F.lit("upsert").alias("_op"))
+
+
+def test_nested_columns_roundtrip_merge_and_compaction(spark, nested_table):
+    t = nested_table
+    t.merge(nested_df(spark), key_columns=["id"], job_tag="seed")
+    got = t.scan().select("id", "tags", "meta").orderBy("id").collect()
+    assert len(got) == 200
+    assert got[13]["tags"] == ["t6", "common"]
+    assert got[13]["meta"]["stars"] == 13
+
+    # nested bounds are NULL (unboundable) but scalar ones are typed
+    ents = t.store.manifest_entries()
+    assert all(isinstance(e["min_id"], int) for e in ents)
+    assert not any(f"min_tags" in e for e in ents)
+
+    # delete through nested rows, then CoW-fold; nested payload survives
+    # (CDC deletes carry the full row, like moonlink's delete(row))
+    dels = nested_df(spark, 50).withColumn("_op", F.lit("delete"))
+    t.merge(dels, key_columns=["id"], job_tag="del")
+    snap = t.optimize("full")
+    rows = t.scan(snap.version).orderBy("id").collect()
+    assert len(rows) == 150
+    assert rows[0]["id"] == 50
+    assert rows[0]["meta"]["stars"] == 0 and rows[0]["tags"][1] == "common"
+
+
+def test_nested_bulk_load_infers_full_ddl(spark, tmp_path, nested_table):
+    t = nested_table
+    src = str(tmp_path / "import")
+    (nested_df(spark, 40).drop("_op")
+     .withColumn("_pos", F.col("id"))
+     .coalesce(1).write.parquet(src))
+    pq_file = [os.path.join(src, f) for f in os.listdir(src)
+               if f.endswith(".parquet")]
+    t.load_files(pq_file, copy=True)
+    assert t.scan().count() == 40
+    types = t.store.read_snapshot().properties["schema_types"]
+    assert types["tags"] == "array<string>"
+    assert types["meta"].startswith("struct<")
+
+
+def test_expire_cleans_stale_tmp_dirs_only(spark, nested_table):
+    t = nested_table
+    t.merge(nested_df(spark, 30), key_columns=["id"], job_tag="seed")
+    t.create_snapshot()
+    wh = t.store.warehouse
+    # a crashed job's leftovers (old) and an in-flight job's dir (fresh)
+    stale = os.path.join(wh, "tmp", "merge-v000001-deadbeef")
+    fresh = os.path.join(wh, "tmp", "opt-full-v000002")
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+    old = time.time() - 48 * 3600
+    os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
+    os.utime(stale, (old, old))
+
+    out = t.expire_snapshots(retain_last=1)
+    assert out["deleted_tmp_dirs"] == ["tmp/merge-v000001-deadbeef"]
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # age gate protects live jobs
+    # scan still healthy after cleanup
+    assert t.scan().count() == 30
