@@ -409,6 +409,55 @@ class MoonTable:
             properties=props,
             expected_parent=base.version, presorted=True)
 
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest first: one row per retained version with
+        its parent, operation, flush_lsn, committed-at time (from the
+        immutable header object's timestamp) and job id — the table's
+        analogue of the per-snapshot metadata moonlink accumulates in
+        its version-hinted catalog (``file_catalog.rs:606-624``)."""
+        out = []
+        for v in self.store.versions():
+            s = self.store.read_snapshot(v)
+            out.append({
+                "version": v,
+                "parent": s.parent,
+                "operation": s.properties.get("operation"),
+                "job_id": s.properties.get("job_id"),
+                "flush_lsn": s.flush_lsn,
+                "committed_at": self.store.fs.mtime(
+                    self.store.header_path(v)),
+            })
+        return out
+
+    def rollback_to(self, version: int) -> Snapshot:
+        """Restore the table to ``version``'s content by committing a
+        NEW version whose manifest is a copy of the target's (history
+        stays immutable — nothing is deleted, exactly like Iceberg's
+        rollback; moonlink itself never rolls back, its catalog only
+        moves forward, ``file_catalog.rs:589-673``).  The target must
+        not be expired.  The manifest is streamed, never materialized.
+
+        The commit is stamped ``operation='rollback'``: the changelog
+        refuses windows that cross it (the row-level diff of a rollback
+        is not representable as forward CDC events without re-deriving
+        it from both manifests — callers re-sync from a fresh base
+        instead)."""
+        base = self.store.read_snapshot()
+        target = self.store.read_snapshot(version)
+        props = dict(target.properties)
+        props.update({
+            "flush_lsn": base.flush_lsn + 1,
+            "operation": "rollback",
+            "rollback_of": version,
+            "job_id": f"rollback-v{version:06d}-from-v{base.version:06d}",
+        })
+        return self.store.commit(
+            self.store.manifest_rows_iter(version),
+            schema=target.schema,
+            stats_columns=self.config.stats_columns,
+            properties=props,
+            expected_parent=base.version, presorted=True)
+
     # -- schema evolution (add/drop columns only, mirroring
     #    mooncake_table.rs:616-651 / file_catalog.rs:685-704) -----------
     POS_COL = "_pos"

@@ -194,6 +194,57 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return voted.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(fp: DataFrame, id_col: str = "doc_id",
+                          fp_col: str = "simhash", *, bits: int = 16,
+                          max_hamming: int = 3,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits of simhash distance,
+    via hamming-band LSH (the scale path the raw fingerprints feed).
+
+    Pigeonhole: split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair differing in <= max_hamming
+    bits agrees EXACTLY on at least one band, so the band-bucket
+    self-join generates a candidate superset with *no false negatives*;
+    the bit_count(xor) verify then makes the result exact (identical to
+    all-pairs, at inverted-index cost).  Join key is (band id, band
+    value) — one shuffle for all bands stacked.
+
+    ``max_bucket_size`` guards the quadratic blowup of a degenerate
+    band value (e.g. the all-zeros band of short boilerplate docs):
+    buckets above the cap are dropped whole, trading recall on
+    mega-clusters for bounded cost, same contract as
+    :func:`lsh_candidate_pairs`."""
+    n_bands = max_hamming + 1
+    band_bits = -(-bits // n_bands)  # ceil
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        F.col(id_col), F.col(fp_col),
+        F.explode(F.array(*[
+            F.concat_ws(
+                ":", F.lit(b),
+                F.shiftright(F.col(fp_col), b * band_bits)
+                .bitwiseAND(F.lit(mask)).cast("string"))
+            for b in range(n_bands)])).alias("band_key"))
+    if max_bucket_size is not None:
+        ok = (bands.groupBy("band_key")
+              .agg(F.count(F.lit(1)).alias("_bsz"))
+              .filter(F.col("_bsz") <= max_bucket_size)
+              .select("band_key"))
+        bands = bands.join(ok, on="band_key", how="left_semi")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, on="band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.bit_count(F.col(f"l.{fp_col}")
+                            .bitwiseXOR(F.col(f"r.{fp_col}")))
+                .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding", *,
                             threshold: float = 0.9,

@@ -67,7 +67,15 @@ def _version_changes(spark: SparkSession, store: SnapshotStore,
                      version: int, final_schema: list[str]
                      ) -> DataFrame | None:
     snap_b = store.read_snapshot(version)
-    if snap_b.properties.get("operation") not in _LOGICAL_OPS:
+    op = snap_b.properties.get("operation")
+    if op == "rollback":
+        # a rollback rewinds content; its row-level diff is not forward
+        # CDC — refuse loudly instead of emitting a silently-wrong
+        # (empty) delta (cf. MoonTable.rollback_to)
+        raise ValueError(
+            f"changelog window crosses rollback commit v{version}; "
+            "re-sync consumers from a snapshot at or after it")
+    if op not in _LOGICAL_OPS:
         return None
     m_b = spark.read.parquet(store.manifest_path(version))
     m_a = spark.read.parquet(store.manifest_path(snap_b.parent))

@@ -638,6 +638,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_duped_docs(spark, sf_dir), bits=16)
 
 
+@_register("dedup_simhash_neardup", f"""
+WITH fp AS ({_simhash_sql(16)})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+""")
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 16 bits) via
+    hamming-band LSH (dedup.py): pigeonhole banding makes the banded
+    self-join + bit_count(xor) verify EXACTLY equal to the all-pairs
+    scan the oracle runs — candidate generation loses nothing within
+    the distance budget, so Spark's inverted-index-cost plan and
+    DuckDB's O(n²) plan must agree bit-for-bit."""
+    fp = dd.simhash(_duped_docs(spark, sf_dir), bits=16)
+    return dd.simhash_neardup_pairs(fp, bits=16, max_hamming=3)
+
+
 @_register("dedup_embedding_cosine", """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings

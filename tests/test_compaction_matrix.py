@@ -239,3 +239,62 @@ def test_max_files_cap_smallest_first(spark, warehouse):
     assert len(entries) == 2
     rows = sorted(e["rows"] for e in entries)
     assert rows == [8, 60]
+
+
+def test_compaction_3_2_multi_commit_deletes_same_files(spark, warehouse):
+    """Reference case 3_2_1 (compaction_tests.rs:1050-1144): deletions
+    arrive over SEVERAL separate commits — two commits deleting from the
+    first file, two more from the second — each producing a new superset
+    DV generation; the compaction folds the union of all generations.
+    Verified by reloading with a second MoonTable (the second
+    IcebergTableManager reload of the reference)."""
+    make_users_table(warehouse, [CANON,
+                                 ([9, 10], ["x", "y"], [90, 100])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+
+    def dels(*ids):
+        return spark.createDataFrame(
+            [(i, None, None, "delete") for i in ids],
+            "id int, name string, age int, _op string")
+
+    t.merge(dels(1), key_columns=["id"])          # file0 gen-1
+    t.merge(dels(2), key_columns=["id"])          # file0 gen-2 superset
+    t.merge(dels(9), key_columns=["id"])          # file1 gen-1
+    t.merge(dels(10), key_columns=["id"])         # file1 gen-2
+    assert surviving_ids(t) == [3, 4]
+    snap = t.optimize("full")
+    m = snap.properties["metrics"]
+    assert m["rows_out"] == m["rows_in"] - m["rows_deleted"] == 2
+    ents = SnapshotStore(warehouse).manifest_entries(snap.version)
+    assert len(ents) == 1 and (ents[0]["dv_cardinality"] or 0) == 0
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [3, 4]
+
+
+def test_compaction_3_3_delete_compact_delete_compact(spark, warehouse):
+    """Reference case 3_3_1 (compaction_tests.rs:1146-1211): deletion
+    generations separated by a full persistence cycle — delete, compact
+    (folds gen-1), delete from the COMPACTED output, compact again.
+    The second cycle's DV references the first cycle's output file, and
+    both folds preserve the survivors exactly."""
+    make_users_table(warehouse, [CANON,
+                                 ([9, 10], ["x", "y"], [90, 100])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+
+    def dels(*ids):
+        return spark.createDataFrame(
+            [(i, None, None, "delete") for i in ids],
+            "id int, name string, age int, _op string")
+
+    t.merge(dels(1, 9), key_columns=["id"])
+    s1 = t.optimize("full")
+    assert surviving_ids(t, s1.version) == [2, 3, 4, 10]
+
+    t.merge(dels(3, 10), key_columns=["id"])
+    ents = SnapshotStore(warehouse).manifest_entries()
+    # gen-2 DV references the compacted output of cycle 1
+    assert any((e["dv_cardinality"] or 0) > 0 for e in ents)
+    s2 = t.optimize("full")
+    assert surviving_ids(t, s2.version) == [2, 4]
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [2, 4]

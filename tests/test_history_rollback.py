@@ -1,0 +1,92 @@
+"""Snapshot history + rollback tests.
+
+Rollback commits a NEW version copying the target's manifest (history
+stays immutable, like Iceberg's rollback; moonlink's catalog only moves
+forward — file_catalog.rs:589-673).  The changelog refuses windows that
+cross a rollback.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import TableConfig
+
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+KEYS = ["repo", "path"]
+
+
+def rows_df(spark, ids, tag="x"):
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id int")
+    return ids_df.select(
+        F.concat(F.lit("r"), (F.col("id") % 3).cast("string")).alias("repo"),
+        F.concat(F.lit("p/"), F.col("id").cast("string")).alias("path"),
+        F.concat(F.lit(tag), F.lit("-c"), F.col("id")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit(tag), F.lit("-content-"), F.col("id")
+                 ).alias("content"),
+        F.lit("upsert").alias("_op"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = Catalog(spark, str(tmp_path / "base")).create_table(
+        "db", "t", schema=SCHEMA, config=TableConfig())
+    t.merge(rows_df(spark, range(60), tag="v1"), key_columns=KEYS,
+            job_tag="m1")                                        # v1
+    t.merge(rows_df(spark, range(60, 80), tag="v2"), key_columns=KEYS,
+            job_tag="m2")                                        # v2
+    return t
+
+
+def content_set(t, version=None):
+    return {r["content"] for r in
+            t.scan(version).select("content").collect()}
+
+
+def test_history_lists_all_versions(spark, table):
+    h = table.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert [e["parent"] for e in h] == [None, 0, 1]
+    assert h[0]["operation"] == "create-table"
+    assert h[1]["operation"] == h[2]["operation"] == "merge"
+    ts = [e["committed_at"] for e in h]
+    assert ts == sorted(ts)
+    lsns = [e["flush_lsn"] for e in h]
+    assert lsns == sorted(lsns)
+
+
+def test_rollback_restores_content_history_immutable(spark, table):
+    t = table
+    want_v1 = content_set(t, 1)
+    snap = t.rollback_to(1)
+    assert snap.version == 3
+    assert content_set(t) == want_v1
+    # the rolled-back-over version is still scannable (immutable history)
+    assert len(content_set(t, 2)) == 80
+    assert t.history()[-1]["operation"] == "rollback"
+    # maintenance continues normally on top of the rollback
+    s = t.optimize("full")
+    assert content_set(t, s.version) == want_v1
+
+
+def test_changelog_refuses_rollback_window(spark, table):
+    t = table
+    t.rollback_to(1)                                             # v3
+    t.merge(rows_df(spark, range(100, 105), tag="v4"),
+            key_columns=KEYS, job_tag="m4")                      # v4
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes(0).count()
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes(2, 3)
+    # windows strictly before or after the rollback still work
+    assert t.changes(0, 2).count() == 80
+    assert t.changes(3, 4).count() == 5
+
+
+def test_rollback_expired_target_fails(spark, table):
+    t = table
+    t.create_snapshot()                                          # v3
+    t.expire_snapshots(retain_last=2)                            # drops 0,1
+    with pytest.raises(FileNotFoundError):
+        t.rollback_to(1)
