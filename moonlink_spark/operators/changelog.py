@@ -29,6 +29,14 @@ one DV-delta anti-join on exploded positions, and a semi-join of the
 changed files' rows against the delta — all change-batch-sized, never
 table-sized; the version loop is driver-side over an explicitly
 requested window.
+
+Consumer replay rule (multi-version windows): per key, the LAST event
+in the window wins — insert beats delete at the same commit version
+(an upsert is delete+insert in one commit); keys without events keep
+their base row.  A naive "anti-join all deletes, union all inserts"
+replay is only correct for single-version windows (a key re-upserted
+twice in the window would resurrect its intermediate value).  Property
+test: ``tests/test_changelog.py::test_changelog_replay_chaos``.
 """
 
 from __future__ import annotations

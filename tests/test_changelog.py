@@ -112,3 +112,84 @@ def test_windows_compose(spark, table):
     a = key_set(t.changes(1, 2)) | key_set(t.changes(2, 3))
     assert a == key_set(t.changes(1, 3))
     assert len(a) == 20
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_changelog_replay_chaos(spark, tmp_path, seed):
+    """Random op sequences: from any sync point, replaying the
+    changelog reproduces the current snapshot exactly — across merges
+    (deletes + upserts), compactions, metadata commits, and rollbacks
+    (which force an explicit re-sync instead of a silent wrong delta)."""
+    import numpy as np
+
+    from moonlink_spark.config import CompactionConfig
+    from moonlink_spark.engine import MoonTable
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+
+    keys = ["repo", "path", "commit"]
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=seed, n_files=8,
+                             rows_per_file=(20, 50), n_repos=4,
+                             content_bytes=(48, 96))
+    t = MoonTable(spark, w, TableConfig(compaction=CompactionConfig(
+        target_file_bytes=48 << 10, bin_target_bytes=128 << 10,
+        bin_concurrency=2)))
+    rng = np.random.default_rng(seed)
+    sync = t.current_version()
+
+    def row_set(df):
+        return {tuple(r) for r in
+                df.selectExpr(*keys, "sha2(content, 256) as h").collect()}
+
+    for step in range(7):
+        op = rng.choice(["delete", "upsert", "full", "snapshot",
+                         "rollback"])
+        rolled_back = False
+        if op in ("delete", "upsert"):
+            live = t.scan().select(*keys, "lang", "content")
+            k = int(rng.integers(1, 9))
+            batch = live.orderBy(*keys).limit(k)
+            if op == "upsert":
+                batch = batch.withColumn(
+                    "content", F.concat(F.lit(f"u{step}:"),
+                                        F.col("content")))
+            t.merge(batch.withColumn("_op", F.lit(op if op == "delete"
+                                                  else "upsert")),
+                    key_columns=keys, job_tag=f"ch{step}")
+        elif op == "full":
+            t.optimize("full")
+        elif op == "snapshot":
+            t.create_snapshot()
+        else:
+            t.rollback_to(max(sync, t.current_version() - 1))
+            rolled_back = True
+
+        now = t.current_version()
+        if rolled_back and now > sync:
+            with pytest.raises(ValueError, match="rollback"):
+                t.changes(sync, now).count()
+            sync = now  # consumer re-syncs from a fresh base
+            continue
+        ch = t.changes(sync, now)
+        base = t.scan(sync).select(*keys, "content")
+        # CDC-consumer replay: per key, the LAST event in the window
+        # wins (insert beats delete within one version — an upsert is
+        # delete+insert at the same commit); untouched keys keep their
+        # base row.
+        from pyspark.sql import Window
+        w_last = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(0).desc())
+        last = (ch.withColumn("_rn", F.row_number().over(w_last))
+                .filter(F.col("_rn") == 1))
+        replayed = (base.join(last.select(*keys), on=keys,
+                              how="left_anti")
+                    .unionByName(
+                        last.filter(F.col("_change_type") == "insert")
+                        .select(*keys, "content")))
+        assert row_set(replayed) == row_set(
+            t.scan(now).select(*keys, "content")), \
+            f"seed={seed} step={step} op={op} window=({sync},{now})"
+        if rng.random() < 0.4:
+            sync = now  # consumer advances its watermark
