@@ -1,0 +1,142 @@
+"""Failure injection on the filesystem accessor seam.
+
+The reference wraps its filesystem accessor in a chaos layer that
+injects errors into individual operations
+(``storage/filesystem/accessor/filesystem_accessor_chaos_wrapper.rs``,
+``table_handler/failure_tests.rs``) and asserts the engine either
+completes or leaves recoverable state.  Here: a FlakyFileSystem fails
+the Nth call of a chosen operation; invariants after a failed
+mutation —
+
+- the published version is UNCHANGED (the CAS hint is the only commit
+  point; partial artifacts are invisible);
+- a pinned reader still scans the old version correctly;
+- a retry of the same operation succeeds and produces the right rows;
+- orphaned partial artifacts are collected by expire, never by readers.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.fs import PosixFileSystem
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+KEYS = ["repo", "path", "commit"]
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=48 << 10, bin_target_bytes=128 << 10,
+    bin_concurrency=2))
+
+
+class InjectedFault(IOError):
+    pass
+
+
+class FlakyFileSystem(PosixFileSystem):
+    """Fails the Nth invocation of one operation, then behaves."""
+
+    def __init__(self, op: str, fail_at: int = 1):
+        self.op = op
+        self.fail_at = fail_at
+        self.calls = 0
+
+    def _maybe_fail(self, name):
+        if name == self.op:
+            self.calls += 1
+            if self.calls == self.fail_at:
+                raise InjectedFault(f"injected: {name} #{self.calls}")
+
+    def write_atomic(self, path, data):
+        self._maybe_fail("write_atomic")
+        super().write_atomic(path, data)
+
+    def rename(self, src, dst):
+        self._maybe_fail("rename")
+        super().rename(src, dst)
+
+    def publish_cas(self, path, data, expected):
+        self._maybe_fail("publish_cas")
+        return super().publish_cas(path, data, expected)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=21, n_files=8, rows_per_file=(20, 50),
+                             n_repos=4, content_bytes=(48, 96))
+    return w
+
+
+def sha_set(t, version=None):
+    return sorted(r["h"] for r in t.scan(version).selectExpr(
+        "sha2(content, 256) as h").collect())
+
+
+def del_batch(t, n=3):
+    live = t.scan().select(*KEYS, "lang", "content")
+    return (live.orderBy(*KEYS).limit(n)
+            .withColumn("_op", F.lit("delete")))
+
+
+@pytest.mark.parametrize("op", ["write_atomic", "rename", "publish_cas"])
+def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op):
+    t = MoonTable(spark, wh, CFG)
+    v0 = t.current_version()
+    before = sha_set(t)
+    batch = del_batch(t, 3).cache()
+    batch.count()
+
+    flaky = MoonTable(spark, wh, CFG)
+    flaky.store = SnapshotStore(wh, FlakyFileSystem(op))
+    with pytest.raises(InjectedFault):
+        flaky.merge(batch, key_columns=KEYS, job_tag="flaky")
+
+    # published state untouched; reader unaffected
+    assert t.current_version() == v0
+    assert sha_set(t) == before
+
+    # retry on a healthy fs succeeds with correct content
+    snap = t.merge(batch, key_columns=KEYS, job_tag="retry")
+    assert snap.version == v0 + 1
+    assert len(sha_set(t, snap.version)) == len(before) - 3
+    batch.unpersist()
+
+
+def test_optimize_commit_failure_then_resume(spark, wh):
+    t = MoonTable(spark, wh, CFG)
+    v0 = t.current_version()
+    want = sha_set(t)
+
+    flaky = MoonTable(spark, wh, CFG)
+    flaky.store = SnapshotStore(wh, FlakyFileSystem("publish_cas"))
+    with pytest.raises(InjectedFault):
+        flaky.optimize("full")
+    assert t.current_version() == v0
+
+    # rerun resumes from lineage (same job id) and commits
+    snap = t.optimize("full")
+    assert snap.version == v0 + 1
+    assert sha_set(t, snap.version) == want
+    ents = SnapshotStore(wh).manifest_entries(snap.version)
+    assert all((e["dv_cardinality"] or 0) == 0 for e in ents)
+
+
+def test_orphans_from_failed_merge_are_expired(spark, wh):
+    t = MoonTable(spark, wh, CFG)
+    flaky = MoonTable(spark, wh, CFG)
+    # fail the hint publish: DV sidecars are already renamed into dv/
+    # at that point -> orphans referenced by no manifest
+    flaky.store = SnapshotStore(wh, FlakyFileSystem("publish_cas"))
+    batch = del_batch(t, 3).cache()
+    batch.count()
+    with pytest.raises(InjectedFault):
+        flaky.merge(batch, key_columns=KEYS, job_tag="orph")
+    before = sha_set(t)
+    t.create_snapshot()
+    out = t.expire_snapshots(retain_last=1,
+                             clean_tmp_older_than_seconds=0)
+    assert out["deleted_files"]  # the orphaned artifacts went away
+    assert sha_set(t) == before
+    batch.unpersist()
