@@ -57,6 +57,48 @@ OFILE_COL = "_ofile"
 RECOMPRESS_FACTOR = 0.75
 
 
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` for IntegerType: Murmur3 x86_32 of the 4-byte
+    value (parity asserted against ``F.hash`` in tests)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = v & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def range_salts(n: int) -> list[int]:
+    """``salts[i]`` is an int whose Spark hash places it in partition
+    ``i`` of an ``n``-way hash repartition (``pmod(murmur3(salt), n)``).
+
+    Lets a DataFrame route each of ``n`` zkey ranges to exactly one
+    shuffle partition deterministically — perfect packing.  Plain
+    ``repartition(k, range_id)`` hashes the range ids, and at k ≈ 2n the
+    birthday collisions co-locate two ranges in one task (a 2× straggler
+    tail measured at ~10 % of the rewrite wall) while leaving other
+    tasks empty.  The search is coupon-collector cheap (~n·ln n probes,
+    driver-side, no Spark job)."""
+    salts: list[int | None] = [None] * n
+    found, s = 0, 0
+    while found < n:
+        p = _murmur3_int32(s) % n  # python % is already non-negative
+        if salts[p] is None:
+            salts[p] = s
+            found += 1
+        s += 1
+    return salts  # type: ignore[return-value]
+
+
 def assign_positions(df: DataFrame, pos_col: str = POS_COL) -> DataFrame:
     """Append a 0-based row position within each partition (= within each
     output file, since one task writes one file).
@@ -179,15 +221,16 @@ def rewrite_bin(
     # Deterministic parallel split: the global zkey cutpoints (computed
     # once per job from the boundary sample) are carved into n_out
     # contiguous ranges; each row's range id is a JVM array-filter over
-    # the (small) literal cut array, and the shuffle hashes on that id.
-    # NOT repartitionByRange: its sampler seeds off the RDD id, so a
-    # resumed run would split outputs differently than the original —
-    # violating the resume-determinism invariant.  Hash collisions can
-    # co-locate two ranges in one task; maxRecordsPerFile still rolls
-    # that task's sorted output into target-sized files (the analogue
-    # of moonlink's size-rolled writer, disk_slice.rs:183-254), so the
-    # only cost is slightly looser bounds on those files.  The sort key
-    # is total ((zkey, cluster cols, source file, source pos) is
+    # the (small) literal cut array.  NOT repartitionByRange: its
+    # sampler seeds off the RDD id, so a resumed run would split outputs
+    # differently than the original — violating the resume-determinism
+    # invariant.  The range id is mapped through a salt table
+    # (:func:`range_salts`) so the hash shuffle places each range in its
+    # own partition — one range = one task = one target-sized output
+    # file, no collision stragglers, no empty tasks.  maxRecordsPerFile
+    # still rolls any oversized task's sorted output (the analogue of
+    # moonlink's size-rolled writer, disk_slice.rs:183-254).  The sort
+    # key is total ((zkey, cluster cols, source file, source pos) is
     # unique), so outputs are byte-stable across reruns.
     target = config.compaction.target_file_bytes
     n_out = max(1, math.ceil(bin.live_bytes_est * RECOMPRESS_FACTOR / target))
@@ -198,11 +241,16 @@ def rewrite_bin(
                for j in range(1, n_out)]
         cuts = sorted({int(zcuts[min(i, len(zcuts) - 1)]) for i in idx})
         cut_arr = F.array(*[F.lit(c).cast("long") for c in cuts])
+        n_ranges = len(cuts) + 1
+        salt_arr = F.array(*[F.lit(s) for s in range_salts(n_ranges)])
         ranged = live.withColumn(
             OFILE_COL,
-            F.size(F.filter(cut_arr, lambda c: c <= F.col(ZKEY_COL))))
+            F.element_at(
+                salt_arr,
+                F.size(F.filter(cut_arr, lambda c: c <= F.col(ZKEY_COL)))
+                + 1))
         clustered = (
-            ranged.repartition(2 * n_out, OFILE_COL)
+            ranged.repartition(n_ranges, OFILE_COL)
             .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
             .drop(ZKEY_COL, FILE_COL, OLDPOS_COL, OFILE_COL)
         )

@@ -57,18 +57,56 @@ def _check_pred_type(bound_dtype: str, col: str, values: tuple) -> None:
     against string-typed bounds (or vice versa) would compare
     lexicographically ("9" > "10") and silently drop matching files —
     wrong results, not a crash.  Bounds are typed per column
-    (``snapshotstore.bound_type``); a mismatch here means the predicate
-    value's Python type disagrees with the manifest's bound type."""
+    (``snapshotstore.bound_type``, covering the reference's Datum
+    universe, ``parquet_stats_utils.rs:180-320``); the predicate value's
+    Python type must land in the same comparison group as the bound
+    type, else Catalyst's implicit casts decide the semantics silently."""
+    import datetime
+
+    import decimal as _decimal
+
+    base = bound_dtype.split("(")[0].strip().lower()
+    group_of = {
+        "string": "string", "varchar": "string",
+        "boolean": "boolean",
+        "tinyint": "integral", "smallint": "integral", "int": "integral",
+        "integer": "integral", "bigint": "integral", "long": "integral",
+        "float": "numeric", "double": "numeric",
+        "decimal": "decimal", "numeric": "decimal",
+        "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    }
+    expected = group_of.get(base)
     for v in values:
         if v is None:
             continue
-        is_str = isinstance(v, str)
-        if (bound_dtype == "string") != is_str:
+        if isinstance(v, bool):
+            got = "boolean"
+        elif isinstance(v, int):
+            got = "integral"
+        elif isinstance(v, float):
+            got = "numeric"
+        elif isinstance(v, _decimal.Decimal):
+            got = "decimal"
+        elif isinstance(v, str):
+            got = "string"
+        elif isinstance(v, datetime.datetime):
+            got = "timestamp"
+        elif isinstance(v, datetime.date):
+            got = "date"
+        else:
+            got = type(v).__name__
+        ok = (got == expected
+              # an int predicate against float/double/decimal bounds is
+              # exact; a float against decimal bounds is NOT (binary vs
+              # decimal rounding) and stays refused
+              or (expected in ("numeric", "decimal") and got == "integral"))
+        if not ok:
             raise TypeError(
                 f"predicate on {col!r}: value {v!r} "
                 f"({type(v).__name__}) is incompatible with the "
                 f"manifest's {bound_dtype}-typed bounds — pruning would "
-                "be lexicographic and silently wrong")
+                "be implicitly cast and silently wrong")
 
 
 def prune_manifest(manifest: DataFrame,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -114,13 +115,25 @@ _DDL_TO_ARROW = {
 def bound_type(ddl: str | None) -> pa.DataType | None:
     """Arrow type for a bounds column given the column's DDL type.
 
-    ``None`` means bounds are not representable losslessly for that type
-    (decimal, nested, binary …): the manifest stores NULL bounds and the
-    pruner conservatively keeps the file — never a wrong answer, only a
-    wider scan."""
+    Covers the reference's Datum universe
+    (``parquet_stats_utils.rs:180-320``): bool/int/long/float/double/
+    date/timestamp/string plus parameterized ``decimal(p,s)``, whose
+    bounds keep the column's exact precision and scale.  ``None`` means
+    bounds are not representable losslessly for that type (nested,
+    binary, uuid …): the manifest stores NULL bounds and the pruner
+    conservatively keeps the file — never a wrong answer, only a wider
+    scan."""
     if not ddl:
         return pa.string()
     base = ddl.split("(")[0].strip().lower()
+    if base in ("decimal", "numeric"):
+        m = re.match(r"^\s*\w+\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", ddl)
+        if not m:
+            return pa.decimal128(10, 0)
+        prec, scale = int(m.group(1)), int(m.group(2) or 0)
+        if prec > 38:
+            return None
+        return pa.decimal128(prec, scale)
     return _DDL_TO_ARROW.get(base)
 
 

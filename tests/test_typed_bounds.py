@@ -184,3 +184,125 @@ def test_merge_only_new_keys_into_nonempty(spark, tmp_path):
     assert got.filter(F.col("repo") == "zzzz/brandnew").count() == 4
     assert snap.properties["merged_deletes"] == 0
     assert snap.properties["inserted_rows"] == 4
+
+
+def test_temporal_bounds_and_pruning(spark, tmp_path):
+    """Date/timestamp columns carry native bounds and prune correctly —
+    the temporal half of the reference's Datum universe
+    (``parquet_stats_utils.rs:180-320``: Date/Time/Timestamp datums)."""
+    import datetime as dt
+
+    w = str(tmp_path / "wh-temporal")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    types = {"day": "date", "ts": "timestamp", "name": "string",
+             "_pos": "bigint"}
+    ddl = "`day` date, `ts` timestamp, `name` string, `_pos` bigint"
+    cfg = TableConfig(
+        zorder_columns=("name",), stats_columns=("day", "ts"),
+        compaction=CompactionConfig(target_file_bytes=64 << 10,
+                                    bin_target_bytes=256 << 10,
+                                    bin_concurrency=2))
+    store.commit([], schema=["day", "ts", "name", "_pos"],
+                 stats_columns=cfg.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": types,
+                             "schema_ddl": ddl},
+                 expected_parent=None)
+    t = MoonTable(spark, w, cfg)
+    paths = []
+    for i, (d0, d1) in enumerate([(0, 9), (40, 49)]):
+        days = [dt.date(2026, 1, 1) + dt.timedelta(days=d)
+                for d in range(d0, d1 + 1)]
+        tb = pa.table({
+            "day": pa.array(days, pa.date32()),
+            "ts": pa.array([dt.datetime(2026, 1, 1, 12)
+                            + dt.timedelta(days=d) for d in range(d0, d1 + 1)],
+                           pa.timestamp("us")),
+            "name": pa.array([f"n{d:04d}" for d in range(d0, d1 + 1)]),
+            "_pos": pa.array(np.arange(d1 - d0 + 1, dtype=np.int64)),
+        })
+        p = store.abs(f"{DATA_DIR}/t{i:03d}.parquet")
+        pq.write_table(tb, p)
+        paths.append(p)
+    t.load_files(paths)
+
+    m = t.manifest()
+    dtypes = dict(m.dtypes)
+    assert dtypes["min_day"] == "date"
+    # tz-naive arrow timestamps surface as timestamp_ntz; both are in
+    # the temporal comparison group
+    assert dtypes["max_ts"] in ("timestamp", "timestamp_ntz")
+
+    kept = prune_manifest(
+        m, {"day": ("==", dt.date(2026, 1, 5))}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/t000.parquet"]
+    kept = prune_manifest(
+        m, {"ts": (">", dt.datetime(2026, 2, 1))}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/t001.parquet"]
+
+    # cross-group predicates are refused, never implicitly cast
+    with pytest.raises(TypeError):
+        prune_manifest(m, {"day": ("==", "2026-01-05")})
+    with pytest.raises(TypeError):
+        prune_manifest(m, {"day": ("==", dt.datetime(2026, 1, 5))})
+    with pytest.raises(TypeError):
+        prune_manifest(m, {"ts": ("==", dt.date(2026, 1, 5))})
+
+
+def test_decimal_bounds_and_pruning(spark, tmp_path):
+    """decimal(p,s) columns carry exact decimal128 bounds and prune
+    correctly — the decimal Datum of the reference's universe
+    (``parquet_stats_utils.rs:180-320``).  The lexicographic trap is
+    sharper here than for ints ("9.50" > "10.00"), and binary floats
+    cannot represent the bounds exactly, so the pruner only accepts
+    Decimal (or int) predicates."""
+    from decimal import Decimal
+
+    w = str(tmp_path / "wh-decimal")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    types = {"price": "decimal(10,2)", "name": "string", "_pos": "bigint"}
+    ddl = "`price` decimal(10,2), `name` string, `_pos` bigint"
+    cfg = TableConfig(
+        zorder_columns=("name",), stats_columns=("price",),
+        compaction=CompactionConfig(target_file_bytes=64 << 10,
+                                    bin_target_bytes=256 << 10,
+                                    bin_concurrency=2))
+    store.commit([], schema=["price", "name", "_pos"],
+                 stats_columns=cfg.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": types,
+                             "schema_ddl": ddl},
+                 expected_parent=None)
+    t = MoonTable(spark, w, cfg)
+    paths = []
+    for i, (lo_c, hi_c) in enumerate([(995, 1100), (4000, 4999)]):
+        cents = list(range(lo_c, hi_c + 1, 5))
+        tb = pa.table({
+            "price": pa.array([Decimal(c).scaleb(-2) for c in cents],
+                              pa.decimal128(10, 2)),
+            "name": pa.array([f"n{c:05d}" for c in cents]),
+            "_pos": pa.array(np.arange(len(cents), dtype=np.int64)),
+        })
+        p = store.abs(f"{DATA_DIR}/t{i:03d}.parquet")
+        pq.write_table(tb, p)
+        paths.append(p)
+    t.load_files(paths)
+
+    m = t.manifest()
+    assert dict(m.dtypes)["min_price"] == "decimal(10,2)"
+
+    # 10.00 ∈ [9.95, 11.00] but "10.00" < "9.95" lexicographically —
+    # typed pruning must keep file 0
+    kept = prune_manifest(m, {"price": ("==", Decimal("10.00"))}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/t000.parquet"]
+    kept = prune_manifest(m, {"price": (">", Decimal("20"))}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/t001.parquet"]
+    # int predicate against decimal bounds is exact, allowed
+    kept = prune_manifest(m, {"price": ("between", 9, 10)}).collect()
+    assert [r["path"] for r in kept] == [f"{DATA_DIR}/t000.parquet"]
+
+    # binary-float and string predicates are refused, never coerced
+    with pytest.raises(TypeError):
+        prune_manifest(m, {"price": ("==", 10.0)})
+    with pytest.raises(TypeError):
+        prune_manifest(m, {"price": ("==", "10.00")})

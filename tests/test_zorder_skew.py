@@ -227,3 +227,30 @@ def test_jvm_zkey_matches_numpy_reference(spark):
     expect = morton_interleave([bx, by], 12)
     for (row, zk) in zip(rows, expect):
         assert got[row] == int(zk), f"mismatch for {row}"
+
+
+def test_range_salts_perfect_packing(spark):
+    """The rewrite's range->partition routing: each salt must land in
+    its own partition of an n-way hash repartition (this is what removes
+    the 2x collision-straggler tail from the sort+write stage), and the
+    pure-Python Murmur3 must agree with Spark's hash() exactly."""
+    from moonlink_spark.operators.rewrite import _murmur3_int32, range_salts
+
+    vals = list(range(300)) + [-1, -7, 2**31 - 1, -(2**31), 123456789]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h")).collect()
+    }
+    assert all(got[v] == _murmur3_int32(v) for v in vals)
+
+    for n in (1, 2, 7, 106):
+        salts = range_salts(n)
+        assert len(set(salts)) == n
+        df = (spark.createDataFrame([(s,) for s in salts], "s int")
+              .repartition(n, "s")
+              .select("s", F.spark_partition_id().alias("pid")))
+        placed = {r["s"]: r["pid"] for r in df.collect()}
+        # salts[i] must occupy partition i: a bijection, no collisions
+        assert sorted(placed.values()) == list(range(n))
+        assert all(placed[s] == i for i, s in enumerate(salts))
