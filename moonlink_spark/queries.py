@@ -266,9 +266,15 @@ FROM binned
 """)
 def manifest_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compaction planner's size-tiered binning (planner.py):
-    running-sum window over a manifest ordered by file name, bin id =
+    running-sum over a manifest ordered by file name, bin id =
     floor(cumsum_before / bin_target). Manifest synthesized from orders
-    buckets so the oracle can replay it."""
+    buckets so the oracle can replay it.  Uses the planner's own
+    two-phase ``ordered_cumsum`` (range-partitioned windows + broadcast
+    prefix offsets) — the registered query exercises the same
+    no-global-window shape the engine runs, so it scales past one task
+    at 10^8+ manifest rows."""
+    from moonlink_spark.operators.planner import ordered_cumsum
+
     o = _t(spark, sf_dir, "orders")
     manifest = (
         o.groupBy(F.concat(F.lit("f"), F.lpad(
@@ -276,13 +282,12 @@ def manifest_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("rows"),
              F.sum(_dec("o_totalprice") * 100).cast("bigint").alias("bytes"))
     )
-    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding,
-                                           Window.currentRow)
+    cum = ordered_cumsum(manifest, "file", "bytes", "cum")
     return (
-        manifest.withColumn("cum", F.sum("bytes").over(w))
-        .select("file", "rows", "bytes",
-                F.floor((F.col("cum") - F.col("bytes")) / F.lit(40_000_000.0))
-                .cast("bigint").alias("bin"))
+        cum.select("file", "rows", "bytes",
+                   F.floor((F.col("cum") - F.col("bytes"))
+                           / F.lit(40_000_000.0))
+                   .cast("bigint").alias("bin"))
     )
 
 
