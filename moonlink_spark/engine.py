@@ -237,6 +237,8 @@ class MoonTable:
                     mn, mx = (out.get("bounds") or {}).get(c, (None, None))
                     flat[f"min_{c}"] = mn
                     flat[f"max_{c}"] = mx
+                    flat[f"null_{c}"] = (out.get("null_counts")
+                                         or {}).get(c)
                 out_rows.append(tuple(flat.get(f.name)
                                       for f in manifest.schema.fields))
         commit_base = base

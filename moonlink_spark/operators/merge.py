@@ -250,6 +250,8 @@ def merge_into(
                     mn, mx = (e.get("bounds") or {}).get(c, (None, None))
                     flat[f"min_{c}"] = mn
                     flat[f"max_{c}"] = mx
+                    flat[f"null_{c}"] = (e.get("null_counts")
+                                         or {}).get(c)
                 rows.append(tuple(flat.get(f.name) for f in
                                   manifest.schema.fields))
             out = out.unionByName(

@@ -128,24 +128,34 @@ def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
     md = pq.ParquetFile(path).metadata
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     bounds: dict[str, tuple] = {}
+    null_counts: dict[str, int] = {}
     for c in stats_columns:
         idx = name_to_idx.get(c)
         if idx is None:
             continue
         mn = mx = None
+        bounds_ok = True
+        nulls: int | None = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_null_count:
+                nulls = None  # unknown for the whole file
+            elif nulls is not None:
+                nulls += st.null_count
             if st is None or not st.has_min_max:
-                mn = mx = None
-                break
+                bounds_ok = False  # usable only if EVERY row group has them
+                continue
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-        if mn is not None:
+        if mn is not None and bounds_ok:
             bounds[c] = (mn, mx)
+        if nulls is not None:
+            null_counts[c] = nulls
     return {
         "rows": md.num_rows,
         "bytes": os.path.getsize(path),
         "bounds": bounds,
+        "null_counts": null_counts,
     }
 
 

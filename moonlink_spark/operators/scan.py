@@ -118,11 +118,30 @@ def prune_manifest(manifest: DataFrame,
       value                  — equality
       ("==" | "<" | "<=" | ">" | ">=", value)
       ("between", lo, hi)    — closed range
+      ("is_null",)           — keep files that may contain NULLs
+      ("not_null",)          — keep files that may contain non-NULLs
+
+    NULL-ness pruning uses the per-column ``null_<col>`` counts
+    (Iceberg ``null_value_counts`` analogue): a file whose recorded
+    null count is 0 cannot satisfy IS NULL; one whose null count equals
+    its row count cannot satisfy IS NOT NULL.  Unknown (NULL) counts are
+    conservatively kept.
     """
     if not predicates:
         return manifest
     dtypes = dict(manifest.dtypes)
     for col, pred in predicates.items():
+        if isinstance(pred, tuple) and pred[0] in ("is_null", "not_null"):
+            nc = f"null_{col}"
+            if nc not in dtypes:
+                continue  # manifest predates null counts: keep all
+            n = F.col(nc)
+            if pred[0] == "is_null":
+                keep = n > 0
+            else:
+                keep = n < F.col("rows")
+            manifest = manifest.filter(n.isNull() | keep)
+            continue
         bdt = dtypes.get(f"min_{col}")
         if bdt is None:
             raise ValueError(f"no bounds for column {col!r} in manifest")

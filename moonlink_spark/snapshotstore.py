@@ -260,6 +260,10 @@ class SnapshotStore:
             t = bt if bt is not None else pa.string()
             fields.append((f"min_{c}", t))
             fields.append((f"max_{c}", t))
+        # per-column null counts (Iceberg null_value_counts analogue,
+        # free from parquet footers): NULL = unknown, never pruned on
+        for c in stats_columns:
+            fields.append((f"null_{c}", pa.int64()))
         schema = pa.schema(fields)
 
         if not presorted:
@@ -298,6 +302,12 @@ class SnapshotStore:
                         mn = mx = None
                     cols[f"min_{c}"].append(mn)
                     cols[f"max_{c}"].append(mx)
+                nulls = e.get("null_counts")
+                for c in stats_columns:
+                    nv = (nulls.get(c) if nulls is not None
+                          else e.get(f"null_{c}"))
+                    cols[f"null_{c}"].append(
+                        int(nv) if nv is not None else None)
                 n += 1
                 if n >= _MANIFEST_BATCH_ROWS:
                     _flush(cols)

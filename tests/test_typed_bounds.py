@@ -306,3 +306,82 @@ def test_decimal_bounds_and_pruning(spark, tmp_path):
         prune_manifest(m, {"price": ("==", 10.0)})
     with pytest.raises(TypeError):
         prune_manifest(m, {"price": ("==", "10.00")})
+
+
+def test_null_counts_and_nullness_pruning(spark, tmp_path):
+    """null_<col> lands in the manifest from the footer pass and drives
+    IS NULL / IS NOT NULL pruning; unknown counts are kept (Iceberg
+    null_value_counts analogue)."""
+    w = str(tmp_path / "wh-null")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    store.commit([], schema=INT_SCHEMA, stats_columns=INT_CFG.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": INT_TYPES,
+                             "schema_ddl": INT_DDL},
+                 expected_parent=None)
+    t = MoonTable(spark, w, INT_CFG)
+    cases = {  # file -> name values
+        "mixed": ["a", None, "b", None],
+        "dense": ["c", "d", "e", "f"],
+        "allnull": [None, None, None, None],
+    }
+    paths = []
+    for i, (tag, names) in enumerate(cases.items()):
+        tb = pa.table({
+            "id": pa.array(range(i * 10, i * 10 + len(names)), pa.int32()),
+            "name": pa.array(names, pa.string()),
+            "_pos": pa.array(np.arange(len(names), dtype=np.int64)),
+        })
+        p = store.abs(f"{DATA_DIR}/{tag}.parquet")
+        pq.write_table(tb, p)
+        paths.append(p)
+    t.load_files(paths)
+
+    m = t.manifest()
+    nulls = {r["path"].split("/")[-1]: r["null_name"] for r in m.collect()}
+    assert nulls == {"mixed.parquet": 2, "dense.parquet": 0,
+                     "allnull.parquet": 4}
+
+    kept = {r["path"].split("/")[-1]
+            for r in prune_manifest(m, {"name": ("is_null",)}).collect()}
+    assert kept == {"mixed.parquet", "allnull.parquet"}
+    kept = {r["path"].split("/")[-1]
+            for r in prune_manifest(m, {"name": ("not_null",)}).collect()}
+    assert kept == {"mixed.parquet", "dense.parquet"}
+
+    # unknown counts (pre-upgrade manifests / missing footer stats) are
+    # conservatively kept for both predicates
+    unk = m.withColumn("null_name", F.lit(None).cast("long"))
+    assert prune_manifest(unk, {"name": ("is_null",)}).count() == 3
+    assert prune_manifest(unk, {"name": ("not_null",)}).count() == 3
+
+
+def test_null_counts_survive_compaction(spark, tmp_path):
+    """optimize() rewrites files; the successor manifest's null counts
+    come from the new footers and stay exact."""
+    w = str(tmp_path / "wh-null2")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    store.commit([], schema=INT_SCHEMA, stats_columns=INT_CFG.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": INT_TYPES,
+                             "schema_ddl": INT_DDL},
+                 expected_parent=None)
+    t = MoonTable(spark, w, INT_CFG)
+    paths = []
+    total_nulls = 0
+    for i in range(4):
+        names = [f"x{j}" if (j + i) % 3 else None for j in range(50)]
+        total_nulls += sum(1 for v in names if v is None)
+        tb = pa.table({
+            "id": pa.array(range(i * 100, i * 100 + 50), pa.int32()),
+            "name": pa.array(names, pa.string()),
+            "_pos": pa.array(np.arange(50, dtype=np.int64)),
+        })
+        p = store.abs(f"{DATA_DIR}/g{i:03d}.parquet")
+        pq.write_table(tb, p)
+        paths.append(p)
+    t.load_files(paths)
+    t.optimize("full")
+    m = t.manifest()
+    got = m.agg(F.sum("null_name"), F.sum("rows")).collect()[0]
+    assert got[0] == total_nulls and got[1] == 200
