@@ -82,3 +82,8 @@ class TableConfig:
     # (parquet_utils.rs:8-20).
     ingest_compression: str = "snappy"
     compact_compression: str = "zstd"
+    # Collect per-file approx-distinct counts (HLL++) for the stats
+    # columns at rewrite time (Iceberg distinct_counts analogue).
+    # Opt-in: costs one projection-pruned read-back of the stats columns
+    # per rewritten bin; bounds and null counts stay footer-only (free).
+    collect_ndv: bool = False

@@ -153,6 +153,7 @@ class MoonTable:
             compaction=comp,
             ingest_compression=self.config.ingest_compression,
             compact_compression=self.config.compact_compression,
+            collect_ndv=self.config.collect_ndv,
         )
         # Bins are independent jobs — submit them concurrently so the
         # cluster stays saturated even when one bin's task count is below
@@ -239,6 +240,7 @@ class MoonTable:
                     flat[f"max_{c}"] = mx
                     flat[f"null_{c}"] = (out.get("null_counts")
                                          or {}).get(c)
+                    flat[f"ndv_{c}"] = (out.get("ndv") or {}).get(c)
                 out_rows.append(tuple(flat.get(f.name)
                                       for f in manifest.schema.fields))
         commit_base = base

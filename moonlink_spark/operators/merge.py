@@ -252,6 +252,7 @@ def merge_into(
                     flat[f"max_{c}"] = mx
                     flat[f"null_{c}"] = (e.get("null_counts")
                                          or {}).get(c)
+                    flat[f"ndv_{c}"] = (e.get("ndv") or {}).get(c)
                 rows.append(tuple(flat.get(f.name) for f in
                                   manifest.schema.fields))
             out = out.unionByName(

@@ -159,6 +159,33 @@ def _footer_stats(path: str, stats_columns: tuple[str, ...]) -> dict:
     }
 
 
+def collect_ndv(spark: SparkSession, store: SnapshotStore,
+                rels: list[str],
+                stats_columns: tuple[str, ...]) -> dict[str, dict[str, int]]:
+    """Per-output-file approx-distinct counts for the stats columns —
+    the Iceberg ``distinct_counts`` analogue, as ONE projection-pruned
+    Spark job over the files just written.
+
+    ``approx_count_distinct`` is an HLL++ sketch: map-side partial per
+    file split, tiny final shuffle keyed by file path (skew-free — one
+    group per output file), never a row expansion.  An exact
+    COUNT(DISTINCT) would shuffle every distinct value; at 100 TB the
+    sketch is the only shape that stays one-pass."""
+    from moonlink_spark.operators.scan import _with_relative_file
+    if not rels:
+        return {}
+    df = spark.read.parquet(*[store.abs(r) for r in rels])
+    cols = [c for c in stats_columns if c in df.columns]
+    if not cols:
+        return {}
+    per_file = (
+        _with_relative_file(df, store)
+        .groupBy(FILE_COL)
+        .agg(*[F.approx_count_distinct(c, rsd=0.02).alias(c) for c in cols]))
+    return {r[FILE_COL]: {c: int(r[c]) for c in cols}
+            for r in per_file.collect()}
+
+
 def footer_stats_many(paths: list[str],
                       stats_columns: tuple[str, ...]) -> list[dict]:
     """Footer stats for many files, concurrently.
@@ -299,6 +326,12 @@ def rewrite_bin(
         outputs.append({"path": rel, **st})
 
     store.fs.rmtree(tmp_dir)
+
+    if config.collect_ndv and outputs:
+        ndv_map = collect_ndv(spark, store, [o["path"] for o in outputs],
+                              config.stats_columns)
+        for o in outputs:
+            o["ndv"] = ndv_map.get(o["path"], {})
 
     # compactor.rs:277-279 sanity: every input row is either deleted or out
     expected = bin.live_rows

@@ -318,6 +318,31 @@ def minmax_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("manifest_ndv", """
+SELECT l_orderkey % 50 AS file_bucket,
+       COUNT(*) AS rows,
+       COUNT(DISTINCT l_partkey) AS ndv_partkey,
+       COUNT(DISTINCT l_suppkey) AS ndv_suppkey,
+       COUNT(DISTINCT l_returnflag) AS ndv_returnflag
+FROM lineitem GROUP BY l_orderkey % 50
+""")
+def manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file distinct-count stats collection (rewrite.collect_ndv,
+    Iceberg distinct_counts analogue).  Registered with exact
+    COUNT(DISTINCT) so the oracle compares deterministically; the engine
+    path uses the HLL++ sketch (approx_count_distinct) instead — partial
+    per file, tiny final shuffle — because an exact distinct at 100 TB
+    would shuffle every value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % 50).alias("file_bucket"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.countDistinct("l_partkey").alias("ndv_partkey"),
+             F.countDistinct("l_suppkey").alias("ndv_suppkey"),
+             F.countDistinct("l_returnflag").alias("ndv_returnflag"))
+    )
+
+
 @_register("expire_reachability", """
 WITH v1 AS (SELECT DISTINCT o_orderkey % 1000 AS file_id FROM orders
             WHERE o_orderkey % 2 = 0),

@@ -264,6 +264,11 @@ class SnapshotStore:
         # free from parquet footers): NULL = unknown, never pruned on
         for c in stats_columns:
             fields.append((f"null_{c}", pa.int64()))
+        # per-column approx distinct counts (HLL++, Iceberg
+        # distinct_counts analogue) when the table opts into
+        # ``collect_ndv``; NULL = not collected
+        for c in stats_columns:
+            fields.append((f"ndv_{c}", pa.int64()))
         schema = pa.schema(fields)
 
         if not presorted:
@@ -303,11 +308,16 @@ class SnapshotStore:
                     cols[f"min_{c}"].append(mn)
                     cols[f"max_{c}"].append(mx)
                 nulls = e.get("null_counts")
+                ndv = e.get("ndv")
                 for c in stats_columns:
                     nv = (nulls.get(c) if nulls is not None
                           else e.get(f"null_{c}"))
                     cols[f"null_{c}"].append(
                         int(nv) if nv is not None else None)
+                    dv = (ndv.get(c) if ndv is not None
+                          else e.get(f"ndv_{c}"))
+                    cols[f"ndv_{c}"].append(
+                        int(dv) if dv is not None else None)
                 n += 1
                 if n >= _MANIFEST_BATCH_ROWS:
                     _flush(cols)

@@ -385,3 +385,41 @@ def test_null_counts_survive_compaction(spark, tmp_path):
     m = t.manifest()
     got = m.agg(F.sum("null_name"), F.sum("rows")).collect()[0]
     assert got[0] == total_nulls and got[1] == 200
+
+
+def test_ndv_sketch_collection(spark, tmp_path):
+    """collect_ndv=True records per-file approx distinct counts in the
+    manifest (ndv_<col>); tables that don't opt in keep NULLs."""
+    import dataclasses
+    w = str(tmp_path / "wh-ndv")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    cfg = dataclasses.replace(INT_CFG, collect_ndv=True)
+    store.commit([], schema=INT_SCHEMA, stats_columns=cfg.stats_columns,
+                 properties={"flush_lsn": 0, "schema_types": INT_TYPES,
+                             "schema_ddl": INT_DDL},
+                 expected_parent=None)
+    t = MoonTable(spark, w, cfg)
+    for i in range(3):
+        ids = list(range(i * 100, i * 100 + 60))
+        tb = pa.table({
+            "id": pa.array(ids, pa.int32()),
+            # only 4 distinct names per file
+            "name": pa.array([f"n{v % 4}" for v in ids]),
+            "_pos": pa.array(np.arange(60, dtype=np.int64)),
+        })
+        pq.write_table(tb, store.abs(f"{DATA_DIR}/h{i:03d}.parquet"))
+    t.load_files([store.abs(f"{DATA_DIR}/h{i:03d}.parquet")
+                  for i in range(3)])
+    # bulk load is footer-only: ndv unknown
+    m0 = t.manifest()
+    assert "ndv_name" in dict(m0.dtypes)
+    assert m0.filter(F.col("ndv_name").isNotNull()).count() == 0
+
+    t.optimize("full")
+    rows = t.manifest().collect()
+    assert rows, "expected compacted outputs"
+    for r in rows:
+        # HLL++ at rsd=0.02 is exact at these cardinalities
+        assert r["ndv_name"] == 4
+        assert abs(r["ndv_id"] - r["rows"]) <= max(2, r["rows"] * 0.05)
