@@ -64,9 +64,26 @@ class MoonTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         return self.store.read_snapshot(version)
 
+    def version_at(self, ts: float) -> int:
+        """Latest retained version committed at or before epoch-seconds
+        ``ts`` (timestamp time travel over the snapshot log — moonlink's
+        catalog keeps every ``v{N}.metadata.json`` with its own mtime,
+        ``file_catalog.rs:606-624``)."""
+        cands = [v for v in self.store.versions()
+                 if self.store.fs.mtime(self.store.header_path(v)) <= ts]
+        if not cands:
+            raise ValueError(
+                f"no snapshot committed at or before ts={ts!r}")
+        return max(cands)
+
     def scan(self, version: int | None = None, *,
+             as_of: float | None = None,
              predicates: Mapping[str, str] | None = None,
              with_location: bool = False) -> DataFrame:
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
         snap = self.store.read_snapshot(version)
         return scan_op.scan(self.spark, self.store, snap,
                             predicates=predicates,
@@ -369,10 +386,30 @@ class MoonTable:
         return snap
 
     # -- mutation --------------------------------------------------------
+    def append(self, rows: DataFrame, *, job_tag: str | None = None,
+               extra_properties: Mapping | None = None) -> Snapshot:
+        """Append-only ingest fast path (``IdentityProp::None``,
+        ``moonlink_row.rs:271-291``): no key join, no scan of existing
+        data — rows become fresh ingest files and the manifest commit is
+        a streamed sorted-merge.  Works on any table; it is the ONLY
+        write allowed on an ``append_only`` table."""
+        from moonlink_spark.operators.append import append_rows
+        return append_rows(
+            self.spark, self.store, self.store.read_snapshot(), rows,
+            config=self.config, job_tag=job_tag,
+            extra_properties=dict(extra_properties or {}))
+
     def merge(self, changes: DataFrame, *, key_columns: list[str],
               broadcast_changes: bool = True,
               job_tag: str = "merge",
               extra_properties: Mapping | None = None) -> Snapshot:
+        # append-only tables reject identity-keyed writes at the API
+        # boundary, like the reference (mooncake_table.rs:129-139:
+        # IdentityProp::None ⇔ append_only is enforced)
+        if self.store.read_snapshot().properties.get("append_only"):
+            raise ValueError(
+                "table is append_only (IdentityProp::None): deletes/"
+                "upserts are rejected; use append()")
         # a concurrent commit invalidates the computed row positions, so
         # the whole MERGE re-runs against the fresh snapshot (same
         # 5-retry contract as the commit loop, table_property.rs:14-24;

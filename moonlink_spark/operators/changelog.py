@@ -57,7 +57,7 @@ CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 
 # operations whose commits change table content
-_LOGICAL_OPS = ("merge", "load-files")
+_LOGICAL_OPS = ("merge", "load-files", "append")
 
 
 def _align(df: DataFrame, final_schema: list[str]) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Append-only fast path (IdentityProp::None analogue) + time travel.
+
+Reference contract: tables with ``IdentityProp::None`` are append-only —
+identity-keyed writes are rejected at the API boundary
+(``mooncake_table.rs:129-139``) and appends skip delete→position
+matching entirely (``moonlink_row.rs:271-291``).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=48 << 10, bin_target_bytes=192 << 10,
+    bin_concurrency=2))
+
+
+def _rows(spark, n, tag):
+    return spark.createDataFrame(
+        [(f"orgA/{tag}", f"src/{tag}/f{i:04d}.rs", f"c{i:04d}", "rust",
+          f"content-{tag}-{i}") for i in range(n)],
+        "repo string, path string, commit string, lang string, content string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=7, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64))
+    return MoonTable(spark, w, CFG)
+
+
+def test_append_adds_rows_without_touching_existing(table, spark):
+    v0 = table.current_version()
+    n0 = table.scan().count()
+    files0 = {e["path"] for e in table.store.manifest_entries(v0)}
+
+    snap = table.append(_rows(spark, 25, "new"))
+    assert snap.properties["operation"] == "append"
+    assert snap.properties["appended_rows"] == 25
+    assert table.scan().count() == n0 + 25
+    # existing entries are untouched (same paths, same dv state)
+    after = {e["path"]: e for e in table.store.manifest_entries(snap.version)}
+    assert files0 <= set(after)
+    # pinned reader still sees the old content
+    assert table.scan(v0).count() == n0
+    # the changelog for the append window is insert-only
+    ev = table.changes(v0)
+    kinds = dict(ev.groupBy("_change_type").count().collect())
+    assert kinds == {"insert": 25}
+
+
+def test_append_empty_is_noop(table, spark):
+    v0 = table.current_version()
+    snap = table.append(_rows(spark, 25, "x").limit(0))
+    assert snap.version == v0
+
+
+def test_append_missing_column_rejected(table, spark):
+    bad = _rows(spark, 3, "bad").drop("lang")
+    with pytest.raises(ValueError, match="missing table columns"):
+        table.append(bad)
+
+
+def test_appended_rows_compact_and_survive(table, spark):
+    table.append(_rows(spark, 25, "zzz"))
+    pre = sorted(r[0] for r in table.scan()
+                 .select(F.sha2("content", 256)).collect())
+    snap = table.optimize("full")
+    post = sorted(r[0] for r in table.scan(snap.version)
+                  .select(F.sha2("content", 256)).collect())
+    assert pre == post
+
+
+def test_append_only_table_rejects_merge(spark, tmp_path):
+    w = str(tmp_path / "wh-ao")
+    store = SnapshotStore(w)
+    store.init_warehouse()
+    store.commit([], schema=["repo", "path", "commit", "lang", "content",
+                             "_pos"],
+                 stats_columns=CFG.stats_columns,
+                 properties={"flush_lsn": 0, "append_only": True},
+                 expected_parent=None)
+    t = MoonTable(spark, w, CFG)
+    t.append(_rows(spark, 10, "ao"))
+    assert t.scan().count() == 10
+    ch = _rows(spark, 1, "ao").withColumn("_op", F.lit("delete"))
+    with pytest.raises(ValueError, match="append_only"):
+        t.merge(ch, key_columns=["repo", "path", "commit"])
+
+
+def test_version_at_timestamp_travel(table, spark):
+    v0 = table.current_version()
+    t0 = table.store.fs.mtime(table.store.header_path(v0))
+    time.sleep(1.1)
+    snap = table.append(_rows(spark, 5, "tt"))
+    t1 = table.store.fs.mtime(table.store.header_path(snap.version))
+
+    assert table.version_at(t0) == v0
+    assert table.version_at(t1 + 1) == snap.version
+    n0 = table.scan(v0).count()
+    assert table.scan(as_of=t0).count() == n0
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.version_at(t0 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        table.scan(0, as_of=t0)
