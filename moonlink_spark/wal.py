@@ -1,0 +1,225 @@
+"""Write-ahead log: durable in-flight events + replay-above-LSN recovery.
+
+The analogue of moonlink's WAL (``src/moonlink/src/storage/wal.rs``):
+the reference persists every not-yet-iceberg-persisted CDC event into
+numbered event files (``wal_{n}.json``, ``wal.rs:18-70``), tracks which
+LSN range each file covers, truncates whole files once their highest
+LSN is at or below the persisted LSN (``wal.rs:710-780``), and on
+recovery replays the events above the persisted LSN on top of the
+loaded iceberg snapshot (``wal.rs:104-170``,
+``moonlink_backend/src/recovery_utils.rs``).  This is what makes a
+non-replayable source (REST ingest — ``rest_ingest/event_request.rs``)
+crash-safe: the event is durable in the WAL before the client is acked,
+even though the table commit happens later and in bigger batches.
+
+Spark-first translation — three deliberate departures from the
+reference's architecture, same contract:
+
+- **Columnar event files.** WAL segments are parquet, not JSON: replay
+  is ``spark.read.parquet(segments)`` — a distributed, vectorized scan
+  that feeds the MERGE join directly, instead of a driver-side JSON
+  parse loop.  At 100 TB-ingest scale the backlog above the persisted
+  LSN can itself be big data; replay must not be a driver loop.
+- **One MERGE, last-event-per-key.** The reference replays events one
+  by one through the event loop.  Replaying N pending commits as N
+  sequential MERGEs would be N shuffles; instead recovery collapses the
+  backlog to the last event per key (a window over ``(_lsn, _seq)``) —
+  delete-then-upsert ⇒ upsert, upsert-then-delete ⇒ delete — which
+  yields the same final table state as sequential application, in one
+  commit.  Intermediate states are not observable either way (the
+  reference also persists only the post-replay snapshot).
+- **Idempotent, not exactly-once-by-position.** The recovered commit
+  stamps ``wal_lsn`` (highest replayed source LSN) into the snapshot
+  properties atomically with the MERGE (cf. the
+  ``moonlink.table-flush-lsn`` snapshot property,
+  ``iceberg_table_manager.rs:32-35``); a second recovery sees nothing
+  above the watermark and is a no-op.  Truncation is file-granular,
+  exactly like the reference: a segment whose ``max_lsn`` is at or
+  below the persisted watermark is deleted, one straggling event keeps
+  the whole file (``wal.rs:710-780``).
+
+Segment names carry their LSN range (``wal_{n}_l{max_lsn}.parquet``) so
+both truncation and replay-candidate selection are pure listings — no
+footer reads, no metadata store (the reference keeps an equivalent
+file-number→LSN map in its WAL metadata, ``wal.rs:38-70``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.snapshotstore import SnapshotStore
+
+WAL_DIR = "wal"
+LSN_COL = "_lsn"
+SEQ_COL = "_seq"
+OP_COL = "_op"
+
+_SEGMENT_RE = re.compile(r"^wal_(\d{6})_l(\d{12})\.parquet$")
+
+
+def _segment_name(file_no: int, max_lsn: int) -> str:
+    return f"wal_{file_no:06d}_l{max_lsn:012d}.parquet"
+
+
+class WriteAheadLog:
+    """Durable event log for one table, rooted at ``<warehouse>/wal``.
+
+    Single-writer by design, like the reference's per-table event loop
+    (``table_handler.rs:30-207``): one ingestion agent appends; the
+    engine replays and truncates.  All driver I/O goes through the
+    store's filesystem accessor seam.
+    """
+
+    def __init__(self, store: SnapshotStore):
+        self.store = store
+        self.dir = os.path.join(store.warehouse, WAL_DIR)
+        store.fs.makedirs(self.dir)
+
+    # -- segment listing ---------------------------------------------------
+    def segments(self) -> list[tuple[int, int, str]]:
+        """Sorted ``(file_no, max_lsn, abs_path)`` for every live segment."""
+        out = []
+        for name in self.store.fs.list(self.dir):
+            m = _SEGMENT_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2)),
+                            os.path.join(self.dir, name)))
+        out.sort()
+        return out
+
+    def highest_lsn(self) -> int:
+        """Highest LSN durable in the WAL (0 when empty)."""
+        segs = self.segments()
+        return max((s[1] for s in segs), default=0)
+
+    # -- append (the durable-before-ack write) ------------------------------
+    def append(self, events: Sequence[Mapping], lsn: int,
+               columns: Iterable[str]) -> str:
+        """Durably persist one committed transaction's events at ``lsn``.
+
+        ``events``: dicts with ``_op`` ('delete' | 'upsert') plus the
+        table's payload columns (the REST-ingest event shape,
+        ``rest_ingest/event_request.rs:10-60``; CDC ``Update`` arrives
+        pre-split as delete+upsert, ``moonlink_sink.rs:295-327``).  One
+        call = one transaction = one LSN, mirroring ``commit(lsn)``
+        (``mooncake_table.rs:1290-1312``).  The write is atomic
+        (tmp + rename): the client is acked only after this returns,
+        and a torn write is invisible.
+
+        Returns the segment path.  ``lsn`` must be greater than every
+        LSN already in the WAL (LSNs are monotone by contract,
+        ``union_read/read_state_manager.rs:143-147``).
+        """
+        if not events:
+            raise ValueError("empty event batch")
+        segs = self.segments()
+        if segs and lsn <= segs[-1][1]:
+            raise ValueError(
+                f"non-monotone lsn {lsn}: WAL already holds {segs[-1][1]}")
+        file_no = segs[-1][0] + 1 if segs else 0
+        columns = list(columns)
+
+        arrays: dict[str, list] = {LSN_COL: [], SEQ_COL: [], OP_COL: []}
+        for c in columns:
+            arrays[c] = []
+        for i, e in enumerate(events):
+            arrays[LSN_COL].append(lsn)
+            arrays[SEQ_COL].append(i)
+            arrays[OP_COL].append(e[OP_COL])
+            for c in columns:
+                v = e.get(c)
+                arrays[c].append(None if v is None else str(v))
+        fields = [(LSN_COL, pa.int64()), (SEQ_COL, pa.int64()),
+                  (OP_COL, pa.string())] + [(c, pa.string())
+                                            for c in columns]
+        table = pa.Table.from_arrays(
+            [pa.array(arrays[n], type=t) for n, t in fields],
+            schema=pa.schema(fields))
+
+        path = os.path.join(self.dir, _segment_name(file_no, lsn))
+        tmp = path + ".wal-tmp"
+        pq.write_table(table, tmp, compression="snappy")
+        self.store.fs.rename(tmp, path)
+        return path
+
+    # -- replay --------------------------------------------------------------
+    def pending_df(self, spark: SparkSession,
+                   above_lsn: int) -> DataFrame | None:
+        """Events with LSN strictly above ``above_lsn`` as a DataFrame.
+
+        Segment selection is listing-only (names carry ``max_lsn``); the
+        residual per-row filter handles a segment straddling the
+        watermark — which cannot happen under one-lsn-per-segment
+        appends, but keeps replay correct if segments are ever batched.
+        """
+        paths = [p for _, max_lsn, p in self.segments()
+                 if max_lsn > above_lsn]
+        if not paths:
+            return None
+        return (spark.read.parquet(*paths)
+                .filter(F.col(LSN_COL) > F.lit(above_lsn)))
+
+    @staticmethod
+    def collapse(pending: DataFrame, key_columns: list[str]) -> DataFrame:
+        """Last event per key across the backlog → a MERGE change batch.
+
+        Equivalent to sequential application: within one key, only the
+        final event decides the end state (delete→upsert ⇒ the upsert
+        row; upsert→delete ⇒ deleted).  Total order is
+        ``(_lsn, _seq)`` — commit order, then intra-transaction order.
+        """
+        w = (Window.partitionBy(*key_columns)
+             .orderBy(F.col(LSN_COL).desc(), F.col(SEQ_COL).desc()))
+        return (pending
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", LSN_COL, SEQ_COL))
+
+    def replay_into(self, table, *, key_columns: list[str],
+                    truncate: bool = True):
+        """Recovery: apply every event above the table's persisted
+        ``wal_lsn`` watermark as ONE merge commit, stamp the new
+        watermark atomically with it, then truncate covered segments.
+
+        Returns the committed snapshot, or ``None`` when the WAL holds
+        nothing above the watermark (recovery is idempotent).  The
+        analogue of ``recovery_utils.rs`` replaying WAL events above the
+        iceberg-persisted LSN onto the loaded snapshot.
+        """
+        snap = table.store.read_snapshot()
+        persisted = int(snap.properties.get("wal_lsn", 0))
+        pending = self.pending_df(table.spark, persisted)
+        if pending is None:
+            if truncate:
+                self.truncate(persisted)
+            return None
+        high = self.highest_lsn()
+        changes = self.collapse(pending, key_columns)
+        out = table.merge(
+            changes, key_columns=key_columns,
+            job_tag=f"wal-replay-l{high:012d}",
+            extra_properties={"wal_lsn": high})
+        if truncate:
+            self.truncate(high)
+        return out
+
+    # -- truncation ------------------------------------------------------------
+    def truncate(self, persisted_lsn: int) -> list[str]:
+        """Delete every segment fully covered by ``persisted_lsn``
+        (``max_lsn <= persisted_lsn``) — file-granular, like the
+        reference (``wal.rs:710-780``).  Returns the removed paths."""
+        removed = []
+        for _no, max_lsn, path in self.segments():
+            if max_lsn <= persisted_lsn:
+                self.store.fs.remove(path)
+                removed.append(path)
+        return removed

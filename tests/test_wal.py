@@ -1,0 +1,181 @@
+"""Write-ahead log: durable in-flight events, replay-above-LSN
+recovery, file-granular truncation (reference:
+``storage/wal.rs:104-170,710-780``,
+``moonlink_backend/src/recovery_utils.rs`` — events above the
+persisted LSN are replayed on top of the loaded snapshot)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.synth import synthesize_cdc_aftermath
+from moonlink_spark.wal import WriteAheadLog
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=64 << 10, bin_target_bytes=256 << 10,
+    bin_concurrency=2))
+KEYS = ["repo", "path", "commit"]
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _mk_table(spark, root, seed=47):
+    synthesize_cdc_aftermath(root, seed=seed, n_files=12,
+                             rows_per_file=(30, 90), n_repos=4,
+                             content_bytes=(64, 128))
+    return MoonTable(spark, root, CFG)
+
+
+def _row(repo, path, commit, lang=None, content=None, op=None):
+    return {"repo": repo, "path": path, "commit": commit,
+            "lang": lang, "content": content, "_op": op}
+
+
+def _transactions(t):
+    """Three committed transactions' worth of events (lsn 10/20/30),
+    exercising delete→upsert and upsert→delete across commits."""
+    live = [r.asDict() for r in
+            t.scan(0).select(*COLS).orderBy(*KEYS).limit(4).collect()]
+    a = ("orgW/walnew", "src/a.rs", "a" * 40, "rust")
+    b = ("orgW/walnew", "src/b.rs", "b" * 40, "rust")
+    tx10 = [
+        _row(**live[0], op="delete"),
+        _row(**live[1], op="delete"),
+        _row(*a, "A v1", "upsert"),
+    ]
+    tx20 = [
+        _row(*a, "A v2", "upsert"),        # overwrite within backlog
+        _row(**live[2], op="delete"),
+    ]
+    tx30 = [
+        _row(*a, None, "delete"),          # upsert→delete: key A gone
+        _row(*b, "B v1", "upsert"),
+    ]
+    return {10: tx10, 20: tx20, 30: tx30}
+
+
+def _scan_set(t, version=None):
+    return {tuple(r) for r in
+            t.scan(version).select(*COLS).collect()}
+
+
+@pytest.fixture(scope="module")
+def recovered(spark, tmp_path_factory):
+    """Crash-shaped scenario: three transactions durable in the WAL,
+    NONE committed to the table; then recovery replays all of them as
+    one merge.  A twin table (same synth seed) applies the same
+    transactions sequentially, one merge per commit — the equivalence
+    oracle."""
+    w = str(tmp_path_factory.mktemp("wal_wh"))
+    w_twin = str(tmp_path_factory.mktemp("wal_twin"))
+    t = _mk_table(spark, w)
+    twin = _mk_table(spark, w_twin)
+    assert _scan_set(t, 0) == _scan_set(twin, 0)
+
+    txs = _transactions(t)
+    wal = WriteAheadLog(t.store)
+    for lsn in sorted(txs):
+        wal.append(txs[lsn], lsn, columns=COLS)
+    # crash happens here: events durable, zero table commits.
+    snap = wal.replay_into(t, key_columns=KEYS)
+
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, _op string")
+    for lsn in sorted(txs):
+        rows = [tuple(e[c] for c in COLS) + (e["_op"],) for e in txs[lsn]]
+        twin.merge(spark.createDataFrame(rows, ddl), key_columns=KEYS)
+    return t, twin, wal, snap, txs
+
+
+def test_replay_equals_sequential_apply(recovered):
+    t, twin, wal, snap, txs = recovered
+    assert snap is not None
+    assert _scan_set(t) == _scan_set(twin)
+
+
+def test_replay_collapse_semantics(recovered):
+    t, _twin, _wal, _snap, txs = recovered
+    live = t.scan()
+    # upsert→delete across commits: key A is gone
+    assert live.filter(F.col("path") == "src/a.rs").count() == 0
+    # last upsert wins is moot for A (deleted); B survives with its payload
+    b = live.filter(F.col("path") == "src/b.rs").collect()
+    assert len(b) == 1 and b[0]["content"] == "B v1"
+    # the three deleted pre-existing rows are gone
+    deleted_keys = [tuple(e[c] for c in KEYS)
+                    for lsn in txs for e in txs[lsn]
+                    if e["_op"] == "delete" and e["path"] != "src/a.rs"]
+    for k in deleted_keys:
+        assert live.filter((F.col("repo") == k[0]) &
+                           (F.col("path") == k[1]) &
+                           (F.col("commit") == k[2])).count() == 0
+
+
+def test_watermark_stamped_atomically(recovered):
+    t, _twin, _wal, snap, _txs = recovered
+    assert int(snap.properties["wal_lsn"]) == 30
+    # and it propagates: the current snapshot agrees
+    assert int(t.store.read_snapshot().properties["wal_lsn"]) == 30
+
+
+def test_replay_idempotent_and_truncated(recovered):
+    t, _twin, wal, _snap, _txs = recovered
+    # replay fully truncated the covered segments
+    assert wal.segments() == []
+    v = t.current_version()
+    assert wal.replay_into(t, key_columns=KEYS) is None
+    assert t.current_version() == v
+
+
+def test_partial_persistence_replays_only_tail(spark, tmp_path):
+    """Normal-operation crash: tx(10) already committed (watermark
+    stamped with the commit), 20/30 only in the WAL — recovery applies
+    exactly the tail."""
+    w = str(tmp_path / "wh")
+    t = _mk_table(spark, w, seed=48)
+    txs = _transactions(t)
+    wal = WriteAheadLog(t.store)
+    for lsn in sorted(txs):
+        wal.append(txs[lsn], lsn, columns=COLS)
+
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, _op string")
+    rows = [tuple(e[c] for c in COLS) + (e["_op"],) for e in txs[10]]
+    t.merge(spark.createDataFrame(rows, ddl), key_columns=KEYS,
+            extra_properties={"wal_lsn": 10})
+    v_after_tx10 = t.current_version()
+
+    snap = wal.replay_into(t, key_columns=KEYS)
+    assert snap.version == v_after_tx10 + 1     # ONE commit for the tail
+    assert int(snap.properties["wal_lsn"]) == 30
+    live = t.scan()
+    assert live.filter(F.col("path") == "src/a.rs").count() == 0
+    assert live.filter(F.col("path") == "src/b.rs").count() == 1
+
+
+def test_monotone_lsn_enforced(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    t = _mk_table(spark, w, seed=49)
+    wal = WriteAheadLog(t.store)
+    wal.append([_row("r", "p", "c", "rust", "x", "upsert")], 10,
+               columns=COLS)
+    with pytest.raises(ValueError, match="non-monotone"):
+        wal.append([_row("r", "p2", "c", "rust", "x", "upsert")], 10,
+                   columns=COLS)
+
+
+def test_truncate_keeps_straggler_segment(spark, tmp_path):
+    """A segment with any event above the watermark survives whole —
+    file-granular truncation (wal.rs:710-780)."""
+    w = str(tmp_path / "wh")
+    t = _mk_table(spark, w, seed=50)
+    wal = WriteAheadLog(t.store)
+    wal.append([_row("r", "p1", "c", "rust", "x", "upsert")], 10,
+               columns=COLS)
+    wal.append([_row("r", "p2", "c", "rust", "x", "upsert")], 20,
+               columns=COLS)
+    removed = wal.truncate(15)
+    assert len(removed) == 1
+    assert [s[1] for s in wal.segments()] == [20]
+    assert wal.highest_lsn() == 20
