@@ -134,9 +134,105 @@ def decode_features(media: DataFrame, *, allow_fake: bool = True,
     return media.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Resize plumbing: validates schema + annotates target dims; the
-    pixel work is the decoder's (stubbed here). Kept as a real operator
-    so pipelines type-check end-to-end."""
-    return media.withColumn("target_width", F.lit(width)) \
-        .withColumn("target_height", F.lit(height))
+def _fake_decode_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic decode double: tile the payload bytes into an
+    ``h x w`` uint8 grayscale array (real decoders are absent in this
+    container; the array math downstream is identical either way)."""
+    a = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if a.size == 0:
+        a = np.zeros(1, dtype=np.uint8)
+    return np.resize(a, (h, w))
+
+
+def resize(media: DataFrame, *, width: int, height: int,
+           allow_fake: bool = True) -> DataFrame:
+    """Resize every payload to ``width x height`` — a REAL resample, not
+    an annotation: decode (fake double unless codecs exist) → vectorized
+    nearest-neighbor index sampling in numpy → re-encoded raw-pixel
+    payload.  Output keeps :data:`MEDIA_SCHEMA`, so resize composes with
+    :func:`decode_features` / further transforms unchanged.
+
+    Rows with NULL declared dims decode at a 64x64 fallback. The output
+    payload is exactly ``width*height`` bytes (row-major grayscale)."""
+    if not _have_real_decoder() and not allow_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/av) not installed; "
+            "pass allow_fake=True for the deterministic test double")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            ws = pdf["meta_width"].fillna(64).astype(int).to_numpy()
+            hs = pdf["meta_height"].fillna(64).astype(int).to_numpy()
+            for payload, w0, h0 in zip(pdf["payload"], ws, hs):
+                img = _fake_decode_pixels(payload, max(int(w0), 1),
+                                          max(int(h0), 1))
+                rows = (np.arange(height) * img.shape[0]) // height
+                cols = (np.arange(width) * img.shape[1]) // width
+                out_payloads.append(img[np.ix_(rows, cols)].tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload": out_payloads,
+                "meta_width": np.full(len(pdf), width, dtype="int32"),
+                "meta_height": np.full(len(pdf), height, dtype="int32"),
+                "meta_duration_ms": pdf["meta_duration_ms"],
+            })
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_ms", T.IntegerType(), False),
+    T.StructField("frame_payload", T.BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, *, stride_ms: int = 1000,
+                  allow_fake: bool = True) -> DataFrame:
+    """Frame sampling as a first-class exploded operator: one output row
+    per sampled frame at ``stride_ms`` spacing (audio/video; images are
+    a single frame at t=0).  The fan-out happens inside ``mapInPandas``
+    — payload bytes arrive once per media item over Arrow and the frame
+    rows are emitted locally, so a 2-hour video never ships its payload
+    per-frame over a shuffle.
+
+    Fake frame extraction (no codecs in this container): frame *i* is
+    the payload byte-rotated by ``i`` — deterministic, distinct per
+    frame, and cheap; a real decoder slots into the same loop."""
+    if not _have_real_decoder() and not allow_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/av) not installed; "
+            "pass allow_fake=True for the deterministic test double")
+
+    stride = stride_ms
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, ts, frames = [], [], [], [], []
+            dur = pdf["meta_duration_ms"].fillna(0).astype(int).to_numpy()
+            is_av = pdf["media_type"].isin(["audio", "video"]).to_numpy()
+            for j in range(len(pdf)):
+                payload = bytes(pdf["payload"].iloc[j])
+                n = max(1, dur[j] // stride) if is_av[j] else 1
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if a.size == 0:
+                    a = np.zeros(1, dtype=np.uint8)
+                for i in range(int(n)):
+                    ids.append(pdf["media_id"].iloc[j])
+                    types.append(pdf["media_type"].iloc[j])
+                    idxs.append(i)
+                    ts.append(i * stride)
+                    frames.append(np.roll(a, -i).tobytes())
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "media_type": types,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "t_ms": pd.array(ts, dtype="int32"),
+                "frame_payload": frames,
+            })
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)

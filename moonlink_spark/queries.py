@@ -1074,6 +1074,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("payload_sha").alias("n_distinct_payloads")))
 
 
+@_register("multimodal_frame_plan", """
+SELECT media_id, media_type,
+       CAST(UNNEST(generate_series(0, n - 1)) AS INT) AS frame_idx,
+       CAST(UNNEST(generate_series(0, n - 1)) * 50 AS INT) AS t_ms
+FROM (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CASE WHEN doc_id % 3 = 0 THEN 1
+              ELSE greatest((doc_id % 90000 + 1) // 50, 1) END AS n
+  FROM documents
+)
+""")
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as an exploded operator (multimodal.sample_frames):
+    one row per sampled frame at 50 ms stride, fanned out INSIDE
+    mapInPandas so each payload ships over Arrow exactly once.  The
+    frame plan (id, type, index, timestamp) is pure metadata arithmetic,
+    so the oracle reproduces it with generate_series; the per-frame
+    payload bytes are pytest-verified (tests/test_functions.py)."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(spark, d)
+    frames = mm.sample_frames(media, stride_ms=50, allow_fake=True)
+    return frames.select("media_id", "media_type", "frame_idx", "t_ms")
+
+
 # ---------------------------------------------------------------------------
 # 3. the maintenance engine end-to-end (non-SQL-expressible → rows-only)
 # ---------------------------------------------------------------------------
