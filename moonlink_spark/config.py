@@ -87,3 +87,13 @@ class TableConfig:
     # Opt-in: costs one projection-pruned read-back of the stats columns
     # per rewritten bin; bounds and null counts stay footer-only (free).
     collect_ndv: bool = False
+    # Identity-key bucket hash index (the GlobalIndex analogue,
+    # persisted_bucket_hash_map.rs:288-318): () disables.  When set,
+    # every file written by compaction/merge/append gets (key_hash,file)
+    # entries under idx/b{bucket}/, and MERGE prunes its scan to the
+    # files whose buckets hit the batch's key hashes (plus any
+    # non-covered file — the index can only widen a scan it gets wrong,
+    # never drop a match).  Cost: one projection-pruned job over each
+    # newly-written file set.
+    index_key_columns: tuple[str, ...] = ()
+    index_buckets: int = 64

@@ -20,6 +20,7 @@ derived from the base version, and the committed snapshot records it).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -162,16 +163,10 @@ class MoonTable:
             bits=self.config.zorder_bits, total_rows=approx_rows,
             curve=self.config.zorder_curve)
 
-        cfg = TableConfig(
-            zorder_columns=self.config.zorder_columns,
-            stats_columns=self.config.stats_columns,
-            zorder_bits=self.config.zorder_bits,
-            zorder_curve=self.config.zorder_curve,
-            compaction=comp,
-            ingest_compression=self.config.ingest_compression,
-            compact_compression=self.config.compact_compression,
-            collect_ndv=self.config.collect_ndv,
-        )
+        # same table config with the mode-resolved compaction thresholds
+        # swapped in (dataclasses.replace keeps every other knob — a
+        # field-by-field rebuild here once silently dropped new fields)
+        cfg = dataclasses.replace(self.config, compaction=comp)
         # Bins are independent jobs — submit them concurrently so the
         # cluster stays saturated even when one bin's task count is below
         # the executor-slot count.  Results are deterministic regardless
@@ -315,11 +310,17 @@ class MoonTable:
                 commit_base = new_base
 
     def _optimize_index(self, base: Snapshot, job_id: str) -> Snapshot:
-        """Consolidate many small DV sidecars into few — the engine's
-        analogue of moonlink's file-index merge (merge >=16 small index
-        blocks into one GlobalIndex, ``snapshot_maintenance.rs:227-309``).
-        Metadata-only: no data file is touched."""
+        """Index maintenance: consolidate the key-hash bucket index
+        (the file-index merge analogue — merge >=16 small index blocks
+        into one GlobalIndex, ``snapshot_maintenance.rs:227-309``) and
+        the DV sidecars.  Metadata-only: no data file is touched."""
         mdf = self.store.manifest_df(self.spark, base.version)
+        if self.config.index_key_columns:
+            from moonlink_spark.operators import keyindex
+            keyindex.consolidate_index(
+                self.spark, self.store, mdf.select("path"),
+                n_buckets=self.config.index_buckets,
+                job_id=job_id)
         # the sidecar list is planning metadata (files to read) — the
         # only driver-side materialization in this path
         live_dv = sorted(r["dv_path"] for r in

@@ -94,6 +94,18 @@ def append_rows(
                 "path": rel, "dv_path": None, "dv_cardinality": 0, **st})
     store.fs.rmtree(os.path.join(store.warehouse, "tmp", job_id))
     new_entries.sort(key=lambda e: e["path"])
+    if config.index_key_columns and not snapshot.properties.get(
+            "append_only"):
+        # identity-keyed tables index appended files at birth too (an
+        # append_only table has IdentityProp::None — no identity key, no
+        # index, like the reference); skipping would only widen later
+        # MERGE scans (uncovered files are always candidates), never
+        # break them
+        from moonlink_spark.operators import keyindex
+        keyindex.write_index(
+            spark, store, [e["path"] for e in new_entries],
+            list(config.index_key_columns),
+            n_buckets=config.index_buckets, job_id=job_id)
 
     base = snapshot
     for attempt in range(5):

@@ -1,0 +1,221 @@
+"""Persisted bucketed key-hash index: point-lookup pruning for MERGE.
+
+The Spark-native analogue of moonlink's ``GlobalIndex`` persisted bucket
+hash map (``storage/index/persisted_bucket_hash_map.rs:288-318``): the
+reference hashes each identity key with splitmix64, splits the hash into
+bucket bits + verify bits, and stores per-bucket files so a delete's
+position lookup touches one bucket, not the table.  Its file indices
+are built at flush/compaction time and merged by the index-merge
+maintenance op (``snapshot_maintenance.rs:227-309``).
+
+Here the index is *data*, planned with DataFrames:
+
+- **Entries**: ``(key_hash, file)`` pairs — ``xxhash64`` over the
+  table's identity-key columns — written as parquet under
+  ``idx/b{bucket:04d}/`` where ``bucket = pmod(key_hash, n_buckets)``.
+  A MERGE batch hashes its keys, reads ONLY the touched buckets'
+  files (a listing, like the reference's bucket addressing), and
+  semi-joins to learn which data files can contain any batch key.
+- **Coverage**: the index also records *which data files it covers*
+  (``idx/files/cov-*.parquet``).  Pruning treats non-covered files as
+  always-candidates, so the index is pure optimization — losing or
+  lacking index files can never drop a matching row, only widen the
+  scan.  (The reference gets the same safety from requiring an index
+  per file; we allow mixed tables — e.g. bulk-adopted parquet — to
+  stay correct without one.)
+- **Lifecycle**: entries are written at file birth (compaction rewrite,
+  MERGE insert files, appends) — one projection-pruned job over the
+  just-written files.  Entries referencing data files that later leave
+  the manifest are *stale, not wrong*: candidates intersect the live
+  manifest.  ``optimize("index")`` consolidates the bucket files and
+  drops stale entries — the index-merge analogue.  Hash collisions are
+  harmless by construction: a false candidate file is scanned and the
+  real key equi-join finds nothing (the reference verifies collisions
+  against the full row the same way, ``snapshot.rs:925-968``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.fs import part_files
+
+IDX_DIR = "idx"
+COV_DIR = os.path.join(IDX_DIR, "files")
+HASH_COL = "key_hash"
+FILE_ENT_COL = "file"
+
+
+def key_hash(key_columns: list[str]):
+    """The identity-key hash expression (JVM xxhash64 over the key
+    tuple; the splitmix64 analogue)."""
+    return F.xxhash64(*[F.col(c) for c in key_columns])
+
+
+def _bucket_dir(store: SnapshotStore, bucket: int) -> str:
+    return os.path.join(store.warehouse, IDX_DIR, f"b{bucket:04d}")
+
+
+def _bucket_parts(store: SnapshotStore, bucket: int) -> list[str]:
+    d = _bucket_dir(store, bucket)
+    if not store.fs.is_dir(d):
+        return []
+    return [os.path.join(d, n) for n in sorted(store.fs.list(d))
+            if n.endswith(".parquet")]
+
+
+def coverage_parts(store: SnapshotStore) -> list[str]:
+    d = os.path.join(store.warehouse, COV_DIR)
+    if not store.fs.is_dir(d):
+        return []
+    return [os.path.join(d, n) for n in sorted(store.fs.list(d))
+            if n.endswith(".parquet")]
+
+
+def write_index(spark: SparkSession, store: SnapshotStore,
+                data_rels: list[str], key_columns: list[str], *,
+                n_buckets: int, job_id: str) -> None:
+    """Index the just-written ``data_rels``: one projection-pruned job
+    (key columns only — ``content`` is never read) producing distinct
+    ``(key_hash, file)`` pairs partitioned by bucket, plus a coverage
+    record.  Idempotent under re-runs: duplicate entries/coverage rows
+    are harmless (every consumer is a semi-join or distinct)."""
+    from moonlink_spark.operators.scan import _with_relative_file
+
+    if not data_rels:
+        return
+    ent = (_with_relative_file(
+               spark.read.parquet(*[store.abs(r) for r in data_rels])
+               .select(*key_columns, "_metadata"), store)
+           .select(key_hash(key_columns).alias(HASH_COL),
+                   F.col("_mlfile").alias(FILE_ENT_COL))
+           .distinct()
+           .withColumn("bucket",
+                       F.pmod(F.col(HASH_COL), F.lit(n_buckets))))
+    tmp = os.path.join(store.warehouse, "tmp", f"idx-{job_id}")
+    (ent.repartition(n_buckets, F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .option("compression", "zstd").parquet(tmp))
+    for name in sorted(store.fs.list(tmp)):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        store.fs.makedirs(_bucket_dir(store, b))
+        for j, part in enumerate(part_files(store.fs,
+                                            os.path.join(tmp, name))):
+            store.fs.rename(
+                os.path.join(tmp, name, part),
+                os.path.join(_bucket_dir(store, b),
+                             f"idx-{job_id}-{j:04d}.parquet"))
+    store.fs.rmtree(tmp)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cov_dir = os.path.join(store.warehouse, COV_DIR)
+    store.fs.makedirs(cov_dir)
+    cov_path = os.path.join(cov_dir, f"cov-{job_id}.parquet")
+    table = pa.Table.from_arrays(
+        [pa.array(sorted(data_rels), type=pa.string())], names=["path"])
+    pq.write_table(table, cov_path + ".idx-tmp")
+    store.fs.rename(cov_path + ".idx-tmp", cov_path)
+
+
+def candidate_files(spark: SparkSession, store: SnapshotStore,
+                    manifest: DataFrame, changes: DataFrame,
+                    key_columns: list[str], *,
+                    n_buckets: int) -> DataFrame | None:
+    """Data files that may contain any of the change batch's keys, as a
+    one-column (``path``) DataFrame: index hits over the touched buckets
+    ∪ every non-covered file (conservative).  ``None`` when no index
+    exists (caller scans everything, the pre-index behavior)."""
+    cov = coverage_parts(store)
+    if not cov:
+        return None
+    hashes = (changes.select(key_hash(key_columns).alias(HASH_COL))
+              .distinct())
+    # touched buckets: change-batch-sized driver list, ≤ n_buckets ints
+    # (the reference's bucket addressing, persisted_bucket_hash_map.rs)
+    buckets = sorted(r["b"] for r in hashes.select(
+        F.pmod(F.col(HASH_COL), F.lit(n_buckets)).alias("b"))
+        .distinct().collect())
+    parts: list[str] = []
+    for b in buckets:
+        parts.extend(_bucket_parts(store, b))
+    if parts:
+        hits = (spark.read.parquet(*parts)
+                .join(hashes, on=HASH_COL, how="left_semi")
+                .select(F.col(FILE_ENT_COL).alias("path"))
+                .distinct())
+    else:
+        hits = spark.createDataFrame([], "path string")
+    covered = spark.read.parquet(*cov).select("path").distinct()
+    uncovered = (manifest.select("path")
+                 .join(covered, on="path", how="left_anti"))
+    return hits.union(uncovered).distinct()
+
+
+def consolidate_index(spark: SparkSession, store: SnapshotStore,
+                      live_paths: DataFrame, *, n_buckets: int,
+                      job_id: str) -> dict | None:
+    """Index merge (``snapshot_maintenance.rs:227-309`` analogue):
+    rewrite all bucket files into one part per bucket, dropping stale
+    entries (data files no longer in the live manifest) and duplicate
+    pairs; consolidate coverage the same way.  New parts land before old
+    parts are removed, so a crash mid-swap leaves duplicates — harmless
+    — never a gap."""
+    old_parts: list[str] = []
+    for b in range(n_buckets):
+        old_parts.extend(_bucket_parts(store, b))
+    old_cov = coverage_parts(store)
+    if not old_parts and not old_cov:
+        return None
+
+    new_parts = 0
+    if old_parts:
+        ent = (spark.read.parquet(*old_parts)
+               .join(live_paths.withColumnRenamed("path", FILE_ENT_COL),
+                     on=FILE_ENT_COL, how="left_semi")
+               .distinct()
+               .withColumn("bucket",
+                           F.pmod(F.col(HASH_COL), F.lit(n_buckets))))
+        tmp = os.path.join(store.warehouse, "tmp", f"idx-{job_id}")
+        (ent.repartition(n_buckets, F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bucket")
+         .option("compression", "zstd").parquet(tmp))
+        for name in sorted(store.fs.list(tmp)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            store.fs.makedirs(_bucket_dir(store, b))
+            for j, part in enumerate(part_files(store.fs,
+                                                os.path.join(tmp, name))):
+                store.fs.rename(
+                    os.path.join(tmp, name, part),
+                    os.path.join(_bucket_dir(store, b),
+                                 f"idx-{job_id}-{j:04d}.parquet"))
+                new_parts += 1
+        store.fs.rmtree(tmp)
+
+    if old_cov:
+        merged_cov = (spark.read.parquet(*old_cov)
+                      .join(live_paths, on="path", how="left_semi")
+                      .distinct().orderBy("path"))
+        rows = [r["path"] for r in merged_cov.toLocalIterator()]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cov_dir = os.path.join(store.warehouse, COV_DIR)
+        cov_path = os.path.join(cov_dir, f"cov-{job_id}.parquet")
+        table = pa.Table.from_arrays(
+            [pa.array(rows, type=pa.string())], names=["path"])
+        pq.write_table(table, cov_path + ".idx-tmp")
+        store.fs.rename(cov_path + ".idx-tmp", cov_path)
+        old_cov = [p for p in old_cov if p != cov_path]
+
+    # swap: new files are durable; remove superseded ones
+    for p in old_parts + old_cov:
+        store.fs.remove(p)
+    return {"index_parts_in": len(old_parts), "index_parts_out": new_parts}

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
-from moonlink_spark.operators import skew
+from moonlink_spark.operators import keyindex, skew
 from moonlink_spark.fs import part_files
 from moonlink_spark.operators.rewrite import assign_positions, footer_stats_many
 from moonlink_spark.operators.scan import (
@@ -116,8 +116,20 @@ def merge_into(
                 .collect()[0]
             if r["lo"] is not None:
                 predicates = {k0: ("between", r["lo"], r["hi"])}
+        # key-index candidate pruning (the actual point-lookup index,
+        # operators/keyindex.py): bounds pruning handles key-local
+        # batches; the bucket hash index handles SCATTERED point keys —
+        # 100 random deletes over 10^6 files range-prune to everything
+        # but index-prune to <=100 files + any non-covered file.
+        keep = None
+        if (config.index_key_columns
+                and tuple(key_columns) == tuple(config.index_key_columns)):
+            keep = keyindex.candidate_files(
+                spark, store, spark.read.parquet(snapshot.manifest_path),
+                changes, list(key_columns),
+                n_buckets=config.index_buckets)
         loc = scan(spark, store, snapshot, with_location=True,
-                   predicates=predicates).select(
+                   predicates=predicates, keep_files=keep).select(
             *key_columns, FILE_COL, POS_COL)
         keys = changes.select(*key_columns).distinct()
         if broadcast_changes:
@@ -229,6 +241,15 @@ def merge_into(
                 if st["rows"]:
                     new_entries.append({"path": rel, **st})
             store.fs.rmtree(os.path.join(store.warehouse, "tmp", job_id))
+            if config.index_key_columns:
+                # index the fresh ingest files at birth (the reference
+                # builds a file index per flushed slice,
+                # disk_slice.rs:183-254) — written BEFORE the commit, so
+                # a covered file can never be published un-indexed
+                keyindex.write_index(
+                    spark, store, [e["path"] for e in new_entries],
+                    list(config.index_key_columns),
+                    n_buckets=config.index_buckets, job_id=job_id)
 
         # -- 4. commit: successor manifest as a DataFrame ----------------
         out = manifest

@@ -333,6 +333,17 @@ def rewrite_bin(
         for o in outputs:
             o["ndv"] = ndv_map.get(o["path"], {})
 
+    if config.index_key_columns and outputs:
+        # key-index entries for the compacted outputs (GlobalIndex build
+        # at compaction, compactor.rs:347-381 analogue); written before
+        # the lineage record, so a resumed bin is never covered-but-empty
+        from moonlink_spark.operators import keyindex
+        keyindex.write_index(
+            spark, store, [o["path"] for o in outputs],
+            list(config.index_key_columns),
+            n_buckets=config.index_buckets,
+            job_id=f"{job_id}-b{bin.bin_id:05d}")
+
     # compactor.rs:277-279 sanity: every input row is either deleted or out
     expected = bin.live_rows
     if rows_out != expected:

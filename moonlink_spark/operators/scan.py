@@ -261,11 +261,19 @@ def scan(
     *,
     predicates: Mapping[str, str] | None = None,
     with_location: bool = False,
+    keep_files: DataFrame | None = None,
 ) -> DataFrame:
     """Scan one snapshot version (optionally pruned by equality predicates
-    on stats columns).  Returns live rows only."""
+    on stats columns).  Returns live rows only.
+
+    ``keep_files`` (one-column ``path`` DataFrame) restricts the scan to
+    those manifest entries — the key-index candidate set computed by
+    MERGE (``operators/keyindex.py``); applied as a semi-join before the
+    planning projection."""
     manifest = prune_manifest(
         spark.read.parquet(snapshot.manifest_path), predicates)
+    if keep_files is not None:
+        manifest = manifest.join(keep_files, on="path", how="left_semi")
     # Planning collects (path, dv_path, dv_cardinality) — file *lists*,
     # not data.  This mirrors what every table format's driver-side
     # planner does (Iceberg manifests are read at planning time too); the

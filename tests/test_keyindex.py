@@ -1,0 +1,184 @@
+"""Bucketed key-hash index (GlobalIndex analogue,
+``persisted_bucket_hash_map.rs:288-318``): entries at file birth,
+bucket-addressed candidate lookup for MERGE, conservative coverage
+semantics, consolidation via ``optimize("index")``
+(``snapshot_maintenance.rs:227-309``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.operators import keyindex
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+KEYS = ["repo", "path", "commit"]
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+COMP = CompactionConfig(target_file_bytes=64 << 10,
+                        bin_target_bytes=256 << 10, bin_concurrency=2)
+CFG_IDX = TableConfig(compaction=COMP,
+                      index_key_columns=("repo", "path", "commit"),
+                      index_buckets=8)
+CFG_PLAIN = TableConfig(compaction=COMP)
+
+DDL = ("repo string, path string, commit string, lang string, "
+       "content string, _op string")
+
+
+def _mk(spark, root, cfg, seed):
+    synthesize_cdc_aftermath(root, seed=seed, n_files=14,
+                             rows_per_file=(40, 100), n_repos=5,
+                             content_bytes=(64, 160))
+    return MoonTable(spark, root, cfg)
+
+
+def _scan_set(t):
+    return {tuple(r) for r in t.scan().select(*COLS).collect()}
+
+
+def _scattered_changes(spark, t, n=6):
+    """Point deletes scattered across the key space + a couple of new
+    keys — the workload range pruning cannot help with."""
+    live = t.scan().select(*COLS)
+    picks = (live.withColumn("h", F.xxhash64(*KEYS))
+             .orderBy("h").limit(n).drop("h"))
+    dels = picks.withColumn("_op", F.lit("delete"))
+    ups = spark.createDataFrame(
+        [("zzz/idx", f"new{i}.rs", f"{i:040x}", "rust", f"n{i}", "upsert")
+         for i in range(2)], DDL)
+    return dels.unionByName(ups)
+
+
+@pytest.fixture(scope="module")
+def indexed_pair(spark, tmp_path_factory):
+    """Twin tables (same seed): one with the key index, one without.
+    Both run optimize(full) (which indexes the outputs on the indexed
+    table) and then the same scattered-key merge."""
+    t_idx = _mk(spark, str(tmp_path_factory.mktemp("idx")), CFG_IDX, 61)
+    t_plain = _mk(spark, str(tmp_path_factory.mktemp("plain")),
+                  CFG_PLAIN, 61)
+    for t in (t_idx, t_plain):
+        t.optimize("full")
+    changes = _scattered_changes(spark, t_plain).cache()
+    changes.count()
+    for t in (t_idx, t_plain):
+        t.merge(changes, key_columns=KEYS)
+    return t_idx, t_plain, changes
+
+
+def test_index_built_at_rewrite(indexed_pair):
+    t_idx, _t_plain, _changes = indexed_pair
+    assert keyindex.coverage_parts(t_idx.store)
+    parts = []
+    for b in range(CFG_IDX.index_buckets):
+        parts.extend(keyindex._bucket_parts(t_idx.store, b))
+    assert parts, "bucket entry files exist"
+
+
+def test_merge_with_index_equals_merge_without(indexed_pair):
+    t_idx, t_plain, _changes = indexed_pair
+    assert _scan_set(t_idx) == _scan_set(t_plain)
+
+
+def test_candidates_prune_scattered_keys(spark, indexed_pair):
+    """A single-key batch must candidate only the file(s) that hold the
+    key (plus nothing else: post-optimize every file is covered)."""
+    t_idx, _t_plain, _changes = indexed_pair
+    one = (t_idx.scan().select(*COLS).orderBy(*KEYS).limit(1)
+           .withColumn("_op", F.lit("delete")))
+    manifest = t_idx.manifest()
+    total = manifest.count()
+    cands = keyindex.candidate_files(
+        spark, t_idx.store, manifest, one, KEYS,
+        n_buckets=CFG_IDX.index_buckets)
+    n = cands.count()
+    assert 1 <= n < total, (n, total)
+
+
+def test_candidates_never_drop_a_matching_file(spark, indexed_pair):
+    """Property: every file holding a batch key is a candidate."""
+    t_idx, _t_plain, _changes = indexed_pair
+    batch = _scattered_changes(spark, t_idx, n=10)
+    manifest = t_idx.manifest()
+    cands = {r["path"] for r in keyindex.candidate_files(
+        spark, t_idx.store, manifest, batch, KEYS,
+        n_buckets=CFG_IDX.index_buckets).collect()}
+    truth = {r["path"] for r in
+             t_idx.scan(with_location=True)
+             .join(F.broadcast(batch.select(*KEYS).distinct()),
+                   on=KEYS, how="inner")
+             .select(F.col("_mlfile").alias("path")).distinct().collect()}
+    assert truth <= cands
+
+
+def test_uncovered_files_always_candidates(spark, indexed_pair, tmp_path):
+    """A bulk-adopted (never-indexed) file is a candidate for every
+    batch — coverage semantics make a partial index safe."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t_idx, _t_plain, _changes = indexed_pair
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(pa.table({
+        "repo": ["ext/only"] * 3, "path": [f"e{i}.rs" for i in range(3)],
+        "commit": ["e" * 40] * 3, "lang": ["rust"] * 3,
+        "content": ["x", "y", "z"],
+        "_pos": pa.array(np.arange(3), pa.int64())}), ext)
+    t_idx.load_files([ext], copy=True)
+    manifest = t_idx.manifest()
+    batch = spark.createDataFrame(
+        [("nosuch/r", "nosuch.rs", "0" * 40, None, None, "delete")], DDL)
+    cands = {r["path"] for r in keyindex.candidate_files(
+        spark, t_idx.store, manifest, batch, KEYS,
+        n_buckets=CFG_IDX.index_buckets).collect()}
+    adopted = {r["path"] for r in manifest
+               .filter(F.col("min_repo") == "ext/only")
+               .select("path").collect()}
+    assert adopted and adopted <= cands
+    # and merging against the adopted rows still works end-to-end
+    dels = spark.createDataFrame(
+        [("ext/only", "e1.rs", "e" * 40, None, None, "delete")], DDL)
+    before = t_idx.scan().count()
+    t_idx.merge(dels, key_columns=KEYS)
+    assert t_idx.scan().count() == before - 1
+    assert t_idx.scan().filter(
+        (F.col("repo") == "ext/only") & (F.col("path") == "e1.rs")
+    ).count() == 0
+
+
+def test_consolidation_drops_stale_and_keeps_lookups(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), CFG_IDX, 62)
+    t.optimize("full")
+    # several merges → several idx parts per bucket + several cov files
+    for i in range(3):
+        ups = spark.createDataFrame(
+            [(f"org{i}/m", f"m{i}-{j}.rs", f"{j:040x}", "rust",
+              f"c{i}{j}", "upsert") for j in range(4)], DDL)
+        t.merge(ups, key_columns=KEYS)
+    t.optimize("full")   # compacts: older indexed files become stale
+    n_cov_before = len(keyindex.coverage_parts(t.store))
+    assert n_cov_before > 1
+    before = _scan_set(t)
+
+    t.optimize("index")
+    assert len(keyindex.coverage_parts(t.store)) == 1
+    for b in range(CFG_IDX.index_buckets):
+        assert len(keyindex._bucket_parts(t.store, b)) <= 1
+    # stale entries gone: every indexed file is in the live manifest
+    parts = []
+    for b in range(CFG_IDX.index_buckets):
+        parts.extend(keyindex._bucket_parts(t.store, b))
+    live = {r["path"] for r in t.manifest().select("path").collect()}
+    idx_files = {r["file"] for r in
+                 spark.read.parquet(*parts).select("file").collect()}
+    assert idx_files <= live
+
+    # lookups and merges still correct after consolidation
+    assert _scan_set(t) == before
+    one = (t.scan().select(*COLS).limit(1)
+           .withColumn("_op", F.lit("delete")))
+    n0 = t.scan().count()
+    t.merge(one, key_columns=KEYS)
+    assert t.scan().count() == n0 - 1
