@@ -49,13 +49,19 @@ BENCH_QUERIES = [
     # out of the bench list: at the demo's 16-bit fingerprint width the
     # sf0.1 corpus densely fills hamming space (~60 s of pair
     # verification); the realistic 64-bit width has no such density.
+    "dedup_embedding_neardup_lsh",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_stats",
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "code_license_detect",
+    "code_comment_stats",
+    "code_identifier_stats",
+    "code_secret_scan",
     "multimodal_features",
+    "multimodal_frame_plan",
 ]
 
 # CDC-aftermath size per SF.  sf0.1 yields ~0.6 GB on disk across 800

@@ -1,0 +1,83 @@
+"""spark-submit entry point for table maintenance.
+
+The north-rule launch shape (BASELINE.json: "run via spark-submit
+--py-files on a multi-executor cluster"):
+
+    zip -r moonlink_spark.zip moonlink_spark
+    spark-submit --py-files moonlink_spark.zip \
+        tools/run_maintenance.py --warehouse s3a://bucket/wh \
+        --mode full --expire-retain 2
+
+The script is cluster-agnostic: it builds no master/executor config of
+its own (spark-submit owns that) and touches only the warehouse passed
+in.  On the sandbox it runs the same way under local[N].
+
+Steps (each optional by flag): WAL recovery → optimize(mode) →
+expire_snapshots(retain) → audit scan.  Exit code 0 only if the
+post-maintenance audit scan succeeds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True,
+                    help="table warehouse directory (posix or object store)")
+    ap.add_argument("--mode", default="full",
+                    choices=["data", "index", "full"],
+                    help="optimize mode (moonlink optimize_table modes)")
+    ap.add_argument("--expire-retain", type=int, default=0,
+                    help="retain-last-N snapshot expiry after optimize "
+                         "(0 = skip expiry)")
+    ap.add_argument("--recover-wal", action="store_true",
+                    help="replay WAL events above the persisted watermark "
+                         "before maintenance")
+    ap.add_argument("--key-columns", default="repo,path,commit",
+                    help="comma-separated key columns (WAL recovery)")
+    ap.add_argument("--skip-optimize", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from moonlink_spark.engine import MoonTable
+
+    spark = SparkSession.builder.appName(
+        f"moonlink-maintenance-{args.mode}").getOrCreate()
+    table = MoonTable(spark, args.warehouse)
+    report: dict = {"warehouse": args.warehouse,
+                    "base_version": table.current_version()}
+
+    if args.recover_wal:
+        from moonlink_spark.wal import WriteAheadLog
+        snap = WriteAheadLog(table.store).replay_into(
+            table, key_columns=args.key_columns.split(","))
+        report["wal_recovered"] = None if snap is None else snap.version
+
+    if not args.skip_optimize:
+        t0 = time.time()
+        snap = table.optimize(args.mode)
+        report["optimize"] = {
+            "mode": args.mode,
+            "version": snap.version,
+            "seconds": round(time.time() - t0, 2),
+            "metrics": snap.properties.get("metrics"),
+        }
+
+    if args.expire_retain > 0:
+        report["expire"] = table.expire_snapshots(
+            retain_last=args.expire_retain)
+
+    report["final_version"] = table.current_version()
+    report["live_rows"] = table.scan().count()
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
