@@ -182,3 +182,27 @@ def test_consolidation_drops_stale_and_keeps_lookups(spark, tmp_path):
     n0 = t.scan().count()
     t.merge(one, key_columns=KEYS)
     assert t.scan().count() == n0 - 1
+
+
+def test_index_loss_degrades_to_full_scan(spark, tmp_path):
+    """Wiping the entire index (parts + coverage) must leave merges
+    correct — candidate lookup returns None and MERGE falls back to the
+    un-indexed scan.  (The crash-ordering invariant — coverage is
+    written only after its entries, consolidation removes old state
+    last — means partial loss always keeps coverage ⊆ indexed; whole-
+    index loss is the worst case and is exercised here.)"""
+    import shutil
+
+    t = _mk(spark, str(tmp_path / "wh"), CFG_IDX, 63)
+    t.optimize("full")
+    assert keyindex.coverage_parts(t.store)
+    shutil.rmtree(t.store.abs(keyindex.IDX_DIR))
+
+    one = (t.scan().select(*COLS).orderBy(*KEYS).limit(1)
+           .withColumn("_op", F.lit("delete")))
+    assert keyindex.candidate_files(
+        spark, t.store, t.manifest(), one, KEYS,
+        n_buckets=CFG_IDX.index_buckets) is None
+    n0 = t.scan().count()
+    t.merge(one, key_columns=KEYS)
+    assert t.scan().count() == n0 - 1
