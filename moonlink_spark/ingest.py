@@ -1,0 +1,111 @@
+"""Row-ingest session: the REST-ingest surface analogue, WAL-backed.
+
+The reference accepts row events over HTTP (`moonlink_service/src/
+rest_api.rs:407-423` routes; `rest_ingest/event_request.rs:10-60` —
+ops ``Insert | Upsert | Delete``, acked by LSN) and feeds them through
+the per-table event loop: buffer → ``commit(lsn)`` makes the
+transaction's events visible (``mooncake_table.rs:1290-1312``) →
+flush/persistence happens later and in bigger batches, with the WAL
+making unpersisted events crash-safe (``storage/wal.rs``).
+
+This class is that lifecycle minus the HTTP frame (the driver is the
+client):
+
+- :meth:`insert` / :meth:`upsert` / :meth:`delete` buffer events in the
+  open transaction (driver memory, bounded by the transaction — the
+  mem-slice analogue);
+- :meth:`commit` closes the transaction: the events become ONE durable
+  WAL segment at the next LSN, and the LSN is returned — this is the
+  ack point (durable-before-ack, the REST ``sync`` mode);
+- :meth:`flush` applies every committed-but-unapplied transaction to
+  the table as one MERGE (``WriteAheadLog.replay_into``: last event per
+  key, watermark stamped atomically, covered segments truncated).  A
+  crash between commit and flush loses nothing — the next
+  :meth:`flush` (or any recovery replay) applies the backlog;
+- :meth:`committed_lsn` / :meth:`applied_lsn` expose the two
+  watermarks a client polls for async acks (cf. the LSN invariant
+  chain, ``union_read/read_state_manager.rs:143-147``).
+
+Insert vs upsert: the reference distinguishes them at the API and
+routes both through delete-then-append when an identity exists
+(``moonlink_sink.rs:295-327``); here both map to the MERGE ``upsert``
+op — with per-key latest-wins semantics the distinction is moot at
+apply time.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from moonlink_spark.wal import WriteAheadLog
+
+
+class IngestSession:
+    """Single-writer ingestion surface for one table (the per-table
+    event-loop analogue, ``table_handler.rs:30-207``)."""
+
+    def __init__(self, table, *, key_columns: Sequence[str]):
+        self.table = table
+        self.key_columns = list(key_columns)
+        self.columns = [c for c in table.snapshot().schema if c != "_pos"]
+        self.wal = WriteAheadLog(table.store)
+        self._pending: list[dict] = []
+
+    # -- event buffering (the open transaction) ---------------------------
+    def _event(self, row: Mapping, op: str) -> None:
+        missing = [c for c in self.key_columns if row.get(c) is None]
+        if missing:
+            raise ValueError(f"event is missing key columns: {missing}")
+        e = {c: row.get(c) for c in self.columns}
+        e["_op"] = op
+        self._pending.append(e)
+
+    def insert(self, row: Mapping) -> None:
+        self._event(row, "upsert")
+
+    def upsert(self, row: Mapping) -> None:
+        self._event(row, "upsert")
+
+    def delete(self, key: Mapping) -> None:
+        self._event(key, "delete")
+
+    # -- transaction boundary --------------------------------------------
+    def commit(self) -> int | None:
+        """Close the open transaction: its events become one durable WAL
+        segment; returns the assigned LSN (the sync-ack point), or
+        ``None`` for an empty transaction."""
+        if not self._pending:
+            return None
+        lsn = max(self.wal.highest_lsn(), self.applied_lsn()) + 1
+        self.wal.append(self._pending, lsn, columns=self.columns)
+        self._pending = []
+        return lsn
+
+    def rollback(self) -> int:
+        """Drop the open (uncommitted) transaction's events — the
+        stream-abort analogue (``TableEvent::StreamAbort``).  Returns
+        how many events were dropped."""
+        n = len(self._pending)
+        self._pending = []
+        return n
+
+    # -- persistence ------------------------------------------------------
+    def flush(self):
+        """Apply all committed-but-unapplied transactions as one MERGE
+        commit (``create_snapshot(lsn)``-style barrier: afterwards
+        ``applied_lsn() == committed_lsn()``).  Returns the new snapshot
+        or ``None`` when there was nothing to apply."""
+        if self._pending:
+            raise RuntimeError(
+                "open transaction: commit() or rollback() before flush()")
+        return self.wal.replay_into(self.table,
+                                    key_columns=self.key_columns)
+
+    # -- watermarks -------------------------------------------------------
+    def committed_lsn(self) -> int:
+        """Highest durable (acked) LSN."""
+        return max(self.wal.highest_lsn(), self.applied_lsn())
+
+    def applied_lsn(self) -> int:
+        """Highest LSN applied to the table (the persisted watermark)."""
+        return int(self.table.snapshot().properties.get("wal_lsn", 0))

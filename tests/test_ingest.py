@@ -1,0 +1,91 @@
+"""Row-ingest session (REST-ingest analogue over the WAL,
+``rest_api.rs:407-423`` / ``event_request.rs:10-60``): buffer →
+commit(lsn) durable ack → flush applies the backlog; crash between
+commit and flush loses nothing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=64 << 10, bin_target_bytes=256 << 10,
+    bin_concurrency=2))
+KEYS = ["repo", "path", "commit"]
+
+
+def _mk(spark, root, seed=71):
+    synthesize_cdc_aftermath(root, seed=seed, n_files=10,
+                             rows_per_file=(30, 80), n_repos=4,
+                             content_bytes=(64, 128))
+    return MoonTable(spark, root, CFG)
+
+
+def _row(i, content="v1"):
+    return {"repo": "ing/r", "path": f"f{i}.rs", "commit": f"{i:040x}",
+            "lang": "rust", "content": content}
+
+
+def test_ingest_lifecycle(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"))
+    s = IngestSession(t, key_columns=KEYS)
+    n0 = t.scan().count()
+
+    for i in range(3):
+        s.insert(_row(i))
+    lsn1 = s.commit()
+    assert lsn1 == 1 and s.committed_lsn() == 1 and s.applied_lsn() == 0
+
+    s.upsert(_row(0, "v2"))           # overwrite key 0
+    s.delete(_row(1))                 # delete key 1
+    lsn2 = s.commit()
+    assert lsn2 == 2
+
+    snap = s.flush()
+    assert snap is not None
+    assert s.applied_lsn() == 2 == s.committed_lsn()
+    live = t.scan()
+    assert live.count() == n0 + 2     # 3 inserted, 1 overwritten, 1 deleted
+    got = {r["path"]: r["content"] for r in
+           live.filter(F.col("repo") == "ing/r").collect()}
+    assert got == {"f0.rs": "v2", "f2.rs": "v1"}
+    # backlog truncated, second flush is a no-op
+    assert s.flush() is None
+
+
+def test_crash_between_commit_and_flush_recovers(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), seed=72)
+    s = IngestSession(t, key_columns=KEYS)
+    s.insert(_row(7))
+    s.commit()
+    # "crash": a brand-new session over the same warehouse sees the
+    # durable backlog and applies it
+    s2 = IngestSession(MoonTable(spark, str(tmp_path / "wh"), CFG),
+                       key_columns=KEYS)
+    assert s2.committed_lsn() == 1 and s2.applied_lsn() == 0
+    s2.flush()
+    assert s2.applied_lsn() == 1
+    assert s2.table.scan().filter(F.col("path") == "f7.rs").count() == 1
+
+
+def test_rollback_drops_open_transaction(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), seed=73)
+    s = IngestSession(t, key_columns=KEYS)
+    s.insert(_row(1))
+    s.insert(_row(2))
+    assert s.rollback() == 2
+    assert s.commit() is None
+    assert s.flush() is None
+
+
+def test_flush_refuses_open_transaction(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), seed=74)
+    s = IngestSession(t, key_columns=KEYS)
+    s.insert(_row(1))
+    with pytest.raises(RuntimeError, match="open transaction"):
+        s.flush()
+    with pytest.raises(ValueError, match="missing key columns"):
+        s.delete({"repo": "ing/r"})
