@@ -55,6 +55,12 @@ AWS_KEY_REGEX = "AKIA[0-9A-Z]{16}"
 HEX_BLOB_REGEX = "[0-9a-f]{32,}"
 GH_TOKEN_REGEX = "ghp_[A-Za-z0-9]{36}"
 
+# PII patterns (emails, IPv4 literals) a pipeline scrubs rather than
+# drops — dash last in every char class, literal dot as ``[.]``, so the
+# Java-regex and RE2/DuckDB readings are identical.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IPV4_REGEX = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
 
 def detect_license(col: Column) -> Column:
     """Normalized license id for a content column: the SPDX tag when
@@ -142,3 +148,32 @@ def secret_scan(df: DataFrame, content_col: str = "content") -> DataFrame:
         n_gh.alias("n_gh_tokens"),
         ((n_aws + n_hex + n_gh) > 0).alias("flagged"),
     )
+
+
+def pii_scan(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """PII scan: per-file email / IPv4-literal counts + a ``has_pii``
+    flag.  Same codegen-only shape as :func:`secret_scan`."""
+    col = F.col(content_col)
+    n_email = F.size(
+        F.regexp_extract_all(col, F.lit(EMAIL_REGEX), 0)).cast("long")
+    n_ipv4 = F.size(
+        F.regexp_extract_all(col, F.lit(IPV4_REGEX), 0)).cast("long")
+    return df.select(
+        "*",
+        n_email.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_email + n_ipv4) > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(df: DataFrame, content_col: str = "content",
+               out_col: str = "redacted") -> DataFrame:
+    """Scrub rather than drop: replace every email with ``<EMAIL>`` and
+    every IPv4 literal with ``<IP>`` (emails first — their local part
+    may contain digit runs, never vice versa).  ``regexp_replace`` is
+    global in both Spark and DuckDB-with-'g', so the oracle reproduces
+    the redacted text bit-for-bit."""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(content_col), EMAIL_REGEX, "<EMAIL>"),
+        IPV4_REGEX, "<IP>")
+    return df.withColumn(out_col, red)

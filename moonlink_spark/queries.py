@@ -1044,6 +1044,64 @@ def code_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_aws_keys", "n_hex_blobs", "n_gh_tokens"))
 
 
+_PII_SQL = """
+pii_docs AS (
+  SELECT doc_id,
+         text
+         || (CASE doc_id % 7
+            WHEN 0 THEN ' contact admin@example.com for access'
+            WHEN 1 THEN ' from 192.168.0.1 and 10.0.0.7'
+            WHEN 2 THEN ' mailto:dev.ops+ci@sub.example.org via 172.16.254.3'
+            ELSE '' END) AS content
+  FROM documents
+)
+"""
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_IPV4_SQL = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PII_SQL: deterministically planted emails and
+    IPv4 literals (fixed string tails keyed by doc_id % 7 — no dynamic
+    formatting, so both engines concatenate identically)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m7 = F.col("doc_id") % 7
+    tail = (
+        F.when(m7 == 0, F.lit(" contact admin@example.com for access"))
+        .when(m7 == 1, F.lit(" from 192.168.0.1 and 10.0.0.7"))
+        .when(m7 == 2,
+              F.lit(" mailto:dev.ops+ci@sub.example.org via 172.16.254.3"))
+        .otherwise(F.lit("")))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), tail).alias("content"))
+
+
+@_register("code_pii_scan", f"""
+WITH {_PII_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(content, '{_EMAIL_SQL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(content, '{_IPV4_SQL}')) AS BIGINT)
+         AS n_ipv4,
+       sha256(regexp_replace(
+           regexp_replace(content, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_IPV4_SQL}', '<IP>', 'g')) AS redacted_sha
+FROM pii_docs
+WHERE len(regexp_extract_all(content, '{_EMAIL_SQL}'))
+    + len(regexp_extract_all(content, '{_IPV4_SQL}')) > 0
+""")
+def code_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (codestats.py): per-file email/IPv4 counts
+    and the sha256 of the scrubbed text — the oracle reproduces the
+    redaction bit-for-bit (global regexp_replace, common regex
+    subset)."""
+    out = cs.redact_pii(cs.pii_scan(_pii_docs(spark, sf_dir)))
+    return (out.filter(F.col("has_pii"))
+            .select("doc_id", "n_emails", "n_ipv4",
+                    F.sha2(F.col("redacted"), 256).alias("redacted_sha")))
+
+
 @_register("multimodal_features", """
 SELECT media_type, COUNT(*) AS n_items,
        CAST(SUM(b) AS BIGINT) AS total_bytes,

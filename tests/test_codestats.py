@@ -70,3 +70,28 @@ def test_secret_scan_flags(code):
     got = {r["doc_id"]: r["n_gh_tokens"]
            for r in cs.secret_scan(df).collect()}
     assert got[9] == 1 and got[10] == 0
+
+
+def test_pii_scan_and_redact(spark):
+    rows = [
+        (0, "reach me at dev.lead+oncall@corp.example.io today"),
+        (1, "servers 10.0.0.1 and 192.168.254.3 are up"),
+        (2, "mixed a@b.co on 8.8.8.8"),
+        (3, "nothing sensitive here, version 2.0 is fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content string")
+    out = {r["doc_id"]: r for r in
+           cs.redact_pii(cs.pii_scan(df)).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"]) == (1, 0)
+    assert (out[1]["n_emails"], out[1]["n_ipv4"]) == (0, 2)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"]) == (1, 1)
+    assert out[3]["has_pii"] is False
+    assert out[0]["redacted"] == "reach me at <EMAIL> today"
+    assert out[1]["redacted"] == "servers <IP> and <IP> are up"
+    assert out[2]["redacted"] == "mixed <EMAIL> on <IP>"
+    assert out[3]["redacted"] == rows[3][1]
+    # python-re oracle for the regex semantics
+    import re
+    for i, text in rows:
+        assert out[i]["n_emails"] == len(re.findall(cs.EMAIL_REGEX, text))
+        assert out[i]["n_ipv4"] == len(re.findall(cs.IPV4_REGEX, text))
