@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "code_comment_stats",
     "code_identifier_stats",
     "code_secret_scan",
+    "code_pii_scan",
     "multimodal_features",
     "multimodal_frame_plan",
 ]

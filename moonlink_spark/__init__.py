@@ -12,13 +12,19 @@ Layout
 - ``config``        thresholds mirroring moonlink's production defaults
 - ``snapshotstore`` versioned snapshot manifests + atomic commit
 - ``synth``         deterministic CDC-aftermath generator (test/bench input)
-- ``operators``     scan, planner, rewrite, merge, expire, skew
-- ``functions``     zorder / sha256 / text-analysis / dedup / similarity
+- ``operators``     scan, planner, rewrite, merge, expire, skew, keyindex
+- ``functions``     zorder / sha256 / text / code / dedup / similarity
 - ``engine``        MoonTable facade (optimize / scan / merge / expire)
+- ``wal``           durable event log + replay-above-LSN recovery
+- ``ingest``        REST-ingest-style row session over the WAL
+- ``catalog``       multi-table registry keyed by (database, table)
 """
 
 from moonlink_spark.config import CompactionConfig, TableConfig
 from moonlink_spark.engine import MoonTable
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.wal import WriteAheadLog
 
-__all__ = ["CompactionConfig", "TableConfig", "MoonTable"]
+__all__ = ["CompactionConfig", "TableConfig", "MoonTable",
+           "WriteAheadLog", "IngestSession"]
 __version__ = "0.1.0"

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import dataclasses
 from dataclasses import asdict
 from typing import Any
 
@@ -76,8 +77,11 @@ def _config_to_json(config: TableConfig) -> dict:
 def _config_from_json(d: dict) -> TableConfig:
     comp = CompactionConfig(**d["compaction"])
     kw = {k: v for k, v in d.items() if k != "compaction"}
-    kw["zorder_columns"] = tuple(kw["zorder_columns"])
-    kw["stats_columns"] = tuple(kw["stats_columns"])
+    # JSON round-trips tuples as lists: restore every tuple-typed field
+    # (driven by the dataclass defaults, so new fields can't be missed)
+    for f in dataclasses.fields(TableConfig):
+        if isinstance(f.default, tuple) and f.name in kw:
+            kw[f.name] = tuple(kw[f.name])
     return TableConfig(compaction=comp, **kw)
 
 
