@@ -32,6 +32,14 @@ Here the index is *data*, planned with DataFrames:
   harmless by construction: a false candidate file is scanned and the
   real key equi-join finds nothing (the reference verifies collisions
   against the full row the same way, ``snapshot.rs:925-968``).
+
+Concurrency note: a MERGE whose candidate lookup listed bucket parts
+that ``optimize("index")`` then superseded mid-job fails LOUDLY
+(file-not-found) and succeeds on rerun against the fresh listing.  That
+is deliberate — ``ignoreMissingFiles`` would silently read a partial
+index and prune wrongly; the reference likewise keeps index merge
+mutually exclusive with other maintenance in one snapshot task
+(``snapshot_maintenance.rs:227-309``).
 """
 
 from __future__ import annotations
