@@ -1,0 +1,143 @@
+"""Event-time streaming operators: watermarked windowed aggregation and
+a custom stateful session operator.
+
+moonlink's "streaming" is transactional CDC, not event-time analytics
+(`storage/mooncake_table/transaction_stream.rs` — per-xact buffers),
+so these two operators are the training-pipeline mandate expressed with
+Structured Streaming's native tools rather than a reference port:
+
+- :func:`windowed_event_counts` — tumbling/sliding event-time windows
+  with a watermark, all built-ins (``F.window`` + groupBy): Spark owns
+  the state store, late data beyond the watermark is dropped, and the
+  plan is the same partial→final aggregate a batch groupBy gets.
+- :func:`sessionize_stream` — gap-based session windows as a CUSTOM
+  stateful operator (``applyInPandasWithState``): per-user state
+  carries the open session across micro-batches, sessions close either
+  by an in-data gap (>30 min silence) or by event-time timeout once the
+  watermark passes the gap horizon.  Semantics match the batch
+  gaps-and-islands query (``queries.events_sessionize``) exactly for
+  every closed session — the batch/streaming twin pair the engine's
+  tests compare.
+
+State size is O(active users), not O(events): each user's state is
+three longs.  The shuffle key is ``user_id`` — high-cardinality and
+hash-uniform.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_US_DEFAULT = 30 * 60 * 1_000_000  # 30 min, matches events_sessionize
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("session_id", T.LongType(), False),
+    T.StructField("n_events", T.LongType(), False),
+])
+
+# (open-session last event ts µs, open-session event count, closed count)
+_STATE_SCHEMA = T.StructType([
+    T.StructField("last_us", T.LongType(), True),
+    T.StructField("n_open", T.LongType(), True),
+    T.StructField("n_closed", T.LongType(), True),
+])
+
+
+def windowed_event_counts(events: DataFrame, *,
+                          window: str = "30 minutes",
+                          slide: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked event-time windowed aggregation (counts + value sum
+    per event_type).  Works on a streaming OR batch DataFrame — the
+    batch run of the same expression is the oracle the test compares
+    against."""
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
+    # watermarks require TIMESTAMP (session tz is UTC, so casting the
+    # NTZ event time is interpretation-stable — same convention as the
+    # batch sessionizer)
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (src.groupBy(win.alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events",
+                    F.round("sum_value", 6).alias("sum_value")))
+
+
+def sessionize_stream(events: DataFrame, *,
+                      gap_us: int = GAP_US_DEFAULT,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful session windows over a stream of
+    ``(ts, user_id, event_id, ...)`` rows.
+
+    Emits one row per CLOSED session: ``(user_id, session_id,
+    n_events)`` with per-user 1-based ordinal session ids — the same
+    keying and numbering as the batch ``events_sessionize`` query, so
+    closed sessions are directly comparable.  A session closes when a
+    later event for the user arrives more than ``gap_us`` after it, or
+    when the event-time watermark passes its gap horizon (timeout)."""
+
+    def _fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        last_us, n_open, n_closed = (
+            state.get if state.exists else (None, 0, 0))
+        out_ids, out_ns = [], []
+
+        if state.hasTimedOut:
+            # watermark passed the open session's gap horizon
+            if n_open:
+                n_closed += 1
+                out_ids.append(n_closed)
+                out_ns.append(n_open)
+            state.update((None, 0, n_closed))
+            # keep n_closed for future sessions; no new timeout needed
+            # until new data arrives
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            # normalize to epoch µs regardless of the pandas datetime
+            # unit this Arrow batch materialized as (ns vs us)
+            ts_us = (rows["ts"].astype("datetime64[us]")
+                     .astype("int64")).tolist()
+            for t_us in ts_us:
+                if last_us is not None and t_us - last_us > gap_us:
+                    n_closed += 1
+                    out_ids.append(n_closed)
+                    out_ns.append(n_open)
+                    n_open = 0
+                n_open += 1
+                last_us = t_us
+            state.update((last_us, n_open, n_closed))
+            if last_us is not None and n_open:
+                # gap horizon in epoch ms; must exceed the current
+                # watermark or Spark rejects the timeout
+                horizon = last_us // 1000 + gap_us // 1000
+                state.setTimeoutTimestamp(
+                    max(horizon, state.getCurrentWatermarkMs() + 1))
+        if out_ids:
+            yield pd.DataFrame({
+                "user_id": pd.array([user_id] * len(out_ids),
+                                    dtype="int64"),
+                "session_id": pd.array(out_ids, dtype="int64"),
+                "n_events": pd.array(out_ns, dtype="int64"),
+            })
+
+    return (events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -1,0 +1,117 @@
+"""Event-time streaming operators (streaming/windows.py): watermarked
+windowed aggregation equals its batch twin; the custom stateful
+sessionizer's closed sessions match the batch gaps-and-islands query
+exactly (queries.events_sessionize semantics)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.streaming.windows import (
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _staged_stream(spark, tmp_path, n_files=3):
+    """The events table split into time-ordered files so availableNow +
+    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    ev = spark.read.parquet(EVENTS) \
+        .select("ts", "event_id", "user_id", "event_type", "value")
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    total = ev.count()
+    per = total // n_files + 1
+    ordered = ev.orderBy("ts", "event_id").collect()
+    for i in range(n_files):
+        chunk = ordered[i * per:(i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/stage{i}")
+    paths = [f"{src}/stage{i}" for i in range(n_files)
+             if os.path.isdir(f"{src}/stage{i}")]
+    flat = str(tmp_path / "stream_flat")
+    os.makedirs(flat, exist_ok=True)
+    j = 0
+    for p in paths:
+        for name in sorted(os.listdir(p)):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(p, name),
+                          os.path.join(flat, f"{j:02d}.parquet"))
+                j += 1
+    return flat, ev.schema
+
+
+def _run_stream(spark, df_stream, tmp_path, name):
+    q = (df_stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    flat, schema = _staged_stream(spark, tmp_path)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    agg = windowed_event_counts(stream, window="30 minutes",
+                                watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT * FROM win_counts").collect()}
+    batch = {tuple(r) for r in windowed_event_counts(
+        spark.read.parquet(EVENTS)
+        .select("ts", "event_id", "user_id", "event_type", "value"),
+        window="30 minutes").collect()}
+    assert got == batch and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    flat, schema = _staged_stream(spark, tmp_path)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    sess = sessionize_stream(stream, watermark="1 minute")
+    got = _run_stream(spark, sess, tmp_path, "sessions")
+    emitted = {(r["user_id"], r["session_id"]): r["n_events"]
+               for r in got.collect()}
+    assert emitted, "at least some sessions closed during the stream"
+
+    # batch oracle: the gaps-and-islands sessionizer over the same rows
+    from pyspark.sql import Window
+    ev = spark.read.parquet(EVENTS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((micros - prev) > 1_800_000_000), 1)
+        .otherwise(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = {(r["user_id"], r["session_id"]): r["n_events"]
+             for r in marked
+             .withColumn("session_id",
+                         F.sum("new_sess").over(cum).cast("bigint"))
+             .groupBy("user_id", "session_id")
+             .agg(F.count(F.lit(1)).alias("n_events")).collect()}
+
+    # every emitted (closed) session must equal its batch twin —
+    # ids, membership counts, everything
+    for k, n in emitted.items():
+        assert k in batch, k
+        assert batch[k] == n, (k, n, batch[k])
+    # and per user, emitted ids are a 1..k prefix (closed-in-order)
+    by_user: dict[int, list[int]] = {}
+    for (u, sid) in emitted:
+        by_user.setdefault(u, []).append(sid)
+    for u, ids in by_user.items():
+        assert sorted(ids) == list(range(1, len(ids) + 1)), (u, ids)
