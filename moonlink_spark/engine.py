@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.config import CompactionConfig, TableConfig
-from moonlink_spark.fs import part_files
+from moonlink_spark.fs import part_files, rename_many
 from moonlink_spark.functions.zorder import compute_zorder_boundaries
 from moonlink_spark.operators import expire as expire_op
 from moonlink_spark.operators import merge as merge_op
@@ -352,11 +352,12 @@ class MoonTable:
          .write.mode("overwrite").option("compression", "zstd").parquet(tmp))
         parts = part_files(self.store.fs, tmp)
         new_rels = []
+        pairs = []
         for j, part in enumerate(parts):
             rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
-            self.store.fs.rename(os.path.join(tmp, part),
-                                 self.store.abs(rel))
+            pairs.append((os.path.join(tmp, part), self.store.abs(rel)))
             new_rels.append(rel)
+        rename_many(self.store.fs, pairs)
         # one job over the renamed sidecars recovers file → (sidecar,
         # cardinality); no per-part collect loop
         upd = (self.spark.read.parquet(

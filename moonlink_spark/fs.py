@@ -117,3 +117,38 @@ def part_files(fs: PosixFileSystem, tmp_dir: str) -> list[str]:
     """Sorted spark part-file names inside a tmp output directory."""
     return sorted(p for p in fs.list(tmp_dir)
                   if p.startswith("part-") and p.endswith(".parquet"))
+
+
+def rename_many(fs: PosixFileSystem, pairs: Iterable[tuple[str, str]],
+                max_workers: int = 16) -> None:
+    """Rename many ``(src, dst)`` pairs concurrently.
+
+    Finalization renames are independent per file; serially they become
+    the job tail at thousands of output files (each rename is a
+    round-trip — µs on posix, a full copy+delete on an object store).
+    Names are assigned by the caller before any rename runs, so
+    completion order cannot affect the result."""
+    pairs = list(pairs)
+    if len(pairs) <= 2:
+        for src, dst in pairs:
+            fs.rename(src, dst)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(pairs))) as pool:
+        list(pool.map(lambda p: fs.rename(p[0], p[1]), pairs))
+
+
+def remove_many(fs: PosixFileSystem, paths: Iterable[str],
+                max_workers: int = 16) -> None:
+    """Delete many files concurrently (same rationale as
+    :func:`rename_many`; object-store DELETEs are round-trips)."""
+    paths = list(paths)
+    if len(paths) <= 2:
+        for p in paths:
+            fs.remove(p)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(paths))) as pool:
+        list(pool.map(fs.remove, paths))

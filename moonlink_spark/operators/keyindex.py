@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from moonlink_spark.snapshotstore import SnapshotStore
-from moonlink_spark.fs import part_files
+from moonlink_spark.fs import part_files, remove_many, rename_many
 
 IDX_DIR = "idx"
 COV_DIR = os.path.join(IDX_DIR, "files")
@@ -108,6 +108,7 @@ def write_index(spark: SparkSession, store: SnapshotStore,
     (ent.repartition(n_buckets, F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
      .option("compression", "zstd").parquet(tmp))
+    pairs = []
     for name in sorted(store.fs.list(tmp)):
         if not name.startswith("bucket="):
             continue
@@ -115,10 +116,10 @@ def write_index(spark: SparkSession, store: SnapshotStore,
         store.fs.makedirs(_bucket_dir(store, b))
         for j, part in enumerate(part_files(store.fs,
                                             os.path.join(tmp, name))):
-            store.fs.rename(
-                os.path.join(tmp, name, part),
-                os.path.join(_bucket_dir(store, b),
-                             f"idx-{job_id}-{j:04d}.parquet"))
+            pairs.append((os.path.join(tmp, name, part),
+                          os.path.join(_bucket_dir(store, b),
+                                       f"idx-{job_id}-{j:04d}.parquet")))
+    rename_many(store.fs, pairs)
     store.fs.rmtree(tmp)
 
     import pyarrow as pa
@@ -194,6 +195,7 @@ def consolidate_index(spark: SparkSession, store: SnapshotStore,
         (ent.repartition(n_buckets, F.col("bucket"))
          .write.mode("overwrite").partitionBy("bucket")
          .option("compression", "zstd").parquet(tmp))
+        pairs = []
         for name in sorted(store.fs.list(tmp)):
             if not name.startswith("bucket="):
                 continue
@@ -201,29 +203,41 @@ def consolidate_index(spark: SparkSession, store: SnapshotStore,
             store.fs.makedirs(_bucket_dir(store, b))
             for j, part in enumerate(part_files(store.fs,
                                                 os.path.join(tmp, name))):
-                store.fs.rename(
-                    os.path.join(tmp, name, part),
-                    os.path.join(_bucket_dir(store, b),
-                                 f"idx-{job_id}-{j:04d}.parquet"))
+                pairs.append((os.path.join(tmp, name, part),
+                              os.path.join(_bucket_dir(store, b),
+                                           f"idx-{job_id}-{j:04d}.parquet")))
                 new_parts += 1
+        rename_many(store.fs, pairs)
         store.fs.rmtree(tmp)
 
     if old_cov:
         merged_cov = (spark.read.parquet(*old_cov)
                       .join(live_paths, on="path", how="left_semi")
                       .distinct().orderBy("path"))
-        rows = [r["path"] for r in merged_cov.toLocalIterator()]
         import pyarrow as pa
         import pyarrow.parquet as pq
         cov_dir = os.path.join(store.warehouse, COV_DIR)
         cov_path = os.path.join(cov_dir, f"cov-{job_id}.parquet")
-        table = pa.Table.from_arrays(
-            [pa.array(rows, type=pa.string())], names=["path"])
-        pq.write_table(table, cov_path + ".idx-tmp")
+        schema = pa.schema([("path", pa.string())])
+        writer = pq.ParquetWriter(cov_path + ".idx-tmp", schema)
+        try:
+            # streamed in batches — the consolidated coverage list is
+            # O(live files) and never materializes on the driver
+            batch: list[str] = []
+            for r in merged_cov.toLocalIterator():
+                batch.append(r["path"])
+                if len(batch) >= 65_536:
+                    writer.write_batch(pa.RecordBatch.from_arrays(
+                        [pa.array(batch, type=pa.string())],
+                        schema=schema))
+                    batch = []
+            writer.write_batch(pa.RecordBatch.from_arrays(
+                [pa.array(batch, type=pa.string())], schema=schema))
+        finally:
+            writer.close()
         store.fs.rename(cov_path + ".idx-tmp", cov_path)
         old_cov = [p for p in old_cov if p != cov_path]
 
     # swap: new files are durable; remove superseded ones
-    for p in old_parts + old_cov:
-        store.fs.remove(p)
+    remove_many(store.fs, old_parts + old_cov)
     return {"index_parts_in": len(old_parts), "index_parts_out": new_parts}

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.config import TableConfig
 from moonlink_spark.operators import keyindex, skew
-from moonlink_spark.fs import part_files
+from moonlink_spark.fs import part_files, rename_many
 from moonlink_spark.operators.rewrite import assign_positions, footer_stats_many
 from moonlink_spark.operators.scan import (
     FILE_COL,
@@ -111,11 +111,16 @@ def merge_into(
         # scanning all of them.
         predicates = None
         k0 = key_columns[0]
-        if k0 in config.stats_columns:
-            r = changes.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")) \
-                .collect()[0]
-            if r["lo"] is not None:
-                predicates = {k0: ("between", r["lo"], r["hi"])}
+        # one pass over the persisted batch yields both the key range
+        # (bounds pruning) and the upsert count (ingest-file sizing) —
+        # no separate count job later
+        stats = changes.agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi"),
+            F.sum(F.when(F.col(OP_COL) == "upsert", 1)
+                  .otherwise(0)).alias("n_ins")).collect()[0]
+        n_ins = int(stats["n_ins"] or 0)
+        if k0 in config.stats_columns and stats["lo"] is not None:
+            predicates = {k0: ("between", stats["lo"], stats["hi"])}
         # key-index candidate pruning (the actual point-lookup index,
         # operators/keyindex.py): bounds pruning handles key-local
         # batches; the bucket hash index handles SCATTERED point keys —
@@ -199,10 +204,12 @@ def merge_into(
              .parquet(tmp))
             parts = part_files(store.fs, tmp)
             new_rels = []
+            pairs = []
             for j, part in enumerate(parts):
                 rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
-                store.fs.rename(os.path.join(tmp, part), store.abs(rel))
+                pairs.append((os.path.join(tmp, part), store.abs(rel)))
                 new_rels.append(rel)
+            rename_many(store.fs, pairs)
             # one job over the renamed sidecars recovers the per-file
             # mapping (file → sidecar, cardinality); input_file_name()
             # identifies the sidecar each row landed in
@@ -218,7 +225,6 @@ def merge_into(
         inserts = changes.filter(F.col(OP_COL) == "upsert") \
             .select(*data_cols)
         new_entries: list[dict] = []
-        n_ins = inserts.count()
         if n_ins:
             tmp = os.path.join(store.warehouse, "tmp", job_id, "ins")
             # roll ingest files at ~the mem-slice flush row budget
@@ -231,11 +237,13 @@ def merge_into(
              .option("compression", config.ingest_compression).parquet(tmp))
             parts = part_files(store.fs, tmp)
             rels = []
+            pairs = []
             for j, part in enumerate(parts):
                 rel = os.path.join(DATA_DIR,
                                    f"data-{job_id}-{j:04d}.parquet")
-                store.fs.rename(os.path.join(tmp, part), store.abs(rel))
+                pairs.append((os.path.join(tmp, part), store.abs(rel)))
                 rels.append(rel)
+            rename_many(store.fs, pairs)
             for rel, st in zip(rels, footer_stats_many(
                     [store.abs(r) for r in rels], config.stats_columns)):
                 if st["rows"]:

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -46,7 +47,7 @@ from moonlink_spark.config import TableConfig
 from moonlink_spark.functions.zorder import ZCUTS_KEY, with_zorder_key
 from moonlink_spark.operators.planner import CompactionBin
 from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan_files
-from moonlink_spark.fs import part_files
+from moonlink_spark.fs import part_files, rename_many
 from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore
 
 ZKEY_COL = "_zkey"
@@ -299,21 +300,27 @@ def rewrite_bin(
         )
     final = assign_positions(clustered)
 
+    t0 = time.monotonic()
     tmp_dir = os.path.join(store.warehouse, "tmp", job_id,
                            f"bin-{bin.bin_id:05d}")
     (final.write.mode("overwrite")
      .option("compression", config.compact_compression)
      .option("maxRecordsPerFile", rows_per_file)
      .parquet(tmp_dir))
+    t_rewrite = time.monotonic() - t0
 
-    # deterministic final names: rename spark part files in part order
+    # deterministic final names (assigned in part order before any
+    # rename runs), renamed concurrently — the finalization tail
     parts = part_files(store.fs, tmp_dir)
     rels = []
+    pairs = []
     for j, part in enumerate(parts):
         rel = os.path.join(
             DATA_DIR, f"data-{job_id}-b{bin.bin_id:05d}-{j:04d}.parquet")
-        store.fs.rename(os.path.join(tmp_dir, part), store.abs(rel))
+        pairs.append((os.path.join(tmp_dir, part), store.abs(rel)))
         rels.append(rel)
+    rename_many(store.fs, pairs)
+    t_finalize = time.monotonic() - t0 - t_rewrite
     stats = footer_stats_many([store.abs(r) for r in rels],
                               config.stats_columns)
     outputs = []
@@ -362,6 +369,15 @@ def rewrite_bin(
         "rows_out": rows_out,
         "bytes_in": bin.bytes,
         "bytes_out": sum(o["bytes"] for o in outputs),
+        # per-phase wall seconds — the OTEL latency-histogram analogue
+        # (observability/iceberg_persistence.rs:59-86): at cluster scale
+        # the first triage question is which phase got slow
+        "phase_seconds": {
+            "rewrite": round(t_rewrite, 3),
+            "finalize": round(t_finalize, 3),
+            "stats_and_index": round(
+                time.monotonic() - t0 - t_rewrite - t_finalize, 3),
+        },
     }
     store.fs.makedirs(store.checkpoint_dir(job_id))
     store.fs.write_atomic(lineage_path(store, job_id, bin.bin_id),
