@@ -44,10 +44,20 @@ class IngestSession:
     """Single-writer ingestion surface for one table (the per-table
     event-loop analogue, ``table_handler.rs:30-207``)."""
 
-    def __init__(self, table, *, key_columns: Sequence[str]):
+    def __init__(self, table, *, key_columns: Sequence[str],
+                 record_to: str | None = None):
         self.table = table
         self.key_columns = list(key_columns)
-        self.columns = [c for c in table.snapshot().schema if c != "_pos"]
+        # record-and-replay hook (regression.rs analogue): every
+        # committed transaction also lands in a JSON-lines recording
+        # that tests/recordings/ can replay verbatim
+        self.record_to = record_to
+        snap = table.snapshot()
+        self.columns = [c for c in snap.schema if c != "_pos"]
+        # typed tables ingest typed: events are persisted in the table's
+        # native column types (cf. the reference's typed REST converters,
+        # rest_ingest/datetime_utils.rs, decimal_utils.rs)
+        self.schema_types = snap.properties.get("schema_types")
         self.wal = WriteAheadLog(table.store)
         self._pending: list[dict] = []
 
@@ -77,7 +87,11 @@ class IngestSession:
         if not self._pending:
             return None
         lsn = max(self.wal.highest_lsn(), self.applied_lsn()) + 1
-        self.wal.append(self._pending, lsn, columns=self.columns)
+        self.wal.append(self._pending, lsn, columns=self.columns,
+                        schema_types=self.schema_types)
+        if self.record_to:
+            from moonlink_spark.replay import record_transaction
+            record_transaction(self.record_to, lsn, self._pending)
         self._pending = []
         return lsn
 

@@ -46,6 +46,9 @@ file-number→LSN map in its WAL metadata, ``wal.rs:38-70``).
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import json
 import os
 import re
 from typing import Iterable, Mapping, Sequence
@@ -64,6 +67,94 @@ SEQ_COL = "_seq"
 OP_COL = "_op"
 
 _SEGMENT_RE = re.compile(r"^wal_(\d{6})_l(\d{12})\.parquet$")
+
+# DDL type → arrow type for WAL payload columns.  The reference's row
+# universe is typed end-to-end (``row/moonlink_type.rs:5-21``: Int32/64,
+# Float32/64, Decimal, Bool, ByteArray, timestamps as µs) with careful
+# typed conversion at REST ingest (``rest_ingest/datetime_utils.rs``,
+# ``decimal_utils.rs``); the WAL must persist the same fidelity or a
+# typed table silently degrades to strings at replay.
+_DDL_TO_WAL_ARROW = {
+    "string": pa.string(),
+    "varchar": pa.string(),
+    "boolean": pa.bool_(),
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "integer": pa.int32(),
+    "bigint": pa.int64(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+    "timestamp_ntz": pa.timestamp("us"),
+    "binary": pa.binary(),
+}
+
+
+def wal_type(ddl: str | None) -> pa.DataType | None:
+    """Arrow type a WAL payload column is persisted in, given the
+    column's Spark DDL type.  ``None`` means not representable as a flat
+    arrow scalar (nested array/struct/map): the value is stored as its
+    JSON text and :func:`cast_to_schema` rebuilds it with ``from_json``
+    at replay — lossless for JSON-representable payloads (the same
+    envelope the reference's REST ingest accepts,
+    ``rest_ingest/event_request.rs:10-60``)."""
+    if not ddl:
+        return pa.string()
+    base = ddl.split("(")[0].split("<")[0].strip().lower()
+    if base in ("decimal", "numeric"):
+        m = re.match(r"^\s*\w+\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", ddl)
+        if not m:
+            return pa.decimal128(10, 0)
+        prec, scale = int(m.group(1)), int(m.group(2) or 0)
+        return pa.decimal128(prec, scale) if prec <= 38 else None
+    return _DDL_TO_WAL_ARROW.get(base)
+
+
+def _coerce(v, t: pa.DataType):
+    """Lenient driver-side coercion of one event value to its arrow
+    type (the ``datetime_utils.rs`` / ``decimal_utils.rs`` analogue:
+    ISO strings and native objects both accepted)."""
+    if v is None:
+        return None
+    if pa.types.is_date32(t) and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    if pa.types.is_timestamp(t) and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    if pa.types.is_decimal(t) and not isinstance(v, decimal.Decimal):
+        return decimal.Decimal(str(v))
+    if pa.types.is_boolean(t) and isinstance(v, str):
+        return v.lower() in ("true", "t", "1")
+    if (pa.types.is_integer(t) or pa.types.is_floating(t)) \
+            and isinstance(v, str):
+        return int(v) if pa.types.is_integer(t) else float(v)
+    return v
+
+
+def cast_to_schema(changes: DataFrame,
+                   schema_types: Mapping[str, str] | None) -> DataFrame:
+    """Cast a change batch's payload columns to the table's DDL types.
+
+    Belt-and-braces at replay time: typed segments cast to themselves
+    (no-op); legacy all-string segments (or a WAL written before the
+    table's schema evolved) cast string→native; nested columns stored
+    as JSON text are rebuilt with ``from_json``."""
+    if not schema_types:
+        return changes
+    for c in changes.columns:
+        ddl = schema_types.get(c)
+        if not ddl or c in (OP_COL, LSN_COL, SEQ_COL, "_pos"):
+            continue
+        base = ddl.split("<")[0].split("(")[0].strip().lower()
+        if base in ("array", "struct", "map"):
+            field = changes.schema[c]
+            if field.dataType.simpleString() == "string":
+                changes = changes.withColumn(c, F.from_json(F.col(c), ddl))
+        else:
+            changes = changes.withColumn(c, F.col(c).cast(ddl))
+    return changes
 
 
 def _segment_name(file_no: int, max_lsn: int) -> str:
@@ -103,7 +194,8 @@ class WriteAheadLog:
 
     # -- append (the durable-before-ack write) ------------------------------
     def append(self, events: Sequence[Mapping], lsn: int,
-               columns: Iterable[str]) -> str:
+               columns: Iterable[str],
+               schema_types: Mapping[str, str] | None = None) -> str:
         """Durably persist one committed transaction's events at ``lsn``.
 
         ``events``: dicts with ``_op`` ('delete' | 'upsert') plus the
@@ -114,6 +206,15 @@ class WriteAheadLog:
         (``mooncake_table.rs:1290-1312``).  The write is atomic
         (tmp + rename): the client is acked only after this returns,
         and a torn write is invisible.
+
+        ``schema_types`` maps column → Spark DDL type; payload columns
+        are persisted in their native arrow type (ints/decimals/
+        timestamps/binary survive losslessly — the reference's WAL
+        persists typed row values, ``row/moonlink_type.rs:5-21``).
+        Nested (array/struct/map) columns are stored as JSON text and
+        rebuilt at replay.  Absent (``None``), every payload column is
+        stored as a string — the legacy north-rule-table shape; replay
+        still casts to the table schema (:func:`cast_to_schema`).
 
         Returns the segment path.  ``lsn`` must be greater than every
         LSN already in the WAL (LSNs are monotone by contract,
@@ -127,6 +228,10 @@ class WriteAheadLog:
                 f"non-monotone lsn {lsn}: WAL already holds {segs[-1][1]}")
         file_no = segs[-1][0] + 1 if segs else 0
         columns = list(columns)
+        types: dict[str, pa.DataType | None] = {
+            c: (wal_type((schema_types or {}).get(c))
+                if schema_types else pa.string())
+            for c in columns}
 
         arrays: dict[str, list] = {LSN_COL: [], SEQ_COL: [], OP_COL: []}
         for c in columns:
@@ -137,10 +242,19 @@ class WriteAheadLog:
             arrays[OP_COL].append(e[OP_COL])
             for c in columns:
                 v = e.get(c)
-                arrays[c].append(None if v is None else str(v))
+                t = types[c]
+                if v is None:
+                    arrays[c].append(None)
+                elif t is None:  # nested → JSON text
+                    arrays[c].append(json.dumps(v, sort_keys=True))
+                elif pa.types.is_string(t):
+                    arrays[c].append(v if isinstance(v, str) else str(v))
+                else:
+                    arrays[c].append(_coerce(v, t))
         fields = [(LSN_COL, pa.int64()), (SEQ_COL, pa.int64()),
-                  (OP_COL, pa.string())] + [(c, pa.string())
-                                            for c in columns]
+                  (OP_COL, pa.string())] + \
+                 [(c, types[c] if types[c] is not None else pa.string())
+                  for c in columns]
         table = pa.Table.from_arrays(
             [pa.array(arrays[n], type=t) for n, t in fields],
             schema=pa.schema(fields))
@@ -204,6 +318,8 @@ class WriteAheadLog:
             return None
         high = self.highest_lsn()
         changes = self.collapse(pending, key_columns)
+        changes = cast_to_schema(
+            changes, snap.properties.get("schema_types"))
         out = table.merge(
             changes, key_columns=key_columns,
             job_tag=f"wal-replay-l{high:012d}",

@@ -1,0 +1,205 @@
+"""Typed payloads through the WAL + ingest session.
+
+The reference's row universe is typed end-to-end
+(``row/moonlink_type.rs:5-21``: Int/Float/Decimal/Bool/Binary/...; the
+REST converters do careful typed conversion,
+``rest_ingest/datetime_utils.rs``, ``decimal_utils.rs``).  A WAL that
+stringifies payloads silently corrupts typed tables at replay: ints
+land as strings, binary as ``b'...'`` repr, scans applying the table's
+``schema_ddl`` then fail wholesale.  These tests pin the lossless
+round-trip ingest → WAL → replay → typed scan.
+"""
+
+import datetime
+import decimal
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import TableConfig
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.wal import WriteAheadLog, cast_to_schema, wal_type
+
+import pyarrow as pa
+
+TYPES = {
+    "id": "int",
+    "big": "bigint",
+    "name": "string",
+    "flag": "boolean",
+    "ratio": "double",
+    "amt": "decimal(10,2)",
+    "d": "date",
+    "ts": "timestamp",
+    "blob": "binary",
+    "tags": "array<string>",
+}
+SCHEMA = [*TYPES.keys(), "_pos"]
+
+
+@pytest.fixture()
+def typed_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cfg = TableConfig(stats_columns=("id", "name"))
+    return cat.create_table("db", "typed", schema=SCHEMA,
+                            schema_types=TYPES, config=cfg)
+
+
+def _row(i):
+    return {
+        "id": i,
+        "big": 10_000_000_000 + i,
+        "name": f"row-{i}",
+        "flag": i % 2 == 0,
+        "ratio": i / 7.0,
+        "amt": decimal.Decimal(f"{i}.25"),
+        "d": datetime.date(2024, 1, 1 + i),
+        "ts": datetime.datetime(2024, 1, 1, 12, 0, i),
+        "blob": bytes([i, 255 - i, 7]),
+        "tags": [f"t{i}", "x"],
+    }
+
+
+def test_wal_type_mapping():
+    assert wal_type("int") == pa.int32()
+    assert wal_type("decimal(10,2)") == pa.decimal128(10, 2)
+    assert wal_type("binary") == pa.binary()
+    assert wal_type("timestamp") == pa.timestamp("us")
+    assert wal_type("array<string>") is None  # nested → JSON text
+    assert wal_type("struct<a:int>") is None
+    assert wal_type(None) == pa.string()
+
+
+def test_typed_ingest_round_trip(spark, typed_table):
+    t = typed_table
+    sess = IngestSession(t, key_columns=["id"])
+    for i in range(5):
+        sess.insert(_row(i))
+    sess.commit()
+    sess.flush()
+
+    # scan carries the native types, not strings
+    got = {f.name: f.dataType.simpleString()
+           for f in t.scan().schema.fields}
+    assert got["id"] == "int"
+    assert got["big"] == "bigint"
+    assert got["flag"] == "boolean"
+    assert got["amt"] == "decimal(10,2)"
+    assert got["d"] == "date"
+    assert got["ts"] == "timestamp"
+    assert got["blob"] == "binary"
+    assert got["tags"] == "array<string>"
+
+    rows = {r["id"]: r for r in t.scan().collect()}
+    assert len(rows) == 5
+    r3 = rows[3]
+    assert r3["big"] == 10_000_000_003
+    assert r3["flag"] is False
+    assert r3["amt"] == decimal.Decimal("3.25")
+    assert r3["d"] == datetime.date(2024, 1, 4)
+    assert r3["ts"] == datetime.datetime(2024, 1, 1, 12, 0, 3)
+    assert bytes(r3["blob"]) == bytes([3, 252, 7])
+    assert list(r3["tags"]) == ["t3", "x"]
+
+
+def test_typed_delete_matches_native_key(spark, typed_table):
+    """A delete routed through the WAL must equi-join on the native
+    key type (int vs string comparison would silently miss)."""
+    t = typed_table
+    sess = IngestSession(t, key_columns=["id"])
+    for i in range(4):
+        sess.insert(_row(i))
+    sess.commit()
+    sess.flush()
+    assert t.scan().count() == 4
+
+    sess.delete({"id": 2})
+    sess.commit()
+    sess.flush()
+    ids = sorted(r["id"] for r in t.scan().select("id").collect())
+    assert ids == [0, 1, 3]
+
+
+def test_typed_upsert_latest_wins_across_transactions(spark, typed_table):
+    t = typed_table
+    sess = IngestSession(t, key_columns=["id"])
+    sess.insert(_row(1))
+    sess.commit()
+    new = _row(1)
+    new["name"] = "updated"
+    new["amt"] = decimal.Decimal("99.99")
+    sess.upsert(new)
+    sess.commit()
+    sess.flush()
+    got = t.scan().filter(F.col("id") == 1).collect()
+    assert len(got) == 1
+    assert got[0]["name"] == "updated"
+    assert got[0]["amt"] == decimal.Decimal("99.99")
+
+
+def test_iso_string_values_coerced(spark, typed_table):
+    """ISO-formatted strings for date/timestamp and numeric strings are
+    accepted at the ingest boundary (the datetime_utils.rs analogue)."""
+    t = typed_table
+    sess = IngestSession(t, key_columns=["id"])
+    r = _row(0)
+    r["d"] = "2024-06-15"
+    r["ts"] = "2024-06-15T08:30:00"
+    r["amt"] = "12.50"
+    sess.insert(r)
+    sess.commit()
+    sess.flush()
+    got = t.scan().collect()[0]
+    assert got["d"] == datetime.date(2024, 6, 15)
+    assert got["ts"] == datetime.datetime(2024, 6, 15, 8, 30)
+    assert got["amt"] == decimal.Decimal("12.50")
+
+
+def test_legacy_string_segment_cast_at_replay(spark, typed_table):
+    """A WAL segment written without schema_types (all strings — e.g.
+    pre-upgrade) still replays correctly: cast_to_schema converts the
+    collapsed batch to the table's DDL before the MERGE."""
+    t = typed_table
+    wal = WriteAheadLog(t.store)
+    cols = [c for c in SCHEMA if c != "_pos"]
+    ev = {c: None for c in cols}
+    ev.update({"id": 7, "big": 77, "name": "legacy", "flag": True,
+               "ratio": 0.5, "amt": decimal.Decimal("1.00"),
+               "d": datetime.date(2024, 2, 2),
+               "ts": datetime.datetime(2024, 2, 2, 1, 2, 3),
+               "blob": None, "tags": None, "_op": "upsert"})
+    # legacy shape: no schema_types → stringified payload
+    wal.append([ev], 1, columns=cols)
+    snap = wal.replay_into(t, key_columns=["id"])
+    assert snap is not None
+    got = t.scan().collect()[0]
+    assert got["id"] == 7 and isinstance(got["id"], int)
+    assert got["amt"] == decimal.Decimal("1.00")
+    assert got["d"] == datetime.date(2024, 2, 2)
+
+
+def test_cast_to_schema_rebuilds_nested_from_json(spark):
+    df = spark.createDataFrame(
+        [("1", '["a", "b"]')], "id string, tags string")
+    out = cast_to_schema(df, {"id": "int", "tags": "array<string>"})
+    r = out.collect()[0]
+    assert r["id"] == 1
+    assert list(r["tags"]) == ["a", "b"]
+
+
+def test_wal_segment_schema_is_typed(spark, typed_table, tmp_path):
+    import pyarrow.parquet as pq
+    t = typed_table
+    sess = IngestSession(t, key_columns=["id"])
+    sess.insert(_row(0))
+    sess.commit()
+    seg = sess.wal.segments()[0][2]
+    sch = pq.read_schema(seg)
+    assert sch.field("id").type == pa.int32()
+    assert sch.field("amt").type == pa.decimal128(10, 2)
+    assert sch.field("blob").type == pa.binary()
+    assert sch.field("d").type == pa.date32()
+    # nested stored as JSON text
+    assert sch.field("tags").type == pa.string()
