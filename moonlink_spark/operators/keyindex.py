@@ -44,7 +44,9 @@ mutually exclusive with other maintenance in one snapshot task
 
 from __future__ import annotations
 
+import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,8 +56,45 @@ from moonlink_spark.fs import part_files, remove_many, rename_many
 
 IDX_DIR = "idx"
 COV_DIR = os.path.join(IDX_DIR, "files")
+META_NAME = "meta.json"
 HASH_COL = "key_hash"
 FILE_ENT_COL = "file"
+
+
+def _meta_path(store: SnapshotStore) -> str:
+    return os.path.join(store.warehouse, IDX_DIR, META_NAME)
+
+
+def read_meta(store: SnapshotStore) -> dict | None:
+    """The index's addressing parameters as persisted at first write.
+
+    Bucket count and key columns are *addressing*, not preference: an
+    entry hashed/bucketed under one ``(key_columns, n_buckets)`` pair is
+    unreachable — or, worse, silently wrong — under another (a covered
+    file containing a batch key would be pruned from the MERGE scan).
+    The marker makes a config change detectable; every consumer treats
+    a mismatch as "index absent" until ``optimize('index')`` rebuilds."""
+    p = _meta_path(store)
+    if not store.fs.is_file(p):
+        return None
+    return json.loads(store.fs.read_bytes(p))
+
+
+def _write_meta(store: SnapshotStore, key_columns: list[str],
+                n_buckets: int) -> None:
+    store.fs.makedirs(os.path.join(store.warehouse, IDX_DIR))
+    store.fs.write_atomic(_meta_path(store), json.dumps({
+        "format_version": 1,
+        "key_columns": list(key_columns),
+        "n_buckets": int(n_buckets),
+    }, indent=1, sort_keys=True).encode())
+
+
+def _meta_matches(meta: dict | None, key_columns: list[str],
+                  n_buckets: int) -> bool:
+    return (meta is not None
+            and meta.get("key_columns") == list(key_columns)
+            and meta.get("n_buckets") == int(n_buckets))
 
 
 def key_hash(key_columns: list[str]):
@@ -95,6 +134,24 @@ def write_index(spark: SparkSession, store: SnapshotStore,
     from moonlink_spark.operators.scan import _with_relative_file
 
     if not data_rels:
+        return
+    meta = read_meta(store)
+    if meta is None:
+        if coverage_parts(store):
+            # entries of unknown provenance (pre-marker index): extending
+            # them could mix addressing schemes.  Leave the new files
+            # uncovered (always-candidates — safe, just wider scans)
+            # until optimize("index") rebuilds under the current config.
+            warnings.warn(
+                "key index has entries but no meta marker; new files "
+                "left uncovered — run optimize('index') to rebuild")
+            return
+        _write_meta(store, key_columns, n_buckets)
+    elif not _meta_matches(meta, key_columns, n_buckets):
+        warnings.warn(
+            f"key index addressing changed (persisted {meta}, config "
+            f"key_columns={key_columns} n_buckets={n_buckets}); new "
+            "files left uncovered — run optimize('index') to rebuild")
         return
     ent = (_with_relative_file(
                spark.read.parquet(*[store.abs(r) for r in data_rels])
@@ -144,6 +201,16 @@ def candidate_files(spark: SparkSession, store: SnapshotStore,
     cov = coverage_parts(store)
     if not cov:
         return None
+    if not _meta_matches(read_meta(store), key_columns, n_buckets):
+        # unknown or mismatched addressing: hashing/bucketing with the
+        # current config against entries written under another would
+        # prune covered files wrongly (missed deletes).  The index can
+        # only widen a scan, never narrow it incorrectly — so it is
+        # simply absent until optimize("index") rebuilds it.
+        warnings.warn(
+            "key index addressing mismatch or missing marker; index "
+            "ignored — run optimize('index') to rebuild")
+        return None
     hashes = (changes.select(key_hash(key_columns).alias(HASH_COL))
               .distinct())
     # touched buckets: change-batch-sized driver list, ≤ n_buckets ints
@@ -167,21 +234,58 @@ def candidate_files(spark: SparkSession, store: SnapshotStore,
     return hits.union(uncovered).distinct()
 
 
+def rebuild_index(spark: SparkSession, store: SnapshotStore,
+                  live_paths: DataFrame, key_columns: list[str], *,
+                  n_buckets: int, job_id: str) -> dict:
+    """Drop the whole index and re-derive it from the live data files
+    under the CURRENT addressing config — the recovery path for an
+    addressing change (old entries are unreachable under new hashing
+    and cannot be transformed: the hash input changed).  Batched over
+    the live file list so the driver holds one batch of paths."""
+    store.fs.rmtree(os.path.join(store.warehouse, IDX_DIR))
+    _write_meta(store, key_columns, n_buckets)
+    n = 0
+    batch: list[str] = []
+    bno = 0
+    for r in live_paths.select("path").orderBy("path").toLocalIterator():
+        batch.append(r["path"])
+        if len(batch) >= 4096:
+            write_index(spark, store, batch, key_columns,
+                        n_buckets=n_buckets, job_id=f"{job_id}-rb{bno:04d}")
+            n += len(batch)
+            batch, bno = [], bno + 1
+    if batch:
+        write_index(spark, store, batch, key_columns,
+                    n_buckets=n_buckets, job_id=f"{job_id}-rb{bno:04d}")
+        n += len(batch)
+    return {"rebuilt": True, "files_indexed": n}
+
+
 def consolidate_index(spark: SparkSession, store: SnapshotStore,
-                      live_paths: DataFrame, *, n_buckets: int,
-                      job_id: str) -> dict | None:
+                      live_paths: DataFrame, *, key_columns: list[str],
+                      n_buckets: int, job_id: str) -> dict | None:
     """Index merge (``snapshot_maintenance.rs:227-309`` analogue):
     rewrite all bucket files into one part per bucket, dropping stale
     entries (data files no longer in the live manifest) and duplicate
     pairs; consolidate coverage the same way.  New parts land before old
     parts are removed, so a crash mid-swap leaves duplicates — harmless
-    — never a gap."""
+    — never a gap.
+
+    When the persisted addressing marker disagrees with the current
+    config (or entries predate the marker), the index is rebuilt from
+    scratch instead — entries hashed under the old addressing are not
+    transformable."""
+    meta = read_meta(store)
     old_parts: list[str] = []
-    for b in range(n_buckets):
+    for b in range(max(n_buckets,
+                       int((meta or {}).get("n_buckets", 0)))):
         old_parts.extend(_bucket_parts(store, b))
     old_cov = coverage_parts(store)
     if not old_parts and not old_cov:
         return None
+    if not _meta_matches(meta, key_columns, n_buckets):
+        return rebuild_index(spark, store, live_paths, key_columns,
+                             n_buckets=n_buckets, job_id=job_id)
 
     new_parts = 0
     if old_parts:

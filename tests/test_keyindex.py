@@ -206,3 +206,82 @@ def test_index_loss_degrades_to_full_scan(spark, tmp_path):
     n0 = t.scan().count()
     t.merge(one, key_columns=KEYS)
     assert t.scan().count() == n0 - 1
+
+
+# -- addressing marker (idx/meta.json) ---------------------------------
+# Bucket count / key columns are addressing: entries written under one
+# (key_columns, n_buckets) pair are unreachable — or wrongly pruned —
+# under another.  The persisted marker makes every consumer detect the
+# mismatch and treat the index as absent until rebuilt.
+
+def test_meta_written_at_first_index(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "m1"), CFG_IDX, 71)
+    t.optimize("full")
+    meta = keyindex.read_meta(t.store)
+    assert meta == {"format_version": 1,
+                    "key_columns": list(KEYS),
+                    "n_buckets": CFG_IDX.index_buckets}
+
+
+def test_bucket_count_change_disables_index(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "m2"), CFG_IDX, 72)
+    t.optimize("full")
+    # same warehouse reopened with a different bucket count
+    cfg2 = TableConfig(compaction=COMP,
+                       index_key_columns=("repo", "path", "commit"),
+                       index_buckets=32)
+    t2 = MoonTable(spark, t.store.warehouse, cfg2)
+    changes = _scattered_changes(spark, t2)
+    with pytest.warns(UserWarning, match="addressing"):
+        cand = keyindex.candidate_files(
+            spark, t2.store, t2.manifest(), changes, KEYS,
+            n_buckets=cfg2.index_buckets)
+    assert cand is None  # index absent, full scan — never wrong pruning
+    # and the merge is still correct end-to-end
+    before = _scan_set(t2)
+    dels = {tuple(r[:5]) for r in changes.filter(
+        F.col("_op") == "delete").collect()}
+    ups = {tuple(r[:5]) for r in changes.filter(
+        F.col("_op") == "upsert").collect()}
+    t2.merge(changes, key_columns=KEYS)
+    assert _scan_set(t2) == (before - dels) | ups
+
+
+def test_optimize_index_rebuilds_under_new_addressing(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "m3"), CFG_IDX, 73)
+    t.optimize("full")
+    old_meta = keyindex.read_meta(t.store)
+    cfg2 = TableConfig(compaction=COMP,
+                       index_key_columns=("repo", "path", "commit"),
+                       index_buckets=16)
+    t2 = MoonTable(spark, t.store.warehouse, cfg2)
+    t2.optimize("index")
+    meta = keyindex.read_meta(t2.store)
+    assert meta["n_buckets"] == 16 != old_meta["n_buckets"]
+    # rebuilt index is live again and prunes correctly
+    changes = _scattered_changes(spark, t2)
+    cand = keyindex.candidate_files(
+        spark, t2.store, t2.manifest(), changes, KEYS, n_buckets=16)
+    assert cand is not None
+    nman = t2.manifest().count()
+    before = _scan_set(t2)
+    dels = {tuple(r[:5]) for r in changes.filter(
+        F.col("_op") == "delete").collect()}
+    ups = {tuple(r[:5]) for r in changes.filter(
+        F.col("_op") == "upsert").collect()}
+    t2.merge(changes, key_columns=KEYS)
+    assert _scan_set(t2) == (before - dels) | ups
+    assert cand.count() <= nman
+
+
+def test_write_index_refuses_mismatched_addressing(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "m4"), CFG_IDX, 74)
+    t.optimize("full")
+    covered_before = len(keyindex.coverage_parts(t.store))
+    with pytest.warns(UserWarning, match="addressing"):
+        keyindex.write_index(
+            spark, t.store,
+            [t.store.manifest_entries()[0]["path"]],
+            KEYS, n_buckets=999, job_id="mismatch-test")
+    # no new coverage written under the wrong addressing
+    assert len(keyindex.coverage_parts(t.store)) == covered_before
