@@ -42,6 +42,7 @@ from moonlink_spark.snapshotstore import (
     CommitConflict,
     Snapshot,
     SnapshotStore,
+    shard_rel,
 )
 
 # index-merge trigger: min 16 small DV sidecars, mirroring
@@ -68,10 +69,12 @@ class MoonTable:
     def version_at(self, ts: float) -> int:
         """Latest retained version committed at or before epoch-seconds
         ``ts`` (timestamp time travel over the snapshot log — moonlink's
-        catalog keeps every ``v{N}.metadata.json`` with its own mtime,
-        ``file_catalog.rs:606-624``)."""
+        catalog keeps every ``v{N}.metadata.json``,
+        ``file_catalog.rs:606-624``).  Resolved from the header's
+        ``committed_at`` stamp (mtimes do not survive object-store
+        copies/migrations; pre-upgrade headers fall back to mtime)."""
         cands = [v for v in self.store.versions()
-                 if self.store.fs.mtime(self.store.header_path(v)) <= ts]
+                 if self.store.commit_time(v) <= ts]
         if not cands:
             raise ValueError(
                 f"no snapshot committed at or before ts={ts!r}")
@@ -319,6 +322,7 @@ class MoonTable:
             from moonlink_spark.operators import keyindex
             keyindex.consolidate_index(
                 self.spark, self.store, mdf.select("path"),
+                key_columns=list(self.config.index_key_columns),
                 n_buckets=self.config.index_buckets,
                 job_id=job_id)
         # the sidecar list is planning metadata (files to read) — the
@@ -354,7 +358,7 @@ class MoonTable:
         new_rels = []
         pairs = []
         for j, part in enumerate(parts):
-            rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
+            rel = shard_rel(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
             pairs.append((os.path.join(tmp, part), self.store.abs(rel)))
             new_rels.append(rel)
         rename_many(self.store.fs, pairs)
@@ -467,8 +471,7 @@ class MoonTable:
                 "operation": s.properties.get("operation"),
                 "job_id": s.properties.get("job_id"),
                 "flush_lsn": s.flush_lsn,
-                "committed_at": self.store.fs.mtime(
-                    self.store.header_path(v)),
+                "committed_at": self.store.commit_time(v),
             })
         return out
 

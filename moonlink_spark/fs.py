@@ -109,6 +109,44 @@ class PosixFileSystem:
         shutil.copy2(src, dst)
 
 
+class RenameInterrupted(IOError):
+    """Injected crash between the copy and the delete of an
+    object-store rename (test hook)."""
+
+
+class LocalObjectStoreFileSystem(PosixFileSystem):
+    """Object-store *semantics* on local disk — the second accessor
+    implementation the seam contract demands (cf. the reference's
+    accessor layer ``storage/filesystem/accessor/`` and the etag-CAS
+    conditional write, ``file_catalog.rs:640-665``).  Bytes live on the
+    local filesystem (so Spark executors read them normally); the
+    driver-side operations behave like S3/GCS:
+
+    - :meth:`rename` is COPY + DELETE and never atomic — a crash
+      between the two leaves BOTH objects.  Engine correctness must not
+      rest on rename atomicity: renames touch only never-published temp
+      objects, and only :meth:`publish_cas` makes state visible.  The
+      ``crash_after_copy`` hook injects exactly that crash so tests can
+      prove it.
+    - :meth:`publish_cas` is a conditional PUT — ``If-Match`` on the
+      object's etag (S3) / generation (GCS).  The local emulation
+      compares content, which is equivalent for simple-PUT S3 etags
+      (content-derived md5); the conditional-check-then-swap is the
+      contract under test.
+    - :meth:`write_atomic` is a single PUT, atomic by the platform;
+      the tmp+rename emulation is invisible to readers either way.
+    """
+
+    crash_after_copy = False  # test hook: fail between copy and delete
+
+    def rename(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
+        if self.crash_after_copy:
+            raise RenameInterrupted(f"injected crash: {src} copied to "
+                                    f"{dst}, source not deleted")
+        os.remove(src)
+
+
 # module default — the engine's constructors accept an ``fs`` override
 DEFAULT_FS = PosixFileSystem()
 
@@ -127,8 +165,12 @@ def rename_many(fs: PosixFileSystem, pairs: Iterable[tuple[str, str]],
     the job tail at thousands of output files (each rename is a
     round-trip — µs on posix, a full copy+delete on an object store).
     Names are assigned by the caller before any rename runs, so
-    completion order cannot affect the result."""
+    completion order cannot affect the result.  Destination parent
+    directories are created first (hash-sharded layouts land files in
+    ``s{xx}/`` subdirectories that may not exist yet)."""
     pairs = list(pairs)
+    for d in {os.path.dirname(dst) for _src, dst in pairs}:
+        fs.makedirs(d)
     if len(pairs) <= 2:
         for src, dst in pairs:
             fs.rename(src, dst)

@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame
 
 from moonlink_spark.config import TableConfig
-from moonlink_spark.fs import part_files
+from moonlink_spark.fs import part_files, rename_many
 from moonlink_spark.operators.rewrite import (
     assign_positions,
     footer_stats_many,
@@ -36,6 +36,7 @@ from moonlink_spark.snapshotstore import (
     CommitConflict,
     Snapshot,
     SnapshotStore,
+    shard_rel,
 )
 
 INGEST_ROLL_ROWS = 131_072  # mem-slice flush row budget analogue
@@ -82,10 +83,12 @@ def append_rows(
     (final.write.mode("overwrite")
      .option("compression", config.ingest_compression).parquet(tmp))
     rels = []
+    pairs = []
     for j, part in enumerate(part_files(store.fs, tmp)):
-        rel = os.path.join(DATA_DIR, f"data-{job_id}-{j:04d}.parquet")
-        store.fs.rename(os.path.join(tmp, part), store.abs(rel))
+        rel = shard_rel(DATA_DIR, f"data-{job_id}-{j:04d}.parquet")
+        pairs.append((os.path.join(tmp, part), store.abs(rel)))
         rels.append(rel)
+    rename_many(store.fs, pairs)
     new_entries = []
     for rel, st in zip(rels, footer_stats_many(
             [store.abs(r) for r in rels], config.stats_columns)):

@@ -9,11 +9,19 @@ Iceberg's ``expireSnapshots``:
 - reachable = every data/DV/manifest file referenced by a retained
   version; computed as a DataFrame union-distinct over the retained
   manifests (at 10^12-file scale the manifests are big data — the
-  reachability set never materializes on the driver until the final
-  delete list, which is streamed);
-- delete  files on disk under data/ + dv/ that are NOT reachable
-  (left-anti join listing × reachable), then drop expired snapshot
-  headers + manifests.
+  reachability set never materializes on the driver);
+- the on-disk listing is a DISTRIBUTED job: one task per hash-shard
+  directory (the ``shard_rel`` layout; cf. the per-prefix LIST contract
+  object stores expose), plus the flat legacy roots — never a serial
+  driver ``os.walk`` (at 10^12 files that walk is a driver OOM and a
+  days-long single thread, in the one operator whose job is touching
+  every file);
+- orphans (listing LEFT ANTI reachable) stream to the driver in
+  batches and are deleted by a pooled worker set (DELETE round-trips
+  overlap; cf. the detached deletion tasks in ``table_handler.rs:187-200``);
+  the audit list is the only thing the driver accumulates, and it can
+  be disabled for huge cleanups;
+- expired snapshot headers + manifests are dropped last.
 
 Readers pinned to a *retained* version are untouched (their manifests are
 immutable); that is the retention contract — cf. reader pinning keeping
@@ -29,16 +37,53 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from moonlink_spark.fs import remove_many
 from moonlink_spark.snapshotstore import DATA_DIR, DV_DIR, SnapshotStore
 
+_DELETE_BATCH = 1024
 
-def _list_files(store: SnapshotStore) -> list[str]:
-    out = []
+
+def _listing_units(store: SnapshotStore) -> list[tuple[str, bool]]:
+    """Independent listing units: ``(dir, recurse)``.  One unit per
+    shard subdirectory (parallel LIST-by-prefix) + the flat root of each
+    data/DV dir for legacy unsharded files.  Driver cost is O(shards):
+    two ``list`` calls, never a file walk."""
+    units: list[tuple[str, bool]] = []
     for sub in (DATA_DIR, DV_DIR):
         root = os.path.join(store.warehouse, sub)
-        for path in store.fs.walk_files(root):
-            out.append(os.path.relpath(path, store.warehouse))
-    return out
+        if not store.fs.is_dir(root):
+            continue
+        units.append((root, False))  # flat legacy files directly in root
+        for name in sorted(store.fs.list(root)):
+            p = os.path.join(root, name)
+            if store.fs.is_dir(p):
+                units.append((p, True))
+    return units
+
+
+def list_files_df(spark: SparkSession, store: SnapshotStore):
+    """Every file under data/ + dv/ as a one-column (``f``,
+    warehouse-relative) DataFrame, listed by a distributed job — one
+    task per shard directory.  The filesystem accessor ships to the
+    executors (it is stateless/picklable by contract)."""
+    units = _listing_units(store)
+    fs = store.fs
+    wh = store.warehouse
+
+    def _ls(unit: tuple[str, bool]) -> list[tuple[str]]:
+        path, recurse = unit
+        if recurse:
+            return [(os.path.relpath(f, wh),) for f in fs.walk_files(path)]
+        return [(os.path.relpath(os.path.join(path, n), wh),)
+                for n in fs.list(path)
+                if fs.is_file(os.path.join(path, n))]
+
+    if not units:
+        return spark.createDataFrame([], "f string")
+    rdd = (spark.sparkContext
+           .parallelize(units, len(units))
+           .flatMap(_ls))
+    return spark.createDataFrame(rdd, "f string")
 
 
 def _clean_stale_tmp(store: SnapshotStore, older_than_seconds: float,
@@ -74,10 +119,15 @@ def expire_snapshots(
     *,
     retain_last: int = 2,
     clean_tmp_older_than_seconds: float = 24 * 3600,
+    collect_audit: bool = True,
+    delete_workers: int = 16,
 ) -> dict:
     """Expire all but the newest ``retain_last`` versions; delete orphaned
     data/DV files and stale crashed-job tmp directories.  Returns
-    {"expired_versions", "deleted_files", "deleted_tmp_dirs"}."""
+    {"expired_versions", "deleted_files", "deleted_count",
+    "deleted_tmp_dirs"}; ``collect_audit=False`` keeps the driver's
+    memory O(batch) for huge cleanups (``deleted_files`` then holds only
+    the first batch as a sample)."""
     retain_last = max(1, retain_last)
     versions = store.versions()
     keep = versions[-retain_last:]
@@ -92,18 +142,37 @@ def expire_snapshots(
         reachable = files if reachable is None else reachable.union(files)
     reachable = reachable.distinct()
 
-    on_disk = spark.createDataFrame([(f,) for f in _list_files(store)],
-                                    "f string")
-    orphans = [r["f"] for r in
-               on_disk.join(reachable, on="f", how="left_anti")
-               .toLocalIterator()]
+    on_disk = list_files_df(spark, store)
+    orphans_df = on_disk.join(reachable, on="f", how="left_anti")
 
-    for rel in orphans:
-        store.fs.remove(store.abs(rel))
+    # deletes overlap in a worker pool, batch by batch; the driver
+    # never holds more than one batch (plus the optional audit list)
+    deleted: list[str] = []
+    n_deleted = 0
+    batch: list[str] = []
+
+    def _flush(b: list[str]) -> None:
+        remove_many(store.fs, [store.abs(rel) for rel in b],
+                    max_workers=delete_workers)
+
+    for r in orphans_df.toLocalIterator():
+        batch.append(r["f"])
+        if len(batch) >= _DELETE_BATCH:
+            _flush(batch)
+            n_deleted += len(batch)
+            if collect_audit or not deleted:
+                deleted.extend(batch)
+            batch = []
+    if batch:
+        _flush(batch)
+        n_deleted += len(batch)
+        if collect_audit or not deleted:
+            deleted.extend(batch)
+
     for v in drop:
         store.fs.remove(store.header_path(v))
         store.fs.remove(store.manifest_path(v))
     tmp_removed = _clean_stale_tmp(store, clean_tmp_older_than_seconds,
                                    now=time.time())
-    return {"expired_versions": drop, "deleted_files": sorted(orphans),
-            "deleted_tmp_dirs": tmp_removed}
+    return {"expired_versions": drop, "deleted_files": sorted(deleted),
+            "deleted_count": n_deleted, "deleted_tmp_dirs": tmp_removed}

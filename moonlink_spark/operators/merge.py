@@ -62,6 +62,7 @@ from moonlink_spark.snapshotstore import (
     DV_DIR,
     Snapshot,
     SnapshotStore,
+    shard_rel,
 )
 
 OP_COL = "_op"
@@ -206,7 +207,7 @@ def merge_into(
             new_rels = []
             pairs = []
             for j, part in enumerate(parts):
-                rel = os.path.join(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
+                rel = shard_rel(DV_DIR, f"dv-{job_id}-{j:04d}.parquet")
                 pairs.append((os.path.join(tmp, part), store.abs(rel)))
                 new_rels.append(rel)
             rename_many(store.fs, pairs)
@@ -239,8 +240,8 @@ def merge_into(
             rels = []
             pairs = []
             for j, part in enumerate(parts):
-                rel = os.path.join(DATA_DIR,
-                                   f"data-{job_id}-{j:04d}.parquet")
+                rel = shard_rel(DATA_DIR,
+                                f"data-{job_id}-{j:04d}.parquet")
                 pairs.append((os.path.join(tmp, part), store.abs(rel)))
                 rels.append(rel)
             rename_many(store.fs, pairs)

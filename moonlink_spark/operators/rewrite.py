@@ -48,7 +48,8 @@ from moonlink_spark.functions.zorder import ZCUTS_KEY, with_zorder_key
 from moonlink_spark.operators.planner import CompactionBin
 from moonlink_spark.operators.scan import FILE_COL, POS_COL, scan_files
 from moonlink_spark.fs import part_files, rename_many
-from moonlink_spark.snapshotstore import DATA_DIR, SnapshotStore
+from moonlink_spark.snapshotstore import (DATA_DIR, SnapshotStore,
+                                          shard_rel)
 
 ZKEY_COL = "_zkey"
 OLDPOS_COL = "_oldpos"
@@ -315,7 +316,7 @@ def rewrite_bin(
     rels = []
     pairs = []
     for j, part in enumerate(parts):
-        rel = os.path.join(
+        rel = shard_rel(
             DATA_DIR, f"data-{job_id}-b{bin.bin_id:05d}-{j:04d}.parquet")
         pairs.append((os.path.join(tmp_dir, part), store.abs(rel)))
         rels.append(rel)

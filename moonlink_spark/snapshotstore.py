@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -53,6 +54,27 @@ DATA_DIR = "data"
 DV_DIR = "dv"
 CHECKPOINT_DIR = "checkpoints"
 VERSION_HINT = "VERSION_HINT"
+
+# Hash-prefixed object layout (the public Iceberg
+# ``ObjectStoreLocationProvider`` pattern: a short hash component in
+# every data path).  Two jobs at 10^12-file scale: (1) object stores
+# throttle per key prefix — hashing spreads request rate across
+# OBJECT_SHARDS prefixes instead of hammering ``data/``; (2) LIST is
+# per-prefix, so orphan scans fan out one task per shard instead of one
+# serial listing.  Files are always addressed via the manifest, so the
+# layout is invisible to readers; legacy flat files under ``data/`` /
+# ``dv/`` keep working (expire lists both).
+OBJECT_SHARDS = 64
+
+
+def shard_rel(sub_dir: str, name: str,
+              n_shards: int = OBJECT_SHARDS) -> str:
+    """Manifest-relative path for a new data/DV object: hash-sharded
+    subdirectory + file name.  The shard is a pure function of the name
+    so resumed/idempotent jobs land files at identical paths."""
+    import zlib
+    h = zlib.crc32(name.encode("utf-8")) % n_shards
+    return os.path.join(sub_dir, f"s{h:02x}", name)
 
 
 class CommitConflict(RuntimeError):
@@ -206,6 +228,16 @@ class SnapshotStore:
             properties=hdr.get("properties", {}),
             manifest_path=self.manifest_path(version),
         )
+
+    def commit_time(self, version: int) -> float:
+        """Epoch seconds the version was committed.  From the header's
+        ``committed_at`` stamp; pre-upgrade snapshots (no stamp) fall
+        back to the header object's mtime — the old, migration-fragile
+        behavior, kept only for them."""
+        hdr = json.loads(self.fs.read_bytes(self.header_path(version)))
+        ts = hdr.get("committed_at")
+        return float(ts) if ts is not None \
+            else self.fs.mtime(self.header_path(version))
 
     def manifest_df(self, spark, version: int | None = None):
         """The manifest as a Spark DataFrame — the planner's input."""
@@ -366,6 +398,10 @@ class SnapshotStore:
             "version": version,
             "parent": current,
             "schema": schema,
+            # stamped at commit, not derived from file mtime: mtimes do
+            # not survive object-store copies/backups/migrations, so
+            # timestamp time travel must come from the header itself
+            "committed_at": time.time(),
             "properties": properties or {},
         }
         self.fs.write_atomic(

@@ -30,7 +30,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from moonlink_spark.config import TableConfig
-from moonlink_spark.snapshotstore import DATA_DIR, Snapshot, SnapshotStore
+from moonlink_spark.snapshotstore import (DATA_DIR, Snapshot,
+                                          SnapshotStore, shard_rel)
 
 
 def _entry_for(store: SnapshotStore, rel: str,
@@ -104,9 +105,10 @@ def load_files(
             raise ValueError(f"{p}: missing table columns {missing} "
                              "(note: files must carry _pos)")
         if copy:
-            rel = os.path.join(
+            rel = shard_rel(
                 DATA_DIR,
                 f"data-{job_tag}-v{base.version:06d}-{i:06d}.parquet")
+            store.fs.makedirs(os.path.dirname(store.abs(rel)))
             store.fs.copy(ap, store.abs(rel))
         else:
             if not ap.startswith(store.warehouse + os.sep):
