@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from moonlink_spark.config import CompactionConfig, TableConfig
 from moonlink_spark.engine import MoonTable
-from moonlink_spark.fs import PosixFileSystem
+from moonlink_spark.fs import LocalObjectStoreFileSystem, PosixFileSystem
 from moonlink_spark.snapshotstore import SnapshotStore
 from moonlink_spark.synth import synthesize_cdc_aftermath
 
@@ -34,8 +34,11 @@ class InjectedFault(IOError):
     pass
 
 
-class FlakyFileSystem(PosixFileSystem):
-    """Fails the Nth invocation of one operation, then behaves."""
+class FlakyMixin:
+    """Fails the Nth invocation of one operation, then behaves.
+    Mixed over either accessor implementation: the invariants under
+    test are properties of the SEAM (fs.py contract), so the whole
+    suite runs against posix AND object-store semantics."""
 
     def __init__(self, op: str, fail_at: int = 1):
         self.op = op
@@ -61,6 +64,20 @@ class FlakyFileSystem(PosixFileSystem):
         return super().publish_cas(path, data, expected)
 
 
+class FlakyPosix(FlakyMixin, PosixFileSystem):
+    pass
+
+
+class FlakyObjectStore(FlakyMixin, LocalObjectStoreFileSystem):
+    pass
+
+
+@pytest.fixture(params=[FlakyPosix, FlakyObjectStore],
+                ids=["posix", "objectstore"])
+def flaky_cls(request):
+    return request.param
+
+
 @pytest.fixture()
 def wh(spark, tmp_path):
     w = str(tmp_path / "wh")
@@ -81,7 +98,8 @@ def del_batch(t, n=3):
 
 
 @pytest.mark.parametrize("op", ["write_atomic", "rename", "publish_cas"])
-def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op):
+def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op,
+                                                         flaky_cls):
     t = MoonTable(spark, wh, CFG)
     v0 = t.current_version()
     before = sha_set(t)
@@ -89,7 +107,7 @@ def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op):
     batch.count()
 
     flaky = MoonTable(spark, wh, CFG)
-    flaky.store = SnapshotStore(wh, FlakyFileSystem(op))
+    flaky.store = SnapshotStore(wh, flaky_cls(op))
     with pytest.raises(InjectedFault):
         flaky.merge(batch, key_columns=KEYS, job_tag="flaky")
 
@@ -104,13 +122,13 @@ def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op):
     batch.unpersist()
 
 
-def test_optimize_commit_failure_then_resume(spark, wh):
+def test_optimize_commit_failure_then_resume(spark, wh, flaky_cls):
     t = MoonTable(spark, wh, CFG)
     v0 = t.current_version()
     want = sha_set(t)
 
     flaky = MoonTable(spark, wh, CFG)
-    flaky.store = SnapshotStore(wh, FlakyFileSystem("publish_cas"))
+    flaky.store = SnapshotStore(wh, flaky_cls("publish_cas"))
     with pytest.raises(InjectedFault):
         flaky.optimize("full")
     assert t.current_version() == v0
@@ -123,12 +141,12 @@ def test_optimize_commit_failure_then_resume(spark, wh):
     assert all((e["dv_cardinality"] or 0) == 0 for e in ents)
 
 
-def test_orphans_from_failed_merge_are_expired(spark, wh):
+def test_orphans_from_failed_merge_are_expired(spark, wh, flaky_cls):
     t = MoonTable(spark, wh, CFG)
     flaky = MoonTable(spark, wh, CFG)
     # fail the hint publish: DV sidecars are already renamed into dv/
     # at that point -> orphans referenced by no manifest
-    flaky.store = SnapshotStore(wh, FlakyFileSystem("publish_cas"))
+    flaky.store = SnapshotStore(wh, flaky_cls("publish_cas"))
     batch = del_batch(t, 3).cache()
     batch.count()
     with pytest.raises(InjectedFault):
@@ -139,4 +157,67 @@ def test_orphans_from_failed_merge_are_expired(spark, wh):
                              clean_tmp_older_than_seconds=0)
     assert out["deleted_files"]  # the orphaned artifacts went away
     assert sha_set(t) == before
+    batch.unpersist()
+
+
+def test_objectstore_rename_crash_leaves_published_state_intact(spark, wh):
+    """Object stores have no atomic rename (copy + delete).  A crash
+    BETWEEN the copy and the delete must not corrupt the table: renames
+    touch only never-published temp objects, and only the CAS hint
+    publish makes state visible (fs.py contract;
+    ``file_catalog.rs:640-665``)."""
+    t = MoonTable(spark, wh, CFG)
+    v0 = t.current_version()
+    before = sha_set(t)
+    batch = del_batch(t, 2).cache()
+    batch.count()
+
+    crashy_fs = LocalObjectStoreFileSystem()
+    crashy_fs.crash_after_copy = True
+    crashy = MoonTable(spark, wh, CFG)
+    crashy.store = SnapshotStore(wh, crashy_fs)
+    with pytest.raises(IOError):
+        crashy.merge(batch, key_columns=KEYS, job_tag="crashcopy")
+
+    # published state untouched by the half-renamed temp objects
+    assert t.current_version() == v0
+    assert sha_set(t) == before
+
+    # retry on a healthy object-store fs succeeds end-to-end
+    healthy = MoonTable(spark, wh, CFG)
+    healthy.store = SnapshotStore(wh, LocalObjectStoreFileSystem())
+    snap = healthy.merge(batch, key_columns=KEYS, job_tag="retry-os")
+    assert snap.version == v0 + 1
+    assert len(sha_set(healthy, snap.version)) == len(before) - 2
+
+    # the stranded copy-side artifacts are invisible orphans; expire
+    # collects them without touching live state
+    after = sha_set(healthy)
+    healthy.create_snapshot()
+    out = healthy.expire_snapshots(retain_last=1,
+                                   clean_tmp_older_than_seconds=0)
+    assert sha_set(healthy) == after
+    batch.unpersist()
+
+
+def test_full_lifecycle_on_objectstore_fs(spark, tmp_path):
+    """The whole maintenance lifecycle driven through the object-store
+    accessor: synth → optimize(full) → merge → expire, sha-equal."""
+    w = str(tmp_path / "oswh")
+    synthesize_cdc_aftermath(w, seed=29, n_files=8,
+                             rows_per_file=(20, 50), n_repos=4,
+                             content_bytes=(48, 96))
+    t = MoonTable(spark, w, CFG)
+    t.store = SnapshotStore(w, LocalObjectStoreFileSystem())
+    before = sha_set(t)
+    snap = t.optimize("full")
+    assert sha_set(t, snap.version) == before
+    batch = del_batch(t, 2).cache()
+    batch.count()
+    t.merge(batch, key_columns=KEYS)
+    assert len(sha_set(t)) == len(before) - 2
+    out = t.expire_snapshots(retain_last=1,
+                             clean_tmp_older_than_seconds=0)
+    assert out["deleted_count"] > 0
+    assert len(sha_set(t)) == len(before) - 2
     batch.unpersist()
