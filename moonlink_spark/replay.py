@@ -1,0 +1,111 @@
+"""Record-and-replay regression harness.
+
+The reference turns found bugs into permanent regression tests by
+replaying a recorded event JSON through the table handler
+(``table_handler/regression/issue_1793_replay_events.json`` +
+``table_handler/regression.rs``).  Same mechanism here: an
+:class:`~moonlink_spark.ingest.IngestSession` opened with
+``record_to=path`` appends every committed transaction to a JSON-lines
+recording; :func:`replay_recording` re-applies a recording to a fresh
+table through the same WAL path the original events took.  A committed
+recording plus its expected post-replay state is a permanent regression
+artifact (see ``tests/recordings/``).
+
+Format — one JSON object per line:
+
+    {"lsn": 3, "events": [{"_op": "upsert", "id": 7, ...}, ...]}
+
+Values are JSON-native where possible; non-JSON scalars use the same
+conventions the typed WAL already coerces back (ISO strings for
+date/timestamp, decimal strings), and ``bytes`` wrap as
+``{"$b64": "..."}``.  The recording is a driver-local test artifact,
+not a durability mechanism — the WAL is the durable log.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import json
+import os
+from typing import Any, Mapping, Sequence
+
+FORMAT_VERSION = 1
+
+
+def _enc_value(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return {"$b64": base64.b64encode(v).decode("ascii")}
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _dec_value(v: Any) -> Any:
+    if isinstance(v, dict) and set(v.keys()) == {"$b64"}:
+        return base64.b64decode(v["$b64"])
+    return v
+
+
+def record_transaction(path: str, lsn: int,
+                       events: Sequence[Mapping]) -> None:
+    """Append one committed transaction to the recording (JSON line)."""
+    line = json.dumps(
+        {"lsn": lsn,
+         "events": [{k: _enc_value(v) for k, v in e.items()}
+                    for e in events]},
+        sort_keys=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(line + "\n")
+
+
+def load_recording(path: str) -> list[tuple[int, list[dict]]]:
+    """Parse a recording into ``[(lsn, events), ...]`` in file order."""
+    out: list[tuple[int, list[dict]]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            events = [{k: _dec_value(v) for k, v in e.items()}
+                      for e in obj["events"]]
+            out.append((int(obj["lsn"]), events))
+    return out
+
+
+def replay_recording(table, path: str, *, key_columns: Sequence[str],
+                     flush_every: int | None = None):
+    """Re-apply a recording to ``table`` through the WAL/ingest path.
+
+    Each recorded transaction becomes one durable WAL segment at its
+    recorded LSN-order (re-numbered monotonically above the table's
+    current watermark, so a recording replays onto any base state);
+    ``flush_every`` applies the backlog every N transactions (default:
+    once at the end — the collapsed-backlog shape recovery uses).
+    Returns the final snapshot (or ``None`` if the recording was empty).
+    """
+    from moonlink_spark.ingest import IngestSession
+
+    sess = IngestSession(table, key_columns=list(key_columns))
+    txns = load_recording(path)
+    snap = None
+    for i, (_lsn, events) in enumerate(txns, start=1):
+        for e in events:
+            op = e.get("_op")
+            row = {k: v for k, v in e.items() if k != "_op"}
+            if op == "delete":
+                sess.delete(row)
+            else:
+                sess.upsert(row)
+        sess.commit()
+        if flush_every and i % flush_every == 0:
+            snap = sess.flush() or snap
+    snap = sess.flush() or snap
+    return snap

@@ -1,0 +1,109 @@
+"""Replay-regression harness (``table_handler/regression/
+issue_1793_replay_events.json`` + ``regression.rs`` analogue).
+
+A committed JSON-lines recording replays through the WAL/ingest path
+onto a fresh table; the final state is checked against a pure-Python
+fold of the recorded events (an independent oracle — last event per key
+wins, deletes of unseen keys silently dropped).  Any found ingest bug
+becomes permanent by committing its recording next to this one.
+"""
+
+import datetime
+import decimal
+import os
+
+import pytest
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import TableConfig
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.replay import (load_recording, record_transaction,
+                                   replay_recording)
+
+REC = os.path.join(os.path.dirname(__file__), "recordings",
+                   "ingest_replay_001.jsonl")
+
+TYPES = {"id": "int", "name": "string", "amt": "decimal(10,2)",
+         "d": "date"}
+SCHEMA = [*TYPES.keys(), "_pos"]
+
+
+def _fold(txns):
+    """Independent oracle: sequential application, last event per key."""
+    state: dict[int, dict] = {}
+    for _lsn, events in txns:
+        for e in events:
+            k = e["id"]
+            if e["_op"] == "delete":
+                state.pop(k, None)  # delete_if_exists: unseen → dropped
+            else:
+                state[k] = {c: e.get(c) for c in TYPES}
+    return state
+
+
+def _table(spark, tmp_path, name):
+    cat = Catalog(spark, str(tmp_path / f"cat-{name}"))
+    return cat.create_table("db", name, schema=SCHEMA,
+                            schema_types=TYPES,
+                            config=TableConfig(stats_columns=("id",)))
+
+
+def _scan_state(t):
+    out = {}
+    for r in t.scan().collect():
+        out[r["id"]] = {"id": r["id"], "name": r["name"],
+                        "amt": str(r["amt"]), "d": r["d"].isoformat()}
+    return out
+
+
+@pytest.mark.parametrize("flush_every", [None, 3],
+                         ids=["one-flush", "flush-every-3"])
+def test_committed_recording_replays_to_oracle_state(spark, tmp_path,
+                                                     flush_every):
+    txns = load_recording(REC)
+    assert len(txns) == 12
+    expected = _fold(txns)
+
+    t = _table(spark, tmp_path, f"rep{flush_every or 0}")
+    snap = replay_recording(t, REC, key_columns=["id"],
+                            flush_every=flush_every)
+    assert snap is not None
+    got = _scan_state(t)
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        assert got[k]["name"] == e["name"]
+        assert got[k]["amt"] == e["amt"]
+        assert got[k]["d"] == e["d"]
+    # flush cadence must not change the final state (intermediate
+    # states are not observable either way — wal.py contract)
+
+
+def test_session_recording_round_trip(spark, tmp_path):
+    """Record a live session, replay the recording onto a twin table,
+    states equal — the record→replay loop is closed."""
+    rec = str(tmp_path / "rec.jsonl")
+    t1 = _table(spark, tmp_path, "live")
+    sess = IngestSession(t1, key_columns=["id"], record_to=rec)
+    sess.insert({"id": 1, "name": "a", "amt": decimal.Decimal("1.50"),
+                 "d": datetime.date(2024, 3, 3)})
+    sess.insert({"id": 2, "name": "b", "amt": decimal.Decimal("2.50"),
+                 "d": datetime.date(2024, 3, 4)})
+    sess.commit()
+    sess.delete({"id": 1})
+    sess.upsert({"id": 2, "name": "b2", "amt": decimal.Decimal("9.99"),
+                 "d": datetime.date(2024, 3, 5)})
+    sess.commit()
+    sess.flush()
+
+    t2 = _table(spark, tmp_path, "twin")
+    replay_recording(t2, rec, key_columns=["id"])
+    assert _scan_state(t2) == _scan_state(t1)
+
+
+def test_recording_encodes_bytes_round_trip(tmp_path):
+    p = str(tmp_path / "b.jsonl")
+    record_transaction(p, 1, [{"_op": "upsert", "id": 1,
+                               "blob": b"\x00\xff\x07"}])
+    [(lsn, events)] = load_recording(p)
+    assert lsn == 1
+    assert events[0]["blob"] == b"\x00\xff\x07"

@@ -1,0 +1,61 @@
+"""Generate the committed replay-regression recording (deterministic).
+
+The artifact (``tests/recordings/ingest_replay_001.jsonl``) is the
+analogue of the reference's recorded event JSON
+(``table_handler/regression/issue_1793_replay_events.json``): a fixed
+event sequence exercising the ingest surface's edge shapes —
+upsert-then-delete, delete-then-upsert within one transaction,
+re-upserts across transactions, deletes of never-seen keys
+(``delete_if_exists`` silently drops them), typed values.  The test
+replays it through the engine and checks the final state against a
+pure-Python fold of the same events (independent oracle).
+
+Run from the repo root: ``python tools/make_recording.py``
+"""
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from moonlink_spark.replay import record_transaction
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "recordings",
+    "ingest_replay_001.jsonl")
+
+SEED = 20240817
+
+
+def main() -> None:
+    rng = random.Random(SEED)
+    if os.path.exists(OUT):
+        os.remove(OUT)
+    keys = list(range(1, 21))
+    lsn = 0
+    for _txn in range(12):
+        lsn += 1
+        events = []
+        for _ in range(rng.randint(1, 6)):
+            k = rng.choice(keys)
+            if rng.random() < 0.3:
+                events.append({"_op": "delete", "id": k})
+            else:
+                events.append({
+                    "_op": "upsert", "id": k,
+                    "name": f"n{k}-l{lsn}",
+                    "amt": f"{rng.randint(0, 9999)}.{rng.randint(0, 99):02d}",
+                    "d": f"2024-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}",
+                })
+        # one delete of a key that never existed (delete_if_exists
+        # semantics: silently dropped)
+        if lsn == 5:
+            events.append({"_op": "delete", "id": 999})
+        record_transaction(OUT, lsn, events)
+    print(f"wrote {OUT} ({lsn} transactions)")
+
+
+if __name__ == "__main__":
+    main()
