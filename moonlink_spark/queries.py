@@ -1162,22 +1162,66 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. the maintenance engine end-to-end (non-SQL-expressible → rows-only)
 # ---------------------------------------------------------------------------
 
-@_register("maintenance_e2e")  # no oracle: multi-job stateful pipeline
+def _docs_as_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``documents`` table recast as north-rule table rows — a
+    DETERMINISTIC pure-SQL mapping, so DuckDB can compute the expected
+    post-maintenance relation directly from the same source (the real
+    end-to-end oracle for the stateful pipelines below)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 8).cast("string"))
+        .alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 8).alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("txt")).alias("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id"))
+
+
+def _empty_north_table(spark: SparkSession, wh: str):
+    from moonlink_spark.config import TableConfig
+    from moonlink_spark.engine import MoonTable
+    from moonlink_spark.snapshotstore import SnapshotStore
+
+    cfg = TableConfig()
+    store = SnapshotStore(wh)
+    store.init_warehouse()
+    store.commit([], schema=["repo", "path", "commit", "lang",
+                             "content", "_pos"],
+                 stats_columns=cfg.stats_columns,
+                 properties={"flush_lsn": 0, "operation": "create-table"})
+    return MoonTable(spark, wh, cfg)
+
+
+@_register("maintenance_e2e", """
+SELECT 'org' || CAST(doc_id % 8 AS VARCHAR) AS repo,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT 'f' || CAST(doc_id AS VARCHAR) || '.txt') AS n_paths,
+       MIN(sha256(text)) AS min_sha,
+       MAX(sha256(text)) AS max_sha
+FROM documents
+WHERE doc_id % 7 <> 2
+GROUP BY 1
+""")
 def maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: synthesize a CDC aftermath (tiny files + DVs), run full
-    maintenance (compaction + Z-order + CoW DV fold), return the
-    per-repo audit of the post-maintenance scan. Correctness against the
-    pandas oracle and sha256 invariants is enforced in tests/."""
+    """Flagship, oracle-checked END-TO-END: build the table from
+    ``documents`` (append fast path), MERGE a deterministic delete set
+    (delete vectors), run full maintenance (compaction + Z-order + CoW
+    DV fold), and return the per-repo audit of the post-maintenance
+    scan.  Because the input mapping and the delete rule are pure SQL,
+    DuckDB computes the expected relation directly from ``documents`` —
+    the whole stateful pipeline must land exactly there."""
     import tempfile
 
-    from moonlink_spark.engine import MoonTable
-    from moonlink_spark.synth import synthesize_cdc_aftermath
-
-    wh = tempfile.mkdtemp(prefix="moonlink-e2e-")
-    synthesize_cdc_aftermath(wh, seed=11, n_files=30,
-                             rows_per_file=(40, 160), n_repos=8,
-                             content_bytes=(64, 512))
-    table = MoonTable(spark, wh)
+    table = _empty_north_table(
+        spark, tempfile.mkdtemp(prefix="moonlink-e2e-"))
+    rows = _docs_as_table_rows(spark, sf_dir)
+    table.append(rows.drop("doc_id"))
+    dels = (rows.filter(F.col("doc_id") % 7 == 2).drop("doc_id")
+            .withColumn("_op", F.lit("delete")))
+    table.merge(dels, key_columns=["repo", "path", "commit"],
+                job_tag="e2e")
     table.optimize("full")
     scan = table.scan()
     return (scan.groupBy("repo")
@@ -1187,36 +1231,55 @@ def maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.sha2(F.col("content"), 256)).alias("max_sha")))
 
 
-@_register("changelog_diff")  # no oracle: stateful multi-commit pipeline
+@_register("changelog_diff", """
+WITH k AS (
+  SELECT doc_id,
+         sha256('org' || CAST(doc_id % 8 AS VARCHAR) || '|' ||
+                'f' || CAST(doc_id AS VARCHAR) || '.txt' || '|' ||
+                substr(sha256(text), 1, 8)) AS key_sha
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+         COUNT(*) AS n_events, MIN(key_sha) AS min_key_sha
+  FROM k
+  UNION ALL
+  SELECT 2, 'delete', COUNT(*), MIN(key_sha)
+  FROM k WHERE (doc_id % 7 = 2 AND doc_id % 11 <> 3) OR doc_id % 11 = 3
+  UNION ALL
+  SELECT 2, 'insert', COUNT(*), MIN(key_sha)
+  FROM k WHERE doc_id % 11 = 3
+)
+ORDER BY _commit_version, _change_type
+""")
 def changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental read: synthesize an aftermath, apply a deterministic
-    change batch (deletes + upserts + inserts), run a content-preserving
-    optimize, and return the per-type/per-version event audit of
-    ``changes()`` across the whole window.  The compaction commit must
-    contribute zero events (replace semantics); the replay invariant
-    (scan(A) + changelog == scan(B)) is enforced in
+    """Incremental read, oracle-checked: append all rows (v1 — insert
+    events), MERGE a deterministic delete+upsert batch (v2 — an upsert
+    is delete-of-old-position + insert-of-new-row in one commit, the
+    reference's Update = Delete + Append vocabulary,
+    ``moonlink_sink.rs:295-327``), then a content-preserving optimize
+    (v3 — MUST emit zero events).  The per-version/per-type event audit
+    of ``changes(0)`` is fully predictable from ``documents``, so
+    DuckDB is the oracle; the row-level replay invariant
+    (scan(A) + changelog == scan(B)) stays in
     ``tests/test_changelog.py``."""
     import tempfile
 
-    from moonlink_spark.engine import MoonTable
-    from moonlink_spark.synth import synthesize_cdc_aftermath
-
-    wh = tempfile.mkdtemp(prefix="moonlink-chlog-")
-    synthesize_cdc_aftermath(wh, seed=13, n_files=24,
-                             rows_per_file=(40, 120), n_repos=6,
-                             content_bytes=(64, 256))
-    table = MoonTable(spark, wh)
-    live = table.scan()
-    keys = ["repo", "path", "commit"]
-    dels = (live.orderBy(*keys).limit(25)
-            .select(*[F.col(c) for c in live.columns if c != "_pos"])
+    table = _empty_north_table(
+        spark, tempfile.mkdtemp(prefix="moonlink-chlog-"))
+    rows = _docs_as_table_rows(spark, sf_dir)
+    table.append(rows.drop("doc_id"))                        # v1
+    dels = (rows.filter((F.col("doc_id") % 7 == 2)
+                        & (F.col("doc_id") % 11 != 3)).drop("doc_id")
             .withColumn("_op", F.lit("delete")))
-    ups = (live.orderBy(F.desc("path"), "repo", "commit").limit(10)
-           .select(*[F.col(c) for c in live.columns if c != "_pos"])
-           .withColumn("content", F.concat(F.lit("edited:"), F.col("path")))
+    ups = (rows.filter(F.col("doc_id") % 11 == 3).drop("doc_id")
+           .withColumn("content", F.concat(F.lit("edited:"),
+                                           F.col("path")))
            .withColumn("_op", F.lit("upsert")))
-    table.merge(dels.unionByName(ups), key_columns=keys, job_tag="chg")
-    table.optimize("full")  # must emit nothing
+    table.merge(dels.unionByName(ups),
+                key_columns=["repo", "path", "commit"],
+                job_tag="chg")                               # v2
+    table.optimize("full")                                   # v3: nothing
     ch = table.changes(0)
     return (ch.groupBy("_commit_version", "_change_type")
             .agg(F.count(F.lit(1)).alias("n_events"),

@@ -78,7 +78,9 @@ def windowed_event_counts(events: DataFrame, *,
 
 def sessionize_stream(events: DataFrame, *,
                       gap_us: int = GAP_US_DEFAULT,
-                      watermark: str = "1 hour") -> DataFrame:
+                      watermark: str = "1 hour",
+                      idle_ttl_us: int = 24 * 3600 * 1_000_000
+                      ) -> DataFrame:
     """Custom stateful session windows over a stream of
     ``(ts, user_id, event_id, ...)`` rows.
 
@@ -87,7 +89,14 @@ def sessionize_stream(events: DataFrame, *,
     keying and numbering as the batch ``events_sessionize`` query, so
     closed sessions are directly comparable.  A session closes when a
     later event for the user arrives more than ``gap_us`` after it, or
-    when the event-time watermark passes its gap horizon (timeout)."""
+    when the event-time watermark passes its gap horizon (timeout).
+
+    State is O(ACTIVE users), not O(users ever seen): after a session
+    closes by timeout, the user's state carries a TTL timeout
+    (``idle_ttl_us`` past the watermark) and is REMOVED when it fires
+    with no new events — a long-running stream does not accumulate
+    state for users who left.  The documented trade-off: a user
+    returning after eviction restarts session_id numbering at 1."""
 
     def _fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
@@ -97,14 +106,18 @@ def sessionize_stream(events: DataFrame, *,
         out_ids, out_ns = [], []
 
         if state.hasTimedOut:
-            # watermark passed the open session's gap horizon
             if n_open:
+                # watermark passed the open session's gap horizon
                 n_closed += 1
                 out_ids.append(n_closed)
                 out_ns.append(n_open)
-            state.update((None, 0, n_closed))
-            # keep n_closed for future sessions; no new timeout needed
-            # until new data arrives
+                state.update((None, 0, n_closed))
+                # idle from here: arm the TTL eviction timer
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + idle_ttl_us // 1000)
+            else:
+                # TTL fired with nothing open: the user is gone — evict
+                state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values(["ts", "event_id"])
