@@ -1,0 +1,228 @@
+"""Golden-state sequences: exact loaded state after each event sequence.
+
+Port of the reference's persistence state-test families
+(``storage/mooncake_table/deletion_vector_puffin_state_tests.rs`` — DV
+states: (1) no deletion vector, (2) DV referenced, (3) DV referenced +
+requested to delete, (4) DV unreferenced + requested to delete — and
+``data_file_state_tests.rs``).  Each test drives an explicit event
+sequence, then loads EVERY intermediate version fresh from the store
+(a second manager, like ``compaction_tests.rs:318-376`` reloads via a
+new IcebergTableManager) and asserts the exact file/DV/bounds state —
+not just scan equality.
+
+Naming follows the reference's state-number convention:
+``test_<from-state>_<transition>_<to-state>``.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+
+KEYS = ["repo", "path", "commit"]
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+DDL = ("repo string, path string, commit string, lang string, "
+       "content string, _op string")
+CFG = TableConfig(compaction=CompactionConfig(
+    min_files_to_compact=2, target_file_bytes=1 << 20,
+    bin_target_bytes=1 << 20, bin_concurrency=1))
+
+ROWS = [(f"org{i % 2}/r", f"src/f{i:02d}.rs", f"{i:08x}", "rust",
+         f"fn f{i}() {{}}") for i in range(12)]
+
+
+def _mk(spark, tmp_path, name="wh"):
+    wh = str(tmp_path / name)
+    store = SnapshotStore(wh)
+    store.init_warehouse()
+    store.commit([], schema=SCHEMA, stats_columns=CFG.stats_columns,
+                 properties={"flush_lsn": 0,
+                             "operation": "create-table"})
+    t = MoonTable(spark, wh, CFG)
+    t.append(spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, lang string, "
+              "content string"))
+    return t
+
+
+def _dels(spark, rows):
+    return spark.createDataFrame(
+        [(*r, "delete") for r in rows], DDL)
+
+
+def _entries(wh, version):
+    """Fresh-manager load (second SnapshotStore instance)."""
+    return SnapshotStore(wh).manifest_entries(version)
+
+
+def _dv_positions(store, dv_path, referenced_file):
+    t = pq.read_table(store.abs(dv_path)).to_pylist()
+    rows = [r for r in t if r["referenced_file"] == referenced_file]
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_1_no_dv_after_append(spark, tmp_path):
+    """State (1): a freshly appended table has data files, no DVs,
+    typed bounds present and consistent."""
+    t = _mk(spark, tmp_path)
+    ents = _entries(t.store.warehouse, t.current_version())
+    assert len(ents) >= 1
+    assert sum(e["rows"] for e in ents) == len(ROWS)
+    for e in ents:
+        assert e["dv_path"] is None
+        assert e["dv_cardinality"] == 0
+        assert e["min_repo"] <= e["max_repo"]
+        assert e["min_path"] <= e["max_path"]
+        assert e["null_repo"] == 0
+
+
+def test_1_persist_2_dv_referenced(spark, tmp_path):
+    """(1) + delete & commit => (2): exactly one file gains a DV whose
+    sidecar holds exactly the deleted positions; all bounds unchanged."""
+    t = _mk(spark, tmp_path)
+    v1 = t.current_version()
+    before = {e["path"]: e for e in _entries(t.store.warehouse, v1)}
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    v2 = t.current_version()
+    after = {e["path"]: e for e in _entries(t.store.warehouse, v2)}
+    assert set(after) == set(before)  # deletes add no files
+    with_dv = [p for p, e in after.items() if e["dv_path"] is not None]
+    total_card = sum(e["dv_cardinality"] for e in after.values())
+    assert total_card == 3
+    for p in with_dv:
+        side = _dv_positions(t.store, after[p]["dv_path"], p)
+        assert side["cardinality"] == after[p]["dv_cardinality"]
+        assert len(side["positions"]) == side["cardinality"]
+        assert sorted(side["positions"]) == list(side["positions"])
+        assert side["max_row_count"] == after[p]["rows"]
+    for p, e in after.items():  # data files and bounds untouched
+        assert e["rows"] == before[p]["rows"]
+        assert e["bytes"] == before[p]["bytes"]
+        assert e["min_path"] == before[p]["min_path"]
+        assert e["max_path"] == before[p]["max_path"]
+
+
+def test_1_recover_2_fresh_manager(spark, tmp_path):
+    """Recovery parity: a brand-new manager loads byte-identical state
+    for every retained version (the second-manager reload the
+    reference's compaction tests insist on)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    wh = t.store.warehouse
+    for v in t.store.versions():
+        a = t.store.manifest_entries(v)
+        b = SnapshotStore(wh).manifest_entries(v)
+        assert a == b
+        s1 = t.store.read_snapshot(v)
+        s2 = SnapshotStore(wh).read_snapshot(v)
+        assert s1.schema == s2.schema
+        assert s1.properties == s2.properties
+
+
+def test_2_read_applies_dv(spark, tmp_path):
+    """(2) + use (read): the scan excludes exactly the DV'd rows; the
+    pre-delete version still returns them (snapshot isolation)."""
+    t = _mk(spark, tmp_path)
+    v1 = t.current_version()
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    got = {tuple(r) for r in t.scan().select(*KEYS).collect()}
+    want = {(r[0], r[1], r[2]) for r in ROWS[3:]}
+    assert got == want
+    old = {tuple(r) for r in t.scan(v1).select(*KEYS).collect()}
+    assert old == {(r[0], r[1], r[2]) for r in ROWS}
+
+
+def test_2_more_deletes_superset_sidecar(spark, tmp_path):
+    """(2) + more deletes => the new sidecar is a strict superset of
+    the old per-file positions (merge-on-sync semantics,
+    ``iceberg_table_syncer.rs:376-435``); the old version's sidecar is
+    untouched."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:2]), key_columns=KEYS)
+    v2 = t.current_version()
+    e2 = {e["path"]: e for e in _entries(t.store.warehouse, v2)}
+    t.merge(_dels(spark, ROWS[2:5]), key_columns=KEYS)
+    v3 = t.current_version()
+    e3 = {e["path"]: e for e in _entries(t.store.warehouse, v3)}
+    assert sum(e["dv_cardinality"] for e in e3.values()) == 5
+    for p, e in e3.items():
+        if e2[p]["dv_path"] is None or e["dv_path"] is None:
+            continue
+        old = set(_dv_positions(t.store, e2[p]["dv_path"],
+                                p)["positions"])
+        new = set(_dv_positions(t.store, e["dv_path"], p)["positions"])
+        assert old <= new
+        # old sidecar file still exists and unchanged for v2 readers
+        assert t.store.fs.is_file(t.store.abs(e2[p]["dv_path"]))
+
+
+def test_2_compact_folds_dv_copy_on_write(spark, tmp_path):
+    """(2) + compact => DV folded copy-on-write: no dv references, row
+    arithmetic exact, fresh monotone bounds, replaced file set."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:4]), key_columns=KEYS)
+    v2 = t.current_version()
+    old_paths = {e["path"] for e in _entries(t.store.warehouse, v2)}
+    snap = t.optimize("full")
+    ents = _entries(t.store.warehouse, snap.version)
+    assert all(e["dv_path"] is None for e in ents)
+    assert all(e["dv_cardinality"] == 0 for e in ents)
+    assert sum(e["rows"] for e in ents) == len(ROWS) - 4
+    assert {e["path"] for e in ents}.isdisjoint(old_paths)
+    m = snap.properties["metrics"]
+    assert m["rows_out"] == m["rows_in"] - m["rows_deleted"]
+    assert m["rows_deleted"] == 4
+
+
+def test_4_unreferenced_dv_deleted_by_expire(spark, tmp_path):
+    """(3)->(4): after compaction the old DV sidecar and data files are
+    unreferenced; once the old version leaves retention they are
+    requested-to-delete and physically removed — while retained, a
+    pinned reader still resolves them."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:4]), key_columns=KEYS)
+    v2 = t.current_version()
+    e2 = {e["path"]: e for e in _entries(t.store.warehouse, v2)}
+    dv_paths = [e["dv_path"] for e in e2.values()
+                if e["dv_path"] is not None]
+    assert dv_paths
+    t.optimize("full")
+    # still retained: reader pinned at v2 scans through old files + DV
+    got = {tuple(r) for r in t.scan(v2).select(*KEYS).collect()}
+    assert got == {(r[0], r[1], r[2]) for r in ROWS[4:]}
+    out = t.expire_snapshots(retain_last=1)
+    deleted = set(out["deleted_files"])
+    for dv in dv_paths:
+        assert dv in deleted
+        assert not t.store.fs.exists(t.store.abs(dv))
+    for p in e2:
+        assert p in deleted
+        assert not t.store.fs.exists(t.store.abs(p))
+    with pytest.raises(Exception):
+        t.scan(v2).count()
+
+
+def test_2_full_row_cycle_bounds_tighten(spark, tmp_path):
+    """Upsert-heavy sequence: after edits + compaction, per-file bounds
+    reflect the rewritten content exactly (recomputed from footers, not
+    carried over)."""
+    t = _mk(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], f"edited {r[1]}", "upsert")
+         for r in ROWS[6:9]], DDL)
+    t.merge(ups, key_columns=KEYS)
+    snap = t.optimize("full")
+    ents = _entries(t.store.warehouse, snap.version)
+    scan = t.scan()
+    lo, hi = scan.agg(F.min("path"), F.max("path")).collect()[0]
+    assert min(e["min_path"] for e in ents) == lo
+    assert max(e["max_path"] for e in ents) == hi
+    edited = scan.filter(F.col("content").startswith("edited")).count()
+    assert edited == 3
+    assert scan.count() == len(ROWS)
