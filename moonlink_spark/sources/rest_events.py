@@ -1,0 +1,99 @@
+"""REST ingest event converters: JSON (full), Avro/Protobuf (gated).
+
+The reference's REST surface accepts row events as JSON, Avro, or
+Protobuf payloads (``rest_ingest/event_request.rs:10-33``:
+``IngestRequestPayload::{Json, Protobuf, Avro}``; the HTTP frame shape
+is ``{"operation": "insert|upsert|delete", "data": {...},
+"request_mode": "sync|async"}``, ``moonlink_service/src/rest_api.rs``)
+and converts them into typed rows (``json_converter.rs``,
+``avro_converter.rs``).
+
+Here the JSON converter is first-class (the sandbox ships no avro/
+protobuf codec — those parse functions are real signatures gated behind
+an import-try that raises a clear error, mirroring how the multimodal
+codecs are handled).  Parsed events feed
+:class:`~moonlink_spark.ingest.IngestSession`, whose WAL already does
+the typed-value coercion (``wal._coerce`` — the ``datetime_utils.rs``
+analogue), so a JSON event with ISO dates / numeric strings lands in
+the table's native types.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping
+
+_OPS = ("insert", "upsert", "delete")
+
+
+def parse_json_event(payload: str | bytes | Mapping) -> tuple[str, dict]:
+    """``{"operation": ..., "data": {...}}`` → ``(operation, row)``.
+
+    Raises ``ValueError`` on unknown operations or a missing/ non-object
+    ``data`` — the converter is the validation boundary, like the
+    reference's serde layer."""
+    if isinstance(payload, (str, bytes)):
+        obj = json.loads(payload)
+    else:
+        obj = dict(payload)
+    op = obj.get("operation")
+    if op not in _OPS:
+        raise ValueError(f"unknown operation {op!r} (expected {_OPS})")
+    data = obj.get("data")
+    if not isinstance(data, dict):
+        raise ValueError("event 'data' must be a JSON object")
+    return op, data
+
+
+def parse_avro_event(payload: bytes, schema: Any) -> tuple[str, dict]:
+    """Avro-encoded row event (``avro_converter.rs`` analogue).  The
+    sandbox ships no avro codec; on a real deployment install
+    ``fastavro`` and this works as-is."""
+    try:
+        import io
+
+        import fastavro
+    except ImportError as e:  # pragma: no cover - codec absent here
+        raise NotImplementedError(
+            "avro ingest needs the 'fastavro' package (not in this "
+            "environment); JSON events are fully supported") from e
+    rec = fastavro.schemaless_reader(io.BytesIO(payload), schema)
+    return parse_json_event(rec)
+
+
+def parse_protobuf_event(payload: bytes, message_cls: Any) -> tuple[str, dict]:
+    """Protobuf-encoded row event.  Requires ``protobuf`` (absent in
+    this environment) plus a generated message class with
+    ``operation``/``data`` fields."""
+    try:
+        from google.protobuf.json_format import MessageToDict  # noqa: F401
+    except ImportError as e:  # pragma: no cover - codec absent here
+        raise NotImplementedError(
+            "protobuf ingest needs the 'protobuf' package (not in this "
+            "environment); JSON events are fully supported") from e
+    msg = message_cls()
+    msg.ParseFromString(payload)
+    d = MessageToDict(msg, preserving_proto_field_name=True)
+    return parse_json_event(d)
+
+
+def apply_event(session, payload: str | bytes | Mapping, *,
+                fmt: str = "json", avro_schema: Any = None,
+                protobuf_cls: Any = None) -> None:
+    """Parse one event payload and buffer it into an open ingest
+    transaction (commit/flush stay the session's explicit boundaries,
+    mirroring the sync/async ack modes of the REST API)."""
+    if fmt == "json":
+        op, row = parse_json_event(payload)
+    elif fmt == "avro":
+        op, row = parse_avro_event(payload, avro_schema)
+    elif fmt == "protobuf":
+        op, row = parse_protobuf_event(payload, protobuf_cls)
+    else:
+        raise ValueError(f"unknown event format {fmt!r}")
+    if op == "delete":
+        session.delete(row)
+    elif op == "upsert":
+        session.upsert(row)
+    else:
+        session.insert(row)

@@ -89,3 +89,48 @@ def test_flush_refuses_open_transaction(spark, tmp_path):
         s.flush()
     with pytest.raises(ValueError, match="missing key columns"):
         s.delete({"repo": "ing/r"})
+
+
+def test_rest_json_events_round_trip(spark, tmp_path):
+    """REST-shaped JSON events ({"operation", "data"}) route through the
+    converter into the session and land typed (rest_events.py; frame
+    shape per moonlink_service/src/rest_api.rs)."""
+    from moonlink_spark.catalog import Catalog
+    from moonlink_spark.config import TableConfig
+    from moonlink_spark.ingest import IngestSession
+    from moonlink_spark.sources.rest_events import apply_event
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table(
+        "db", "rest", schema=["id", "name", "d", "_pos"],
+        schema_types={"id": "int", "name": "string", "d": "date"},
+        config=TableConfig(stats_columns=("id",)))
+    sess = IngestSession(t, key_columns=["id"])
+    apply_event(sess, '{"operation": "insert", "data": '
+                      '{"id": 1, "name": "a", "d": "2024-05-01"}}')
+    apply_event(sess, b'{"operation": "upsert", "data": '
+                      b'{"id": 2, "name": "b", "d": "2024-05-02"}}')
+    apply_event(sess, {"operation": "delete", "data": {"id": 1}})
+    sess.commit()
+    sess.flush()
+    rows = {r["id"]: r for r in t.scan().collect()}
+    assert set(rows) == {2}
+    import datetime
+    assert rows[2]["d"] == datetime.date(2024, 5, 2)
+
+
+def test_rest_event_validation_and_gated_codecs():
+    import pytest as _pytest
+
+    from moonlink_spark.sources.rest_events import (parse_avro_event,
+                                                    parse_json_event,
+                                                    parse_protobuf_event)
+    with _pytest.raises(ValueError, match="unknown operation"):
+        parse_json_event('{"operation": "replace", "data": {}}')
+    with _pytest.raises(ValueError, match="must be a JSON object"):
+        parse_json_event('{"operation": "insert", "data": 5}')
+    # codecs absent in this environment: loud, clear refusal
+    with _pytest.raises(NotImplementedError, match="fastavro"):
+        parse_avro_event(b"", None)
+    with _pytest.raises(NotImplementedError, match="protobuf"):
+        parse_protobuf_event(b"", None)
