@@ -173,6 +173,12 @@ def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
 
     m = snap.properties.get("metrics", {})
     rows_live = table.scan(snap.version).count()
+    # per-phase wall (summed across bins) from the lineage records —
+    # the latency-histogram surface (observability/iceberg_persistence.rs)
+    phases: dict[str, float] = {}
+    for rec in table.metrics():
+        for k, v in (rec.get("phase_seconds") or {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 2)
     shutil.rmtree(wh, ignore_errors=True)
     return {
         "seconds": round(dt, 2),
@@ -182,6 +188,7 @@ def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
         "rows_out": m.get("rows_out"),
         "rows_live_scan": rows_live,
         "dv_rows_folded": dv_rows,
+        "phase_seconds": phases,
         "gb_per_min": round(bytes_in / (1 << 30) / (dt / 60), 3),
     }
 
@@ -216,7 +223,11 @@ def run_queries(spark, sf_dir: str, names: list[str]) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run maintenance at local[8] vs local[32]")
+                    help="run the N-vs-4N maintenance scaling protocol "
+                         "and write SCALING.json")
+    ap.add_argument("--levels", default="4,16",
+                    help="comma-separated N,4N thread levels for "
+                         "--scaling (default 4,16)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get(
@@ -245,7 +256,10 @@ def main() -> None:
         # two measured runs; the per-level statistic is the median of
         # the 4 measured runs, and the full run lists are reported so
         # the spread is auditable.
-        levels = (4, 16)
+        levels = tuple(int(x) for x in args.levels.split(","))
+        assert len(levels) == 2 and levels[1] == 4 * levels[0], \
+            "--levels must be N,4N"
+        lo, hi = levels
         all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         cpu_cal: dict[int, list[float]] = {lv: [] for lv in levels}
         for block_order in (levels, tuple(reversed(levels))):
@@ -266,28 +280,35 @@ def main() -> None:
             med["all_seconds"] = sorted(r["seconds"] for r in all_runs[lv])
             med["cpu_probe_seconds"] = sorted(cpu_cal[lv])
             results[lv] = med
-        t_n, t_4n = results[4]["seconds"], results[16]["seconds"]
+        t_n, t_4n = results[lo]["seconds"], results[hi]["seconds"]
         eff = round(t_n / (4 * t_4n), 3)
-        cal_n = sorted(cpu_cal[4])[len(cpu_cal[4]) // 2]
-        cal_4n = sorted(cpu_cal[16])[len(cpu_cal[16]) // 2]
+        cal_n = sorted(cpu_cal[lo])[len(cpu_cal[lo]) // 2]
+        cal_4n = sorted(cpu_cal[hi])[len(cpu_cal[hi]) // 2]
         host_speedup = round(cal_n / cal_4n, 3)
-        print(json.dumps({
-            "metric": "scaling_efficiency_4_to_16",
+        record = {
+            "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": eff, "unit": "ratio", "sf": sf,
+            "levels": [lo, hi],
             "protocol": "interleaved blocks both orders; per block: "
                         "fresh session, 1 warm-up + 2 measured + "
                         "pure-JVM sha2 CPU calibration; median per level",
-            "gb_per_min_local4": results[4]["gb_per_min"],
-            "gb_per_min_local16": results[16]["gb_per_min"],
+            f"gb_per_min_local{lo}": results[lo]["gb_per_min"],
+            f"gb_per_min_local{hi}": results[hi]["gb_per_min"],
             # what 4x-the-threads is worth on THIS host right now, on
             # embarrassingly-parallel pure-CPU work (the attainable
             # ceiling; 4.0 = ideal hardware)
-            "host_cpu_speedup_4_to_16": host_speedup,
-            "engine_speedup_4_to_16": round(t_n / t_4n, 3),
+            f"host_cpu_speedup_{lo}_to_{hi}": host_speedup,
+            f"engine_speedup_{lo}_to_{hi}": round(t_n / t_4n, 3),
             "efficiency_vs_host_ceiling": round(
                 (t_n / t_4n) / host_speedup, 3),
-            "local4": results[4], "local16": results[16],
-        }))
+            f"local{lo}": results[lo], f"local{hi}": results[hi],
+        }
+        print(json.dumps(record))
+        # THE committed artifact: the numbers BENCH.md/BASELINE.md lead
+        # with must grep out of this file
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING.json"), "w") as f:
+            json.dump(record, f, indent=1)
         return
 
     spark = make_spark(args.cpus, "moonlink-bench")
@@ -330,8 +351,9 @@ def main() -> None:
         record["scaling_recorded"] = {
             "recorded": True,
             "value": scal.get("value"),
-            "gb_per_min_local4": scal.get("gb_per_min_local4"),
-            "gb_per_min_local16": scal.get("gb_per_min_local16"),
+            "levels": scal.get("levels", [4, 16]),
+            **{k: v for k, v in scal.items()
+               if k.startswith("gb_per_min_local")},
             "protocol": scal.get("protocol"),
         }
     print(json.dumps(record))

@@ -1,0 +1,128 @@
+"""Key-index benchmark in its DESIGN regime: many-file point MERGEs.
+
+BENCH.md already records the index as a net loss at 112 files (the
+bench-scale compacted table).  Its design regime is the opposite shape —
+the reference's own index stress test builds/queries 10M entries
+(``benches/microbench_index_stress.rs:8-50``) because the index exists
+for tables with 10^4+ live files where a scattered-key batch would
+otherwise scan everything.  This script synthesizes live manifests of
+N tiny files (N in {5000, 20000}), indexes them, and times the same
+200-scattered-key delete MERGE with the index on vs off, alternating
+order, disjoint key sets per run.
+
+Output: one JSON blob (committed as INDEX_REGIME.json) with all runs.
+
+Run: python tools/index_regime_bench.py [N ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.operators import keyindex
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+KEYS = ["repo", "path", "commit"]
+N_KEYS = 200
+RUNS_PER_CONFIG = 3
+
+
+def scattered_deletes(spark, t, salt: int):
+    live = t.scan().select("repo", "path", "commit", "lang", "content")
+    return (live.withColumn("h", F.xxhash64(F.lit(salt), *KEYS))
+            .orderBy("h").limit(N_KEYS).drop("h")
+            .withColumn("_op", F.lit("delete")))
+
+
+def bench_one(spark, tmp_root: str, n_files: int) -> dict:
+    wh = os.path.join(tmp_root, f"regime-{n_files}")
+    t0 = time.monotonic()
+    synthesize_cdc_aftermath(wh, seed=97, n_files=n_files,
+                             rows_per_file=(2, 5), n_repos=64,
+                             content_bytes=(32, 64),
+                             dv_files_per_sidecar=500)
+    t_synth = time.monotonic() - t0
+
+    cfg_idx = TableConfig(index_key_columns=tuple(KEYS),
+                          index_buckets=64)
+    cfg_plain = TableConfig()
+    t_idx = MoonTable(spark, wh, cfg_idx)
+
+    t0 = time.monotonic()
+    keyindex.rebuild_index(spark, t_idx.store,
+                           t_idx.manifest().select("path"), KEYS,
+                           n_buckets=64, job_id="regime")
+    t_index_build = time.monotonic() - t0
+
+    results = {"indexed": [], "plain": []}
+    salt = 0
+    for rnd in range(RUNS_PER_CONFIG):
+        for mode in (("indexed", cfg_idx), ("plain", cfg_plain)) \
+                if rnd % 2 == 0 else (("plain", cfg_plain),
+                                      ("indexed", cfg_idx)):
+            name, cfg = mode
+            salt += 1
+            table = MoonTable(spark, wh, cfg)
+            batch = scattered_deletes(spark, table, salt).cache()
+            batch.count()
+            t0 = time.monotonic()
+            table.merge(batch, key_columns=KEYS,
+                        job_tag=f"{name}{salt}")
+            results[name].append(round(time.monotonic() - t0, 2))
+            batch.unpersist()
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    return {
+        "n_files": n_files,
+        "n_scattered_keys": N_KEYS,
+        "synth_seconds": round(t_synth, 1),
+        "index_build_seconds": round(t_index_build, 1),
+        "indexed_seconds": results["indexed"],
+        "plain_seconds": results["plain"],
+        "indexed_median": med(results["indexed"]),
+        "plain_median": med(results["plain"]),
+        "speedup_plain_over_indexed": round(
+            med(results["plain"]) / med(results["indexed"]), 2),
+    }
+
+
+def main():
+    import tempfile
+    sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000]
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .config("spark.sql.session.timeZone", "UTC")
+             .appName("index-regime").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp_root = tempfile.mkdtemp(prefix="idx-regime-")
+    out = {"protocol": (
+        "per size: synth n tiny files (2-5 rows), rebuild index "
+        "(64 buckets), then alternate indexed/plain 200-scattered-key "
+        "delete MERGEs with disjoint key sets, 3 runs each, "
+        "medians reported; local[32]"),
+        "sizes": []}
+    for n in sizes:
+        r = bench_one(spark, tmp_root, n)
+        out["sizes"].append(r)
+        print(json.dumps(r))
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "INDEX_REGIME.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
