@@ -73,6 +73,14 @@ SYNTH_PARAMS = {
                 content_bytes=(64, 1024), n_repos=12),
     0.01: dict(n_files=240, rows_per_file=(100, 600),
                content_bytes=(128, 2048), n_repos=16),
+    # mid-size input for the N-vs-4N scaling protocol: big enough that
+    # fixed session/commit costs are <5 % of a run even at the fast
+    # level, small enough that the slow level (local[2]) finishes runs
+    # in minutes on a degraded host (the sf0.1 input at local[2] is a
+    # ~30-min run — a 6-run interleaved protocol would outlive the
+    # host-capacity window it is trying to control for)
+    0.03: dict(n_files=600, rows_per_file=(400, 1600),
+               content_bytes=(256, 4096), n_repos=20),
     0.1: dict(n_files=1600, rows_per_file=(1200, 4800),
               content_bytes=(512, 6144), n_repos=24),
 }
@@ -179,6 +187,8 @@ def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
     for rec in table.metrics():
         for k, v in (rec.get("phase_seconds") or {}).items():
             phases[k] = round(phases.get(k, 0.0) + v, 2)
+    for k, v in (m.get("phase_seconds") or {}).items():
+        phases[f"driver_{k}"] = v
     shutil.rmtree(wh, ignore_errors=True)
     return {
         "seconds": round(dt, 2),
@@ -228,6 +238,9 @@ def main() -> None:
     ap.add_argument("--levels", default="4,16",
                     help="comma-separated N,4N thread levels for "
                          "--scaling (default 4,16)")
+    ap.add_argument("--runs-per-block", type=int, default=2,
+                    help="measured runs per scaling block (each block "
+                         "also has 1 unmeasured warm-up)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get(
@@ -267,7 +280,7 @@ def main() -> None:
                 spark = make_spark(cpus, f"moonlink-bench-{cpus}")
                 run_maintenance(spark, wh, cpus=cpus, single_job=True)
                 cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
-                for _ in range(2):
+                for _ in range(args.runs_per_block):
                     all_runs[cpus].append(
                         run_maintenance(spark, wh, cpus=cpus,
                                         single_job=True))
@@ -285,13 +298,35 @@ def main() -> None:
         cal_n = sorted(cpu_cal[lo])[len(cpu_cal[lo]) // 2]
         cal_4n = sorted(cpu_cal[hi])[len(cpu_cal[hi]) // 2]
         host_speedup = round(cal_n / cal_4n, 3)
+        # MIN statistic alongside the median: this VM suffers transient
+        # multi-second stalls (same-session sha2 probes for identical
+        # work have measured 2.4 s and 28.5 s minutes apart — hypervisor
+        # steal), which corrupt any mean/median over a small sample.
+        # The minimum across interleaved runs is the standard
+        # noise-floor statistic under external interference (the
+        # timeit rationale): it estimates what the code does when the
+        # host isn't stalling, which is the quantity the N-vs-4N ratio
+        # is about.  Both statistics + full run lists are recorded.
+        t_n_min = min(r["seconds"] for r in all_runs[lo])
+        t_4n_min = min(r["seconds"] for r in all_runs[hi])
+        eff_min = round(t_n_min / (4 * t_4n_min), 3)
+        host_speedup_min = round(min(cpu_cal[lo]) / min(cpu_cal[hi]), 3)
         record = {
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
-            "value": eff, "unit": "ratio", "sf": sf,
+            "value": eff_min, "unit": "ratio", "sf": sf,
+            "statistic": "min across interleaved runs (noise floor; "
+                         "see protocol note)",
+            "value_median_statistic": eff,
             "levels": [lo, hi],
+            "engine_speedup_min": round(t_n_min / t_4n_min, 3),
+            "host_cpu_speedup_min": host_speedup_min,
+            "efficiency_vs_host_ceiling_min": round(
+                (t_n_min / t_4n_min) / host_speedup_min, 3),
             "protocol": "interleaved blocks both orders; per block: "
                         "fresh session, 1 warm-up + 2 measured + "
-                        "pure-JVM sha2 CPU calibration; median per level",
+                        "pure-JVM sha2 CPU calibration; min per level "
+                        "(noise floor under transient host stalls), "
+                        "median also reported; full run lists recorded",
             f"gb_per_min_local{lo}": results[lo]["gb_per_min"],
             f"gb_per_min_local{hi}": results[hi]["gb_per_min"],
             # what 4x-the-threads is worth on THIS host right now, on

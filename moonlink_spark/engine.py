@@ -35,6 +35,7 @@ from moonlink_spark.functions.zorder import compute_zorder_boundaries
 from moonlink_spark.operators import expire as expire_op
 from moonlink_spark.operators import merge as merge_op
 from moonlink_spark.operators import scan as scan_op
+from moonlink_spark.operators import planner as planner_mod
 from moonlink_spark.operators.planner import plan_compaction
 from moonlink_spark.operators.rewrite import rewrite_bin
 from moonlink_spark.snapshotstore import (
@@ -131,12 +132,18 @@ class MoonTable:
 
     def _optimize_data(self, base: Snapshot, job_id: str, mode: str,
                        max_bins: int | None) -> Snapshot:
+        import time as _time
+        t_start = _time.monotonic()
         comp = (self.config.compaction.for_full_mode()
                 if mode == "full" else self.config.compaction)
         manifest = self.manifest(base.version)
-        bins = plan_compaction(manifest, comp)
+        bins = plan_compaction(
+            manifest, comp,
+            manifest_path=base.manifest_path,
+            manifest_bytes=self.store.fs.size(base.manifest_path))
         if not bins:
             return base  # the `Nothing` outcome
+        t_plan = _time.monotonic() - t_start
 
         # one column-pruned pass over the candidate files to fix the
         # Z-order quantile boundaries for the whole job (deterministic,
@@ -165,6 +172,7 @@ class MoonTable:
             sample, list(self.config.zorder_columns),
             bits=self.config.zorder_bits, total_rows=approx_rows,
             curve=self.config.zorder_curve)
+        t_boundaries = _time.monotonic() - t_start - t_plan
 
         # same table config with the mode-resolved compaction thresholds
         # swapped in (dataclasses.replace keeps every other knob — a
@@ -214,6 +222,7 @@ class MoonTable:
         if max_bins is not None and len(bins) > max_bins:
             return base  # simulated kill; lineage already on disk
 
+        t_rewrite = _time.monotonic() - t_start - t_plan - t_boundaries
         compacted = {p for b in bins for p in b.files}
         metrics = {
             "bins": len(records),
@@ -224,6 +233,16 @@ class MoonTable:
             "rows_out": sum(r["rows_out"] for r in records),
             "bytes_in": sum(r["bytes_in"] for r in records),
             "bytes_out": sum(r["bytes_out"] for r in records),
+            # driver-side phase wall (the OTEL histogram analogue,
+            # observability/iceberg_persistence.rs:59-86): plan =
+            # manifest read + candidate selection + binning;
+            # boundaries = the bounded zorder quantile sample; commit
+            # is stamped after the CAS below
+            "phase_seconds": {
+                "plan": round(t_plan, 3),
+                "boundaries": round(t_boundaries, 3),
+                "rewrite": round(t_rewrite, 3),
+            },
         }
 
         # Commit with rebase-and-retry on concurrent commits (the
@@ -244,6 +263,7 @@ class MoonTable:
         compacted_df = scan_op.file_list_df(
             self.spark, sorted(compacted), "path")
         out_rows = []
+        out_dicts = []
         for rec in records:
             for out in rec["outputs"]:
                 flat = {"path": out["path"], "rows": out["rows"],
@@ -256,15 +276,39 @@ class MoonTable:
                     flat[f"null_{c}"] = (out.get("null_counts")
                                          or {}).get(c)
                     flat[f"ndv_{c}"] = (out.get("ndv") or {}).get(c)
+                out_dicts.append(flat)
                 out_rows.append(tuple(flat.get(f.name)
                                       for f in manifest.schema.fields))
+        out_dicts.sort(key=lambda e: e["path"])
         commit_base = base
         for attempt in range(5):
-            mdf = self.store.manifest_df(self.spark, commit_base.version)
-            keep = mdf.join(F.broadcast(compacted_df), on="path",
-                            how="left_anti")
-            final = keep.unionByName(self.spark.createDataFrame(
-                out_rows, schema=mdf.schema))
+            if (self.store.fs.size(self.store.manifest_path(
+                    commit_base.version))
+                    <= planner_mod.LOCAL_PLAN_MAX_MANIFEST_BYTES):
+                # small manifest: assemble the successor driver-side —
+                # a sorted-merge of the filtered old entries with the
+                # new outputs, zero Spark jobs (the commit job was the
+                # second-largest serial term in the scaling profile).
+                # The DataFrame path below remains the 10^8-entry route.
+                import heapq
+                keep_rows = (
+                    e for e in self.store.manifest_rows_iter(
+                        commit_base.version)
+                    if e["path"] not in compacted)
+                entries_iter = heapq.merge(
+                    keep_rows, iter(out_dicts),
+                    key=lambda e: e["path"])
+            else:
+                mdf = self.store.manifest_df(self.spark,
+                                             commit_base.version)
+                keep = mdf.join(F.broadcast(compacted_df), on="path",
+                                how="left_anti")
+                final = keep.unionByName(self.spark.createDataFrame(
+                    out_rows, schema=mdf.schema))
+                entries_iter = (r.asDict() for r in
+                                final.orderBy("path").toLocalIterator())
+            metrics["phase_seconds"]["commit_start_at"] = round(
+                _time.monotonic() - t_start, 3)
             props = dict(commit_base.properties)
             props.update({
                 "flush_lsn": commit_base.flush_lsn,
@@ -273,8 +317,6 @@ class MoonTable:
                 "metrics": metrics,
             })
             try:
-                entries_iter = (r.asDict() for r in
-                                final.orderBy("path").toLocalIterator())
                 return self.store.commit(
                     entries_iter, schema=commit_base.schema,
                     stats_columns=self.config.stats_columns,

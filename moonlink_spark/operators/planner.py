@@ -111,13 +111,92 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
     return out
 
 
-def plan_compaction(manifest: DataFrame,
+# Manifests below this on-disk size plan DRIVER-SIDE with pyarrow —
+# zero Spark jobs.  Planning a few-hundred-row manifest through
+# DataFrame jobs costs whole seconds of pure scheduler latency (it was
+# the largest serial term in the scaling profile); the distributed path
+# exists for the 10^8+-entry manifests where the data is the problem.
+# Same threshold idea as Iceberg's local-vs-distributed planning mode.
+LOCAL_PLAN_MAX_MANIFEST_BYTES = 32 * 1024 * 1024
+
+
+def _bins_from_rows(rows: list[dict],
                     config: CompactionConfig) -> list[CompactionBin]:
+    """Shared tail of both planning paths: rows (dicts with path/rows/
+    bytes/dv_path/dv_cardinality, ascending path, already filtered and
+    capped) → running-sum bins + the min-candidate gate."""
+    if len(rows) < config.min_files_to_compact:
+        # moonlink's `Nothing` outcome (too few candidates to bother
+        # merging).  In FULL mode only (deletion trigger disabled ⇒
+        # everything qualifies), files carrying delete vectors still
+        # compact even alone: "full maintenance" must never leave
+        # delete debt behind.  `data` mode keeps strict reference
+        # parity (snapshot_maintenance.rs:42-199).
+        if config.deletion_trigger_fraction > 0:
+            return []
+        rows = [r for r in rows if r["dv_cardinality"] > 0]
+        if not rows:
+            return []
+    bins: dict[int, CompactionBin] = {}
+    cum = 0
+    for row in rows:
+        start = cum
+        cum += int(row["bytes"])
+        bin_id = start // config.bin_target_bytes
+        b = bins.setdefault(bin_id, CompactionBin(bin_id=bin_id))
+        b.files.append(row["path"])
+        b.rows += row["rows"]
+        b.bytes += row["bytes"]
+        b.deleted_rows += row["dv_cardinality"]
+        if row["dv_path"] and row["dv_path"] not in b.dv_paths:
+            b.dv_paths.append(row["dv_path"])
+    return [bins[k] for k in sorted(bins)]
+
+
+def plan_compaction_local(manifest_path: str,
+                          config: CompactionConfig) -> list[CompactionBin]:
+    """Driver-side planning over a small manifest (pyarrow, no Spark
+    jobs) — identical semantics to the DataFrame path: same candidate
+    predicate, same smallest-first cap, same path-ordered running-sum
+    binning."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(manifest_path,
+                      columns=["path", "rows", "bytes", "dv_path",
+                               "dv_cardinality"])
+    rows = t.to_pylist()
+    frac = config.deletion_trigger_fraction
+    if frac > 0:
+        cand = [r for r in rows
+                if r["bytes"] < config.target_file_bytes
+                or (r["dv_cardinality"] or 0) / max(r["rows"], 1) >= frac]
+    else:
+        cand = rows
+    if config.max_files_to_compact < (1 << 62):
+        cand = sorted(cand, key=lambda r: (r["bytes"], r["path"]))[
+            :config.max_files_to_compact]
+    cand.sort(key=lambda r: r["path"])
+    return _bins_from_rows(cand, config)
+
+
+def plan_compaction(manifest: DataFrame,
+                    config: CompactionConfig, *,
+                    manifest_path: str | None = None,
+                    manifest_bytes: int | None = None
+                    ) -> list[CompactionBin]:
     """Select candidates, cap per-op file count, pack into bins.
 
     Returns ``[]`` when fewer than ``min_files_to_compact`` candidates
     exist (the ``Nothing`` outcome of ``get_payload_to_compact``).
+
+    When the caller passes ``manifest_path`` and the manifest object is
+    small (``LOCAL_PLAN_MAX_MANIFEST_BYTES``), planning runs driver-side
+    with pyarrow — the plan is identical, minus several whole-table-
+    irrelevant Spark jobs of scheduler latency.
     """
+    if (manifest_path is not None and manifest_bytes is not None
+            and manifest_bytes <= LOCAL_PLAN_MAX_MANIFEST_BYTES):
+        return plan_compaction_local(manifest_path, config)
     cand = select_candidates(manifest, config)
     # smallest-first cap at max_files_to_compact (prod 32) — moonlink's
     # one-op budget; "full" mode sets the cap effectively unbounded.
@@ -135,29 +214,6 @@ def plan_compaction(manifest: DataFrame,
         .orderBy("path")
     )
 
-    rows = list(binned.toLocalIterator())
+    rows = [r.asDict() for r in binned.toLocalIterator()]
     cum._cached.unpersist()
-    if len(rows) < config.min_files_to_compact:
-        # moonlink's `Nothing` outcome (too few candidates to bother
-        # merging).  In FULL mode only (deletion trigger disabled ⇒
-        # everything qualifies), files carrying delete vectors still
-        # compact even alone: "full maintenance" must never leave
-        # delete debt behind, and rewriting a deleted-from file is real
-        # work regardless of candidate count.  `data` mode keeps strict
-        # reference parity (snapshot_maintenance.rs:42-199).
-        if config.deletion_trigger_fraction > 0:
-            return []
-        rows = [r for r in rows if r["dv_cardinality"] > 0]
-        if not rows:
-            return []
-    bins: dict[int, CompactionBin] = {}
-    for row in rows:
-        b = bins.setdefault(int(row["_bin"]),
-                            CompactionBin(bin_id=int(row["_bin"])))
-        b.files.append(row["path"])
-        b.rows += row["rows"]
-        b.bytes += row["bytes"]
-        b.deleted_rows += row["dv_cardinality"]
-        if row["dv_path"] and row["dv_path"] not in b.dv_paths:
-            b.dv_paths.append(row["dv_path"])
-    return [bins[k] for k in sorted(bins)]
+    return _bins_from_rows(rows, config)
