@@ -113,6 +113,17 @@ def make_spark(cpus: int, name: str):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CDC-aftermath inputs are hundreds of sub-MB files: the default
+        # 128 MiB split bundles ~30 files per scan task, leaving the
+        # scan stage with too few tasks to fill the higher parallelism
+        # level (wave quantization).  32 MiB keeps scan tasks ≈ 4x the
+        # thread count at the bench sizes — the same knob Iceberg tunes
+        # via read.split.target-size.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # explicit-file-list scans: stat paths on the driver instead of
+        # a 1-task-per-path listing job (see MoonTable.__init__)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "8192")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.local.dir", os.path.join(bench_tmpdir(),
@@ -141,7 +152,8 @@ def synthesize(sf: float, seed: int = 101) -> str:
 
 
 def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
-                    single_job: bool = False) -> dict:
+                    single_job: bool = False,
+                    target_file_mib: int = 32) -> dict:
     """Copy the aftermath to a fresh dir, run optimize('full'), report
     GB/min over manifest input bytes.
 
@@ -162,7 +174,7 @@ def run_maintenance(spark, source_wh: str, *, cpus: int = 32,
     # shape (many input files -> several size-capped outputs)
     mib = 1024 * 1024
     comp = CompactionConfig(
-        target_file_bytes=32 * mib,
+        target_file_bytes=target_file_mib * mib,
         bin_target_bytes=(1 << 62) if single_job else 256 * mib,
         bin_concurrency=max(2, min(8, cpus)))
     table = MoonTable(spark, wh, TableConfig(compaction=comp))
@@ -275,15 +287,26 @@ def main() -> None:
         lo, hi = levels
         all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         cpu_cal: dict[int, list[float]] = {lv: [] for lv in levels}
+        # Output-range quantization guard: the rewrite's sort+write
+        # stage has one task per zkey range (= per target-sized output
+        # file).  The scaling input must produce ranges >> the high
+        # thread level, else the high level idles through partial waves
+        # and the ratio measures task-count rounding, not the engine
+        # (e.g. 13 ranges at local[8] = 2 uneven waves).  8 MiB targets
+        # at the sf0.03 input give ~40 ranges; a real cluster's inputs
+        # are thousands of ranges per executor wave by construction.
+        scaling_target_mib = 8
         for block_order in (levels, tuple(reversed(levels))):
             for cpus in block_order:
                 spark = make_spark(cpus, f"moonlink-bench-{cpus}")
-                run_maintenance(spark, wh, cpus=cpus, single_job=True)
+                run_maintenance(spark, wh, cpus=cpus, single_job=True,
+                                target_file_mib=scaling_target_mib)
                 cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
                 for _ in range(args.runs_per_block):
                     all_runs[cpus].append(
                         run_maintenance(spark, wh, cpus=cpus,
-                                        single_job=True))
+                                        single_job=True,
+                                        target_file_mib=scaling_target_mib))
                 cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
                 spark.stop()
         results = {}

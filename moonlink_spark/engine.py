@@ -59,6 +59,20 @@ class MoonTable:
         self.spark = spark
         self.store = SnapshotStore(warehouse)
         self.config = config or TableConfig()
+        # Scans pass the manifest's explicit file list to the reader.
+        # Spark's default threshold (32 paths) launches a distributed
+        # listing JOB above that — one task per path, whole seconds of
+        # scheduler latency for a CDC aftermath of hundreds of tiny
+        # files (measured 10.6 s for 600 paths vs 1.9 s driver-side).
+        # Below this threshold the driver stats the paths directly; the
+        # distributed job remains for genuinely huge file sets, where
+        # per-path object-store HEADs need the executor fan-out.
+        cur = spark.conf.get(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        if int(cur) == 32:  # don't clobber an explicit user setting
+            spark.conf.set(
+                "spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "8192")
 
     # -- read ------------------------------------------------------------
     def current_version(self) -> int:

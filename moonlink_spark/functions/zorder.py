@@ -165,6 +165,22 @@ def _jvm_string_proxy(col):
     return F.conv(h, 16, 10).cast("double")
 
 
+def _double_array_lit(vals: list[float]):
+    """A literal ``array<double>`` whose plan footprint is THREE nodes.
+
+    ``F.lit(list)`` / ``F.array(*lits)`` round-trips every element
+    through py4j (measured 29 s for a 4095-element boundary array) and
+    ``F.expr("array(...)")`` still parses to a ``CreateArray`` with
+    4095 children that every analyzer/optimizer pass re-traverses —
+    at 24 rank-subtree occurrences in the Morton interleave this was
+    the dominant driver-side serial term in the maintenance scaling
+    profile.  ``cast(split(<one string literal>))`` is a 3-node
+    subtree that the optimizer constant-folds exactly once into a
+    single array Literal before codegen."""
+    body = ",".join(repr(float(v)) for v in vals)
+    return F.expr(f"CAST(split('{body}', ',') AS array<double>)")
+
+
 def _jvm_rank(proxy, bnds: np.ndarray):
     """#{boundary <= proxy} (``np.searchsorted`` side='right'), as a
     whole-stage-codegen expression: a two-level search over *literal*
@@ -178,8 +194,8 @@ def _jvm_rank(proxy, bnds: np.ndarray):
     if not vals:
         return F.lit(0).cast("long")
     block = 64
-    arr = F.lit(vals)
-    coarse = F.lit(vals[block - 1::block])
+    arr = _double_array_lit(vals)
+    coarse = _double_array_lit(vals[block - 1::block])
     blk = F.size(F.filter(coarse, lambda b: b <= proxy))
     fine = F.slice(arr, blk * block + 1, block)
     return (blk * block
@@ -223,12 +239,21 @@ def with_zorder_key(
     bnds = {c: np.asarray(boundaries[c], dtype=np.float64) for c in columns}
 
     if curve == "morton":
-        ranks = []
-        for c, is_str in col_kinds:
+        # each rank lands in its own intermediate column so the heavy
+        # rank subtree (two literal-array filters) appears ONCE in the
+        # plan, not once per interleaved bit — multi-use projections
+        # are not re-inlined, so the per-row cost is 2 array searches
+        # per dimension regardless of `bits`
+        tmp = []
+        for i, (c, is_str) in enumerate(col_kinds):
             proxy = (_jvm_string_proxy(F.col(c)) if is_str
                      else F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
-            ranks.append(_jvm_rank(proxy, bnds[c]))
-        return df.withColumn(out_col, _jvm_morton(ranks, bits))
+            name = f"__zrank{i}"
+            df = df.withColumn(name, _jvm_rank(proxy, bnds[c]))
+            tmp.append(name)
+        return df.withColumn(
+            out_col,
+            _jvm_morton([F.col(t) for t in tmp], bits)).drop(*tmp)
 
     interleave = CURVES[curve]
 

@@ -243,6 +243,7 @@ def rewrite_bin(
     if cached is not None:
         return cached
 
+    t_entry = time.monotonic()
     live = scan_files(spark, store, bin.files, bin.dv_paths,
                       bin.deleted_rows, with_location=True,
                       schema_ddl=schema_ddl, project=project,
@@ -374,6 +375,7 @@ def rewrite_bin(
         # (observability/iceberg_persistence.rs:59-86): at cluster scale
         # the first triage question is which phase got slow
         "phase_seconds": {
+            "graph_build": round(t0 - t_entry, 3),
             "rewrite": round(t_rewrite, 3),
             "finalize": round(t_finalize, 3),
             "stats_and_index": round(
