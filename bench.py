@@ -230,6 +230,32 @@ def run_cpu_calibration(spark, cpus: int, rows: int = 60_000_000) -> float:
     return round(time.time() - t0, 2)
 
 
+def run_platform_calibration(spark, source_wh: str,
+                             n_ranges: int = 64) -> float:
+    """Stock-Spark data-path probe at the session's thread level: the
+    engine rewrite's exact physical shape — tiny-file parquet scan →
+    range shuffle → sort → ZSTD parquet write — expressed in four lines
+    of platform API with ZERO engine code.  The sha2 probe measures the
+    host's pure-CPU ceiling; this measures what the host + Spark
+    platform deliver for shuffle/compress-heavy DATA work (DRAM
+    bandwidth, allocator contention, codec threads), which is the
+    attainable ceiling an engine job of this shape can actually reach.
+    engine_speedup / platform_speedup ≈ 1.0 means the engine adds no
+    scaling loss on top of the platform itself."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(source_wh, "data", "*.parquet")))
+    out = os.path.join(bench_tmpdir(), "moonlink-platform-probe")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    (spark.read.parquet(*files)
+     .repartitionByRange(n_ranges, "repo", "path")
+     .sortWithinPartitions("repo", "path")
+     .write.option("compression", "zstd").mode("overwrite").parquet(out))
+    dt = round(time.time() - t0, 2)
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
 def run_queries(spark, sf_dir: str, names: list[str]) -> dict:
     from moonlink_spark.queries import QUERIES
     out = {}
@@ -287,6 +313,7 @@ def main() -> None:
         lo, hi = levels
         all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         cpu_cal: dict[int, list[float]] = {lv: [] for lv in levels}
+        plat_cal: dict[int, list[float]] = {lv: [] for lv in levels}
         # Output-range quantization guard: the rewrite's sort+write
         # stage has one task per zkey range (= per target-sized output
         # file).  The scaling input must produce ranges >> the high
@@ -308,6 +335,7 @@ def main() -> None:
                                         single_job=True,
                                         target_file_mib=scaling_target_mib))
                 cpu_cal[cpus].append(run_cpu_calibration(spark, cpus))
+                plat_cal[cpus].append(run_platform_calibration(spark, wh))
                 spark.stop()
         results = {}
         for lv in levels:
@@ -334,6 +362,7 @@ def main() -> None:
         t_4n_min = min(r["seconds"] for r in all_runs[hi])
         eff_min = round(t_n_min / (4 * t_4n_min), 3)
         host_speedup_min = round(min(cpu_cal[lo]) / min(cpu_cal[hi]), 3)
+        plat_speedup_min = round(min(plat_cal[lo]) / min(plat_cal[hi]), 3)
         record = {
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": eff_min, "unit": "ratio", "sf": sf,
@@ -345,6 +374,14 @@ def main() -> None:
             "host_cpu_speedup_min": host_speedup_min,
             "efficiency_vs_host_ceiling_min": round(
                 (t_n_min / t_4n_min) / host_speedup_min, 3),
+            # stock-Spark same-shape data job (zero engine code): the
+            # attainable platform ceiling for this work class, and the
+            # engine's efficiency against it
+            "platform_speedup_min": plat_speedup_min,
+            "platform_seconds": {f"local{lv}": sorted(plat_cal[lv])
+                                 for lv in levels},
+            "efficiency_vs_platform_min": round(
+                (t_n_min / t_4n_min) / plat_speedup_min, 3),
             "protocol": "interleaved blocks both orders; per block: "
                         "fresh session, 1 warm-up + 2 measured + "
                         "pure-JVM sha2 CPU calibration; min per level "

@@ -39,6 +39,7 @@ import math
 import os
 import time
 
+import numpy as np
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -281,16 +282,42 @@ def rewrite_bin(
                for j in range(1, n_out)]
         cuts = sorted({int(zcuts[min(i, len(zcuts) - 1)]) for i in idx})
         cut_arr = F.array(*[F.lit(c).cast("long") for c in cuts])
-        n_ranges = len(cuts) + 1
-        salt_arr = F.array(*[F.lit(s) for s in range_salts(n_ranges)])
+        # Plateau sub-splitting: the cut set dedups, so when the zkey
+        # distribution has heavy plateaus (hot repos / shared path
+        # prefixes bucket to one zkey) the n_out requested cutpoints can
+        # collapse to a handful of distinct values — leaving a few huge
+        # ranges that serialize the write stage (measured: 10 tasks
+        # where 39 target files were asked for).  Each range is
+        # therefore sub-split by a deterministic hash of the source
+        # (file, position) into as many partitions as its sampled mass
+        # warrants (zcuts markers are ~uniform mass), restoring one
+        # task = one target-sized file even under plateau skew.  Rows
+        # sharing a zkey carry no ordering information between them, so
+        # spreading a plateau across adjacent files does not loosen any
+        # file's clustering bounds; the hash input is the stable source
+        # identity, so resumed runs still commit byte-identical output.
+        marks = np.asarray(zcuts, dtype=np.int64)
+        below = np.searchsorted(marks, np.asarray(cuts, dtype=np.int64),
+                                side="left")
+        mass = (np.diff(np.concatenate(([0], below, [marks.size])))
+                / max(1, marks.size))
+        subs = np.maximum(1, np.rint(mass * n_out).astype(np.int64))
+        offs = np.concatenate(([0], np.cumsum(subs)[:-1]))
+        n_parts = int(subs.sum())
+        salt_arr = F.array(*[F.lit(s) for s in range_salts(n_parts)])
+        subs_arr = F.array(*[F.lit(int(s)) for s in subs])
+        offs_arr = F.array(*[F.lit(int(o)) for o in offs])
+        rid = (F.size(F.filter(cut_arr,
+                               lambda c: c <= F.col(ZKEY_COL))) + 1)
+        sub = F.pmod(F.xxhash64(F.col(FILE_COL), F.col(OLDPOS_COL)),
+                     F.element_at(subs_arr, rid))
         ranged = live.withColumn(
             OFILE_COL,
             F.element_at(
                 salt_arr,
-                F.size(F.filter(cut_arr, lambda c: c <= F.col(ZKEY_COL)))
-                + 1))
+                (F.element_at(offs_arr, rid) + sub + 1).cast("int")))
         clustered = (
-            ranged.repartition(n_ranges, OFILE_COL)
+            ranged.repartition(n_parts, OFILE_COL)
             .sortWithinPartitions(ZKEY_COL, *zcols, FILE_COL, OLDPOS_COL)
             .drop(ZKEY_COL, FILE_COL, OLDPOS_COL, OFILE_COL)
         )

@@ -37,6 +37,13 @@ from moonlink_spark.snapshotstore import Snapshot, SnapshotStore
 # comfortably under typical executor memory.
 BROADCAST_DV_ROWS = 8_000_000
 
+# Driver-side plan lists above this entry count get a loud warning:
+# ~100 bytes/entry puts 5M entries at ~500 MB of driver heap — the
+# point where unpruned planning needs predicates/index or more driver
+# memory (cf. Iceberg's own driver manifest planning, which hits the
+# same wall and answers it with manifest filtering).
+PLAN_FILES_WARN = 5_000_000
+
 FILE_COL = "_mlfile"
 POS_COL = "_pos"
 
@@ -279,6 +286,13 @@ def scan(
     # planner does (Iceberg manifests are read at planning time too); the
     # manifest stays a DataFrame until this final projection.
     plan_rows = manifest.select("path", "dv_path", "dv_cardinality").collect()
+    if len(plan_rows) > PLAN_FILES_WARN:
+        import warnings
+        warnings.warn(
+            f"scan planning collected {len(plan_rows)} manifest entries "
+            "onto the driver; at this file count pass bound predicates "
+            "(or enable the key index for point batches) so pruning "
+            "shrinks the plan, or raise driver memory", stacklevel=2)
     files = [r["path"] for r in plan_rows]
     dv_paths = sorted({r["dv_path"] for r in plan_rows if r["dv_path"]})
     dv_card = sum(r["dv_cardinality"] for r in plan_rows)

