@@ -280,3 +280,87 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node's neighbors larger than it are
+    re-pointed at the minimum of its neighborhood (including itself)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: edges oriented large→small; each node and
+    its smaller neighbors all re-point at the neighborhood minimum."""
+    o = edges.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (o.join(mins, "u").select(F.col("v").alias("u"),
+                                    F.col("m").alias("v"))
+           .union(mins.select(F.col("u"), F.col("m").alias("v"))))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def neardup_components(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", *,
+                       max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph → per-doc
+    component labels ``(id, component)`` with ``component`` = the
+    minimum doc id in the component (the canonical survivor a dedup
+    pipeline keeps).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the standard web-scale CC:
+    each round is two groupBy+join shuffles on uniform node-id keys and
+    the diameter contracts geometrically, so O(log n) rounds at any
+    scale with NO driver-side graph (the reference has no graph
+    operator; this serves the dedup pipeline the north rule's
+    training-data suite needs — pairs alone under-delete: A~B, B~C must
+    collapse to one survivor even when A~C was never emitted).
+
+    Each round materializes via ``localCheckpoint(eager=True)`` — the
+    lineage CUT matters as much as the cache: with plain persist the
+    logical plan doubles every round and the driver OOMs just printing
+    the tree by round ~6.  Convergence is detected by an edge-multiset
+    checksum (count + sum of xxhash64), so the loop runs exactly as
+    many Spark jobs as the graph needs.  Only nodes that appear in
+    ``pairs`` are labeled (singletons are their own component by
+    definition and never shuffle).
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))
+                  .cast("decimal(38,0)")).alias("h")).first()
+        return (row["n"], row["h"])
+
+    edges = edges.localCheckpoint(eager=True)
+    prev_sum = _checksum(edges)
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur_sum = _checksum(nxt)
+        edges = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds")
+
+    # at fixpoint every edge is (node → its component minimum)
+    return (edges.select(F.col("u").alias("id"),
+                         F.col("v").alias("component"))
+            .union(edges.select(F.col("v").alias("id"),
+                                F.col("v").alias("component")))
+            .groupBy("id").agg(F.min("component").alias("component")))

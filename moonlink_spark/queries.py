@@ -601,6 +601,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_bucket_size=1000)
 
 
+# connected-components oracle: reuse the minhash-LSH pair SQL verbatim
+# as a CTE (so both queries stay pinned to the identical pair set) and
+# close it transitively with a recursive reachability CTE — exact at
+# oracle scale; the Spark side uses the O(log n)-round star algorithm.
+_mh_sql = ORACLE["dedup_minhash_lsh"].strip()
+_mh_cut = _mh_sql.rindex("SELECT DISTINCT l.doc_id")
+_CC_ORACLE = f"""WITH RECURSIVE {_mh_sql[4:_mh_cut].strip().rstrip(',')},
+pairs AS (
+{_mh_sql[_mh_cut:].strip()}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT component, COUNT(*) AS n_docs FROM (
+  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+) GROUP BY component
+"""
+
+
+@_register("dedup_cc_components", _CC_ORACLE)
+def dedup_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the minhash-LSH candidate pairs collapsed
+    into connected components (``dedup.neardup_components``,
+    large-star/small-star — O(log n) shuffle rounds, no driver graph),
+    reported as (component = min doc id, n_docs).  This is the step a
+    training-data dedup pipeline needs beyond pairs: A~B and B~C must
+    yield ONE canonical survivor even when A~C was never emitted.
+    Singleton docs never enter the shuffle (they are their own
+    component by definition)."""
+    docs = _duped_docs(spark, sf_dir)
+    sigs = dd.minhash_signature(docs, n_hashes=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2,
+                                   max_bucket_size=1000)
+    labels = dd.neardup_components(pairs)
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
 @_register("dedup_ngram_jaccard", f"""
 WITH {_DUPED_SQL},
 toks AS (

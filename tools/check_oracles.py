@@ -54,6 +54,10 @@ def main() -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
+             # iterative queries (dedup_cc_components) accumulate
+             # broadcast blocks faster than the 1g-default heap's
+             # cleaner thread retires them
+             .config("spark.driver.memory", "4g")
              .getOrCreate())
 
     con = duckdb.connect()
