@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     # sf0.1 corpus densely fills hamming space (~60 s of pair
     # verification); the realistic 64-bit width has no such density.
     "dedup_embedding_neardup_lsh",
+    "dedup_survivors",
+    "sample_fraction",
+    "sample_split",
+    "sample_stratified",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_stats",

@@ -364,3 +364,37 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
             .union(edges.select(F.col("v").alias("id"),
                                 F.col("v").alias("component")))
             .groupBy("id").agg(F.min("component").alias("component")))
+
+
+def select_survivors(docs: DataFrame, labels: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The last step of a near-dup pipeline: pick ONE survivor per
+    component and emit the deduplicated corpus keep-list.
+
+    ``labels`` is :func:`neardup_components` output ``(id, component)``
+    — it covers only docs that appeared in a candidate pair, so docs
+    absent from it are singletons and survive as their own component.
+    Within a component the survivor is the LONGEST text (training
+    pipelines keep the most complete copy — near-dup clusters here are
+    typically a full doc plus truncations of it), ties broken by min
+    id.  Returns ``(id, component, doc_len)`` — one row per kept doc.
+
+    Scale shape: the join to labels is on the doc id (uniform); the
+    survivor window partitions by ``component``, whose cardinality is
+    ~corpus size (every singleton is its own partition key) and whose
+    per-key row count is the near-dup cluster size — small by
+    construction — so no reducer ever sorts more than one cluster.
+    """
+    from pyspark.sql import Window
+
+    lab = labels.select(F.col("id").alias("_lab_id"), "component")
+    j = docs.join(lab, docs[id_col] == F.col("_lab_id"), "left")
+    assigned = j.select(
+        docs[id_col].alias(id_col),
+        F.coalesce(F.col("component"), docs[id_col]).alias("component"),
+        F.length(docs[text_col]).alias("doc_len"))
+    w = (Window.partitionBy("component")
+         .orderBy(F.desc("doc_len"), F.asc(id_col)))
+    return (assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -1,0 +1,153 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB curation pipeline samples constantly — eval holdouts, per-
+language quotas, ablation subsets — and every sample must be
+REPRODUCIBLE: membership must depend only on (row key, seed), never on
+partition layout, task scheduling, or cluster size.  Spark's built-in
+``df.sample()`` fails that bar (its RNG is seeded per partition, so
+adding an executor changes the sample), so everything here is
+hash-thresholded on the cross-engine ``h60`` (texthash.py), which also
+makes every operator bit-reproducible by the DuckDB oracle.
+
+Three operators:
+
+- :func:`sample_fraction` — Bernoulli p-sample: keep rows whose seeded
+  key hash falls under ``p``.  Pure codegen filter, no shuffle, pushes
+  past any downstream scan.
+- :func:`split_weighted` — disjoint train/val/test split by hash
+  bucket; one pass, no shuffle, splits are exactly complementary.
+- :func:`sample_stratified` — EXACTLY ``k`` rows per stratum, chosen by
+  hash rank.  The naive form (row_number over the stratum) sorts each
+  whole stratum in one reducer — a straggler at billions of rows per
+  language.  The scale path pre-filters each stratum to its
+  ~``margin*k`` smallest hashes using the per-stratum counts (one cheap
+  agg + a broadcast join), then ranks only the survivors; a
+  verify-and-escalate loop re-runs with a wider margin in the
+  (measure-zero) event a stratum undershoots, so the result is always
+  IDENTICAL to the naive form.
+
+The reference engine has no sampler; these serve the training-data
+suite the north rule adds on top of the reference's operator inventory.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.texthash import h60_seeded
+
+#: hash-threshold denominator: rates are quantized to 1/2^20 so the
+#: Spark filter and the SQL oracle compare the same integer threshold.
+DENOM = 1 << 20
+
+
+def _key_str(key_cols: Sequence[str]) -> Column:
+    """Canonical string rendering of the sampling key (cross-engine:
+    the oracle renders the same ``||':'||`` concatenation)."""
+    parts = [F.col(c).cast("string") for c in key_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, F.lit(":"), p)
+    return out
+
+
+def sample_fraction(df: DataFrame, key_cols: Sequence[str], rate: float,
+                    *, seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows where
+    ``h60(seed:key) % DENOM < rate*DENOM``.
+
+    A codegen filter with no shuffle and no state — at 100 TB it rides
+    the scan (column-pruned, pushed past projections) and the sample is
+    byte-identical at any parallelism, any partitioning, any retry.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    thresh = int(rate * DENOM)
+    return df.filter(h60_seeded(seed, _key_str(key_cols)) % DENOM < thresh)
+
+
+def split_weighted(df: DataFrame, key_cols: Sequence[str],
+                   weights: dict[str, float], *, seed: int = 0,
+                   split_col: str = "split") -> DataFrame:
+    """Disjoint deterministic split (e.g. train/val/test) by hash
+    bucket: each row is labeled with exactly one split name, splits are
+    exactly complementary (every row lands somewhere), and membership
+    is stable under re-runs and repartitioning.  Weights must sum to 1
+    (±1/DENOM rounding is absorbed by the last split).
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    names = list(weights)
+    bucket = h60_seeded(seed, _key_str(key_cols)) % DENOM
+    # cumulative thresholds; last split takes the rounding remainder
+    expr = F.lit(names[-1])
+    acc = 0.0
+    cuts: list[tuple[str, int]] = []
+    for n in names[:-1]:
+        acc += weights[n]
+        cuts.append((n, int(acc * DENOM)))
+    for n, cut in reversed(cuts):
+        expr = F.when(bucket < cut, F.lit(n)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sample_stratified(df: DataFrame, strata_cols: Sequence[str], k: int,
+                      key_cols: Sequence[str], *, seed: int = 0,
+                      margin: float = 4.0, max_rounds: int = 4) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen as the
+    ``k`` smallest ``h60(seed:key)`` values (ties broken by the key
+    itself) — i.e. a uniform-without-replacement quota sample whose
+    membership is a pure function of (key, seed).
+
+    Scale shape: the final row_number window only ever sees the
+    pre-filtered survivors (~``margin*k`` rows per stratum), never the
+    full stratum, so no single reducer sorts a billion-row language.
+    The pre-filter keeps hashes below the ``(margin*k/n)`` quantile of
+    the uniform 60-bit hash range (from the exact per-stratum counts —
+    one map-side-combined agg, broadcast back) — the SAME ordering the
+    rank uses, so filtering can only drop rows ranked past ``margin*k``.
+    Uniform hashes make an undershoot (fewer than ``k`` survivors)
+    vanishingly rare; the verify loop widens the margin and retries, so
+    the OUTPUT is always exactly the naive-window answer.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    strata = [F.col(c) for c in strata_cols]
+    hcol = h60_seeded(seed, _key_str(key_cols))
+    hashed = df.withColumn("_h", hcol)
+
+    counts = hashed.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("_n"))
+
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(F.col("_h"), *[F.col(c) for c in key_cols]))
+
+    H_RANGE = float(1 << 60)  # h60 is uniform in [0, 2^60)
+    for attempt in range(max_rounds):
+        m = margin * (4.0 ** attempt)
+        # threshold per stratum: keep hashes below the m*k/n quantile of
+        # the hash range (strata with n <= m*k keep everything)
+        thr = counts.select(
+            *strata_cols,
+            F.when(F.col("_n") <= int(m * k), F.lit(1 << 60))
+            .otherwise((F.lit(m * k) / F.col("_n") * F.lit(H_RANGE))
+                       .cast("long"))
+            .alias("_thr"),
+            F.least(F.col("_n"), F.lit(k)).alias("_want"))
+        pre = hashed.join(F.broadcast(thr), list(strata_cols)) \
+                    .filter(F.col("_h") < F.col("_thr"))
+        ranked = pre.withColumn("_rn", F.row_number().over(w))
+        picked = ranked.filter(F.col("_rn") <= k)
+        # verify: every stratum must deliver its full quota
+        short = (picked.groupBy(*strata_cols, "_want")
+                 .agg(F.count(F.lit(1)).alias("_got"))
+                 .filter(F.col("_got") < F.col("_want")))
+        if short.isEmpty():
+            return picked.drop("_h", "_rn", "_thr", "_want")
+    raise RuntimeError(
+        f"sample_stratified undershot after {max_rounds} rounds "
+        f"(margin grew to {margin * 4.0 ** (max_rounds - 1)}) — "
+        "pathologically non-uniform key hashes?")

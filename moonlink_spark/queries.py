@@ -36,9 +36,10 @@ from pyspark.sql.window import Window
 from moonlink_spark.functions import codestats as cs
 from moonlink_spark.functions import dedup as dd
 from moonlink_spark.functions import multimodal as mm
+from moonlink_spark.functions import sampling as smp
 from moonlink_spark.functions import similarity as sim
 from moonlink_spark.functions import textstats as ts
-from moonlink_spark.functions.texthash import h60, h60_sql
+from moonlink_spark.functions.texthash import h60, h60_seeded_sql, h60_sql
 from moonlink_spark.functions.zorder import morton_interleave
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -644,6 +645,126 @@ def dedup_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dd.neardup_components(pairs)
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"))
+
+
+# survivor oracle: same recursive-CC CTE chain, then pick one doc per
+# component (longest text, tie min id) plus all singletons
+_SURV_ORACLE = _CC_ORACLE[:_CC_ORACLE.index("SELECT component, COUNT")] \
+    .rstrip().rstrip(")").rstrip() + """
+),
+comp AS (
+  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         length(d.text) AS doc_len
+  FROM dup_docs d LEFT JOIN comp c ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT doc_id, component, doc_len,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY doc_len DESC, doc_id ASC) AS rn
+  FROM assigned
+)
+SELECT doc_id, component, doc_len FROM ranked WHERE rn = 1
+"""
+
+
+@_register("dedup_survivors", _SURV_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup pipeline: shingle → MinHash → LSH pairs
+    → connected components → one survivor per component (longest text,
+    tie-break min doc id; ``dedup.select_survivors``) → the
+    deduplicated corpus keep-list, singletons included.  This is the
+    deliverable a training-data pipeline actually ships; the upstream
+    queries (``dedup_minhash_lsh``, ``dedup_cc_components``) pin its
+    intermediate stages."""
+    docs = _duped_docs(spark, sf_dir)
+    sigs = dd.minhash_signature(docs, n_hashes=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2,
+                                   max_bucket_size=1000)
+    labels = dd.neardup_components(pairs)
+    return dd.select_survivors(docs, labels)
+
+
+# ---------------------------------------------------------------- sampling
+
+def _split_case_sql(weights: dict[str, float], bucket_expr: str) -> str:
+    """Render split_weighted's cumulative-threshold CASE in SQL using
+    the IDENTICAL python arithmetic (same float accumulation, same
+    int() truncation) so the two engines cut at the same integers."""
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    for n in names[:-1]:
+        acc += weights[n]
+        whens.append(f"WHEN {bucket_expr} < {int(acc * smp.DENOM)} "
+                     f"THEN '{n}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@_register("sample_fraction", f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {h60_seeded_sql(7, "doc_id::VARCHAR")} % {smp.DENOM}
+      < {int(0.125 * smp.DENOM)}
+""")
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli 12.5% sample keyed on h60(seed:doc_id)
+    (sampling.py): membership is a pure function of (doc_id, seed) —
+    stable under repartitioning, retries, and cluster resizes, unlike
+    df.sample() whose RNG is seeded per partition.  Pure codegen
+    filter; no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return smp.sample_fraction(docs, ["doc_id"], 0.125, seed=7)
+
+
+@_register("sample_split", f"""
+SELECT lang,
+       {_split_case_sql(_SPLIT_WEIGHTS,
+                        f'({h60_seeded_sql(11, "doc_id::VARCHAR")}'
+                        f' % {smp.DENOM})')} AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""")
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint deterministic train/val/test split (80/10/10) by hash
+    bucket (sampling.py split_weighted), rolled up per language.  Every
+    row lands in exactly one split; the assignment survives re-runs and
+    repartitioning bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    split = smp.split_weighted(docs, ["doc_id"], _SPLIT_WEIGHTS, seed=11)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register("sample_stratified", f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         {h60_seeded_sql(3, "doc_id::VARCHAR")} AS _h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY _h, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen as the 20 smallest seeded
+    doc-id hashes (sampling.py sample_stratified) — a reproducible
+    per-stratum quota sample.  The Spark side never sorts a whole
+    stratum: per-stratum counts bound a hash-quantile pre-filter so the
+    rank window sees ~margin*k rows per language, with a
+    verify-and-escalate loop guaranteeing the output equals the naive
+    window (which is what this oracle computes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return smp.sample_stratified(docs, ["lang"], 20, ["doc_id"], seed=3)
 
 
 @_register("dedup_ngram_jaccard", f"""
