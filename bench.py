@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_repetition",
+    "text_decontaminate",
     "code_license_detect",
     "code_comment_stats",
     "code_identifier_stats",

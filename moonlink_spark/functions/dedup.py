@@ -398,3 +398,30 @@ def select_survivors(docs: DataFrame, labels: DataFrame,
          .orderBy(F.desc("doc_len"), F.asc(id_col)))
     return (assigned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def ngram_decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                        shingle_n: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``shingle_n``-gram with an evaluation set — the standard
+    test-set-overlap scrub a training pipeline runs before every bake.
+
+    Returns ``(id, n_contaminated_grams)`` — one row per CONTAMINATED
+    doc, counting its distinct overlapping grams (callers anti-join
+    this against the corpus to drop or audit).
+
+    Scale shape: eval benchmarks are small by nature, so their distinct
+    shingle set BROADCASTS; the corpus side explodes its (per-doc
+    distinct) shingles and filters through the broadcast hash join
+    before anything shuffles — the only shuffle is the final groupBy on
+    the surviving hits, which are rare by construction.  No UDFs."""
+    bench_sh = (benchmark.select(
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+        .distinct())
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    return (doc_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated_grams")))

@@ -139,3 +139,26 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
     )
     return df.select(
         "*", F.array_min(grams).cast("long").alias(out_col))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText-style quality
+    gate): the fraction of word n-grams that are duplicates of an
+    earlier n-gram in the same document.  Boilerplate, keyboard mash,
+    and template spam score high; prose scores near zero.
+
+    Adds ``n_grams``, ``n_distinct_grams``, ``dup_gram_ratio``.  Pure
+    higher-order array expressions (`sequence`/`transform`/
+    `array_distinct`) — codegen'd, narrow, no shuffle; at 100 TB this
+    rides the scan like every other operator in this module."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n]+")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    total = F.size(grams).cast("long")
+    dist = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        "*", total.alias("n_grams"), dist.alias("n_distinct_grams"),
+        F.round(F.lit(1.0) - dist / total, 6).alias("dup_gram_ratio"))

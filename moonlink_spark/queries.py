@@ -1059,6 +1059,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint(d).select("doc_id", "fingerprint")
 
 
+@_register("text_repetition", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(t[i+1:i+3], ' ')
+          for i in range(0, greatest(len(t) - 3, 0) + 1)] AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+           AS dup_gram_ratio
+FROM g
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (textstats.repetition_stats):
+    duplicate word-3-gram fraction — the Gopher-style quality filter
+    that catches boilerplate and template spam.  Pure codegen array
+    expressions; no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.repetition_stats(d).select(
+        "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+
+
+@_register("text_decontaminate", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i+1:i+5], ' ')
+                   for i in range(0, greatest(len(t) - 5, 0) + 1)]) AS sh
+    FROM toks)
+),
+bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 17 = 0)
+SELECT s.doc_id, COUNT(*) AS n_contaminated_grams
+FROM shingles s JOIN bench USING (sh)
+GROUP BY s.doc_id
+""")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.ngram_decontaminate): flag
+    training docs sharing any word 5-gram with an eval set (here: the
+    doc_id % 17 slice standing in for a benchmark).  The benchmark
+    shingle set broadcasts — the corpus side never shuffles its
+    exploded grams, only the rare hits."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return dd.ngram_decontaminate(docs, bench, shingle_n=5)
+
+
 # ---------------------------------------------------------------------------
 # 2b. code-payload curation (codestats.py) — the north-rule table is
 # source code; synthesize code-shaped content deterministically from
