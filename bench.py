@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "sample_fraction",
     "sample_split",
     "sample_stratified",
+    "pack_sequences",
+    "mixture_weights",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_stats",

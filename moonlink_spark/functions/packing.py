@@ -1,0 +1,71 @@
+"""Sequence packing for pretraining-data export.
+
+The last hop of a training-data pipeline lays documents end-to-end in a
+deterministic pseudo-random order and chunks the stream into fixed-size
+training sequences (concat-then-chunk).  The assignment is pure
+arithmetic over a global running sum of per-doc token counts — so the
+scale problem is the CUMSUM, not the packing: a naive
+``Window.orderBy`` funnels the whole corpus through one task.  We reuse
+the planner's two-phase range-partitioned cumsum
+(:func:`moonlink_spark.operators.planner.ordered_cumsum`) — per-
+partition windows in parallel plus broadcast prefix offsets — so no
+task ever sees more than one range partition.
+
+Determinism: the layout order is ``(h60(seed:id), id)`` — a seeded
+content-independent shuffle that is a pure function of the doc ids, so
+re-runs, retries, and different cluster sizes produce the identical
+packing (the same property the sampling module guarantees).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.texthash import h60_seeded
+from moonlink_spark.operators.planner import ordered_cumsum
+
+
+def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
+                   id_cols: Sequence[str] = ("doc_id",),
+                   seed: int = 0) -> DataFrame:
+    """Assign each document its position in the chunked token stream.
+
+    Adds:
+
+    - ``seq_id``    — the training sequence containing the doc's first
+      token (``start // max_tokens``)
+    - ``seq_offset``— the doc's token offset inside that sequence
+    - ``n_seqs``    — how many sequences the doc spans (docs longer
+      than the remaining room straddle chunk boundaries — standard
+      concat-then-chunk semantics, no padding)
+
+    Docs with a non-positive token count are dropped (nothing to pack).
+    The output is exactly reproducible from (ids, token counts, seed):
+    export jobs can re-derive any sequence's membership without storing
+    the packing.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    key = [F.col(c).cast("string") for c in id_cols]
+    key_str = key[0]
+    for p in key[1:]:
+        key_str = F.concat(key_str, F.lit(":"), p)
+    # unique global order key: seeded 60-bit hash, id tie-break — as a
+    # zero-padded string so range partitioning orders it correctly
+    ord_col = F.concat(
+        F.lpad(h60_seeded(seed, key_str).cast("string"), 20, "0"),
+        F.lpad(key_str, 40, "0"))
+    src = (df.filter(F.col(token_col) > 0)
+           .withColumn("_ord", ord_col))
+    out = ordered_cumsum(src, "_ord", token_col, "_cum")
+    start = F.col("_cum") - F.col(token_col)
+    seq_id = F.floor(start / max_tokens).cast("long")
+    last_seq = F.floor((F.col("_cum") - 1) / max_tokens).cast("long")
+    return (out.select(
+        *[F.col(c) for c in df.columns],
+        seq_id.alias("seq_id"),
+        (start % max_tokens).cast("long").alias("seq_offset"),
+        (last_seq - seq_id + 1).alias("n_seqs")))

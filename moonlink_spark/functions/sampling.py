@@ -151,3 +151,37 @@ def sample_stratified(df: DataFrame, strata_cols: Sequence[str], k: int,
         f"sample_stratified undershot after {max_rounds} rounds "
         f"(margin grew to {margin * 4.0 ** (max_rounds - 1)}) — "
         "pathologically non-uniform key hashes?")
+
+
+def mixture_weights(df: DataFrame, group_col: str, token_col: str,
+                    target: dict[str, float]) -> DataFrame:
+    """Domain-mixture reweighting: per-group sampling weights that move
+    the corpus's ACTUAL token shares to a TARGET mixture (the
+    Pile/DoReMi-style knob — e.g. "code 30 %, web 50 %, books 20 %").
+
+    Returns one row per group: ``(group, n_docs, n_tokens,
+    actual_share, weight)`` where ``weight = target / actual`` — a
+    sampler multiplies each doc's base rate by its group weight to hit
+    the target mixture in expectation.  Groups absent from ``target``
+    get weight 0.0 (dropped domains).
+
+    One map-side-combined groupBy over the corpus; the share division
+    joins against a broadcast 1-row total — nothing here exceeds
+    O(groups) beyond the single aggregation pass.
+    """
+    if abs(sum(target.values()) - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {target}")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    tgt = F.lit(0.0)
+    for g, share in sorted(target.items()):
+        tgt = F.when(F.col(group_col) == g, F.lit(share)).otherwise(tgt)
+    return (per.crossJoin(F.broadcast(total))
+            .withColumn("actual_share",
+                        F.round(F.col("n_tokens") / F.col("_total"), 6))
+            .withColumn("weight",
+                        F.round(tgt / (F.col("n_tokens") / F.col("_total")),
+                                6))
+            .drop("_total"))

@@ -767,6 +767,64 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.sample_stratified(docs, ["lang"], 20, ["doc_id"], seed=3)
 
 
+@_register("pack_sequences", f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         lpad(CAST({h60_seeded_sql(5, "doc_id::VARCHAR")} AS VARCHAR),
+              20, '0') || lpad(doc_id::VARCHAR, 40, '0') AS ord
+  FROM documents WHERE n_chars > 0
+),
+c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT doc_id, n_chars,
+       CAST((cum - n_chars) // 4096 AS BIGINT) AS seq_id,
+       CAST((cum - n_chars) % 4096 AS BIGINT) AS seq_offset,
+       CAST(((cum - 1) // 4096) - ((cum - n_chars) // 4096) + 1 AS BIGINT)
+           AS n_seqs
+FROM c
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (packing.py): docs laid
+    end-to-end in a seeded hash order and chunked into 4096-token
+    training sequences.  The global running sum goes through the
+    planner's two-phase range-partitioned cumsum — parallel windows +
+    broadcast prefix offsets, no single-task global sort — and the
+    assignment is a pure function of (ids, counts, seed), so any
+    export job can re-derive sequence membership."""
+    from moonlink_spark.functions.packing import pack_sequences as pk
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pk(docs, "n_chars", 4096, seed=5)
+
+
+_MIX_TARGET = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+@_register("mixture_weights", f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM per)
+SELECT lang, n_docs, n_tokens,
+       ROUND(n_tokens * 1.0 / t, 6) AS actual_share,
+       ROUND((CASE lang {' '.join(f"WHEN '{g}' THEN {s}"
+                                  for g, s in sorted(_MIX_TARGET.items()))}
+              ELSE 0.0 END) / (n_tokens * 1.0 / t), 6) AS weight
+FROM per, tot
+""")
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (sampling.mixture_weights): per-
+    language token shares → sampling weights that hit a target mixture
+    (Pile/DoReMi-style).  One map-side-combined aggregation; the share
+    division joins a broadcast 1-row total."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.mixture_weights(docs, "lang", "n_chars", _MIX_TARGET)
+
+
 @_register("dedup_ngram_jaccard", f"""
 WITH {_DUPED_SQL},
 toks AS (

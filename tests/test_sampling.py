@@ -114,3 +114,50 @@ def test_select_survivors_longest_wins_and_singletons_kept(spark):
     # longest text wins (2 and 3 tie at 20 chars -> min id 2);
     # singleton 4 survives as its own component
     assert out == {(2, 1, 20), (4, 4, 8)}
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark):
+    from moonlink_spark.functions.packing import pack_sequences
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "n_tok", 1024, seed=3).collect()
+    assert len(out) == 200
+    by_start = sorted(out, key=lambda r: (r.seq_id, r.seq_offset))
+    # offsets are contiguous: each doc starts where the previous ended
+    pos = 0
+    for r in by_start:
+        assert r.seq_id * 1024 + r.seq_offset == pos
+        assert r.n_seqs == (pos + r.n_tok - 1) // 1024 - pos // 1024 + 1
+        pos += r.n_tok
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(11), "n_tok", 1024,
+                           seed=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_drops_empty_docs(spark):
+    from moonlink_spark.functions.packing import pack_sequences
+    df = spark.createDataFrame([(0, 10), (1, 0), (2, 5)],
+                               "doc_id long, n_tok long")
+    got = {r.doc_id for r in pack_sequences(df, "n_tok", 8).collect()}
+    assert got == {0, 2}
+
+
+def test_mixture_weights_moves_shares(spark):
+    df = spark.createDataFrame(
+        [(i, "web" if i % 4 else "code", 100) for i in range(400)],
+        "doc_id long, source string, n_tok long")
+    out = {r["source"]: r for r in
+           smp.mixture_weights(df, "source", "n_tok",
+                               {"web": 0.5, "code": 0.5}).collect()}
+    # web has 75% of tokens, code 25% -> weights 2/3 and 2
+    assert abs(out["web"]["actual_share"] - 0.75) < 1e-6
+    assert abs(out["web"]["weight"] - 0.5 / 0.75) < 1e-6
+    assert abs(out["code"]["weight"] - 2.0) < 1e-6
+
+
+def test_mixture_weights_rejects_bad_target(spark):
+    df = spark.createDataFrame([(0, "a", 1)],
+                               "doc_id long, source string, n_tok long")
+    with pytest.raises(ValueError):
+        smp.mixture_weights(df, "source", "n_tok", {"a": 0.6})
