@@ -62,8 +62,12 @@ def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
            .withColumn("_ord", ord_col))
     out = ordered_cumsum(src, "_ord", token_col, "_cum")
     start = F.col("_cum") - F.col(token_col)
-    seq_id = F.floor(start / max_tokens).cast("long")
-    last_seq = F.floor((F.col("_cum") - 1) / max_tokens).cast("long")
+    # decimal division: long/long routes through doubles, which round
+    # past 2^53 — a real bound when the cumsum is total corpus tokens
+    dec = "decimal(38,0)"
+    seq_id = F.floor(start.cast(dec) / max_tokens).cast("long")
+    last_seq = F.floor((F.col("_cum") - 1).cast(dec) / max_tokens) \
+        .cast("long")
     return (out.select(
         *[F.col(c) for c in df.columns],
         seq_id.alias("seq_id"),
