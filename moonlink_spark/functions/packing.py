@@ -24,6 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moonlink_spark.functions.sampling import _key_str
 from moonlink_spark.functions.texthash import h60_seeded
 from moonlink_spark.operators.planner import ordered_cumsum
 
@@ -49,10 +50,9 @@ def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
-    key = [F.col(c).cast("string") for c in id_cols]
-    key_str = key[0]
-    for p in key[1:]:
-        key_str = F.concat(key_str, F.lit(":"), p)
+    # the canonical ':'-joined key rendering the whole sampling suite
+    # (and its oracles) uses — one definition, no drift
+    key_str = _key_str(id_cols)
     # unique global order key: seeded 60-bit hash, id tie-break — as a
     # zero-padded string so range partitioning orders it correctly
     ord_col = F.concat(
@@ -68,8 +68,17 @@ def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
     seq_id = F.floor(start.cast(dec) / max_tokens).cast("long")
     last_seq = F.floor((F.col("_cum") - 1).cast(dec) / max_tokens) \
         .cast("long")
-    return (out.select(
+    res = out.select(
         *[F.col(c) for c in df.columns],
         seq_id.alias("seq_id"),
         (start % max_tokens).cast("long").alias("seq_offset"),
-        (last_seq - seq_id + 1).alias("n_seqs")))
+        (last_seq - seq_id + 1).alias("n_seqs"))
+    # materialize the (narrow) assignment once, then release the wide
+    # corpus copy ordered_cumsum persisted for boundary stability —
+    # otherwise every pack call pins a full-corpus cache for the
+    # session lifetime
+    res = res.localCheckpoint(eager=True)
+    cached = getattr(out, "_cached", None)
+    if cached is not None:
+        cached.unpersist()
+    return res

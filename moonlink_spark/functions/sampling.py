@@ -129,10 +129,15 @@ def sample_stratified(df: DataFrame, strata_cols: Sequence[str], k: int,
     for attempt in range(max_rounds):
         m = margin * (4.0 ** attempt)
         # threshold per stratum: keep hashes below the m*k/n quantile of
-        # the hash range (strata with n <= m*k keep everything)
+        # the hash range (strata with n <= m*k keep everything).  The
+        # LAST allowed round drops the prefilter entirely — the naive
+        # window is the guaranteed-exact fallback, so a pathologically
+        # tight caller margin degrades to slow, never to wrong/raise.
+        last = attempt == max_rounds - 1
         thr = counts.select(
             *strata_cols,
-            F.when(F.col("_n") <= int(m * k), F.lit(1 << 60))
+            F.when(F.lit(last) | (F.col("_n") <= int(m * k)),
+                   F.lit(1 << 60))
             .otherwise((F.lit(m * k) / F.col("_n") * F.lit(H_RANGE))
                        .cast("long"))
             .alias("_thr"),
@@ -140,11 +145,20 @@ def sample_stratified(df: DataFrame, strata_cols: Sequence[str], k: int,
         pre = hashed.join(F.broadcast(thr), list(strata_cols)) \
                     .filter(F.col("_h") < F.col("_thr"))
         ranked = pre.withColumn("_rn", F.row_number().over(w))
-        picked = ranked.filter(F.col("_rn") <= k)
-        # verify: every stratum must deliver its full quota
-        short = (picked.groupBy(*strata_cols, "_want")
-                 .agg(F.count(F.lit(1)).alias("_got"))
-                 .filter(F.col("_got") < F.col("_want")))
+        # materialize once (tiny: <= k rows per stratum): the verify
+        # check and the caller both read this, so the expensive
+        # prefilter+rank pipeline runs exactly once per round
+        picked = (ranked.filter(F.col("_rn") <= k)
+                  .localCheckpoint(eager=True))
+        # verify: every stratum must deliver its full quota.  Join from
+        # the COUNTS side so a stratum whose rows were all dropped by
+        # the pre-filter (zero survivors -> absent from picked) is
+        # still detected as an undershoot.
+        got = picked.groupBy(*strata_cols).agg(
+            F.count(F.lit(1)).alias("_got"))
+        short = (thr.join(got, list(strata_cols), "left")
+                 .filter(F.coalesce(F.col("_got"), F.lit(0))
+                         < F.col("_want")))
         if short.isEmpty():
             return picked.drop("_h", "_rn", "_thr", "_want")
     raise RuntimeError(
@@ -163,7 +177,10 @@ def mixture_weights(df: DataFrame, group_col: str, token_col: str,
     actual_share, weight)`` where ``weight = target / actual`` — a
     sampler multiplies each doc's base rate by its group weight to hit
     the target mixture in expectation.  Groups absent from ``target``
-    get weight 0.0 (dropped domains).
+    get weight 0.0 (dropped domains).  Target groups the corpus cannot
+    serve are NOT silently omitted: they come back as a row with zero
+    counts and a NULL weight, so the misconfiguration is visible in the
+    output instead of discovered at training time.
 
     One map-side-combined groupBy over the corpus; the share division
     joins against a broadcast 1-row total — nothing here exceeds
@@ -171,17 +188,22 @@ def mixture_weights(df: DataFrame, group_col: str, token_col: str,
     """
     if abs(sum(target.values()) - 1.0) > 1e-9:
         raise ValueError(f"target shares must sum to 1, got {target}")
-    per = df.groupBy(group_col).agg(
+    spark = df.sparkSession
+    tgt_df = spark.createDataFrame(
+        sorted(target.items()), f"{group_col} string, _tgt double")
+    per = (df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+        .join(F.broadcast(tgt_df), group_col, "full_outer")
+        .select(group_col,
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("_tgt", F.lit(0.0)).alias("_tgt")))
     total = per.agg(F.sum("n_tokens").alias("_total"))
-    tgt = F.lit(0.0)
-    for g, share in sorted(target.items()):
-        tgt = F.when(F.col(group_col) == g, F.lit(share)).otherwise(tgt)
+    share = F.col("n_tokens") / F.col("_total")
     return (per.crossJoin(F.broadcast(total))
-            .withColumn("actual_share",
-                        F.round(F.col("n_tokens") / F.col("_total"), 6))
+            .withColumn("actual_share", F.round(share, 6))
             .withColumn("weight",
-                        F.round(tgt / (F.col("n_tokens") / F.col("_total")),
-                                6))
-            .drop("_total"))
+                        F.when(F.col("n_tokens") > 0,
+                               F.round(F.col("_tgt") / share, 6)))
+            .drop("_total", "_tgt"))

@@ -177,7 +177,20 @@ def _double_array_lit(vals: list[float]):
     profile.  ``cast(split(<one string literal>))`` is a 3-node
     subtree that the optimizer constant-folds exactly once into a
     single array Literal before codegen."""
-    body = ",".join(repr(float(v)) for v in vals)
+    def _fmt(v: float) -> str:
+        # repr() spells non-finite floats 'inf'/'nan', which Spark's
+        # string->double cast does NOT parse (silent NULL -> boundary
+        # dropped -> every rank shifts).  Spark accepts the Java
+        # spellings.
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)
+
+    body = ",".join(_fmt(float(v)) for v in vals)
     return F.expr(f"CAST(split('{body}', ',') AS array<double>)")
 
 
@@ -194,6 +207,12 @@ def _jvm_rank(proxy, bnds: np.ndarray):
     if not vals:
         return F.lit(0).cast("long")
     block = 64
+    if len(vals) <= block:
+        # small boundary sets (bits <= 6): one flat filter — the coarse
+        # slice would be EMPTY and an empty array literal cannot be
+        # spelled through split('') under ANSI casts
+        return F.size(F.filter(_double_array_lit(vals),
+                               lambda b: b <= proxy)).cast("long")
     arr = _double_array_lit(vals)
     coarse = _double_array_lit(vals[block - 1::block])
     blk = F.size(F.filter(coarse, lambda b: b <= proxy))

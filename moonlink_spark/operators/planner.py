@@ -204,16 +204,14 @@ def plan_compaction(manifest: DataFrame,
         cand = (cand.orderBy(F.col("bytes").asc(), F.col("path").asc())
                 .limit(config.max_files_to_compact))
 
-    # deterministic order, running-sum binning (two-phase parallel cumsum)
-    cum = ordered_cumsum(cand, "path", "bytes", "_cum")
-    binned = (
-        cum.withColumn("_bin",
-                       F.floor((F.col("_cum") - F.col("bytes"))
-                               / F.lit(config.bin_target_bytes)))
-        .select("path", "rows", "bytes", "dv_path", "dv_cardinality", "_bin")
-        .orderBy("path")
-    )
-
-    rows = [r.asDict() for r in binned.toLocalIterator()]
-    cum._cached.unpersist()
+    # deterministic order; the running-sum binning itself happens in
+    # _bins_from_rows over the streamed iterator (O(candidate files) of
+    # small dicts, batched by toLocalIterator — the driver holds one
+    # batch).  An earlier revision also ran the two-phase distributed
+    # cumsum here and then discarded it: _bins_from_rows recomputes the
+    # identical running sum, so the extra Spark jobs were dead work.
+    ordered = (cand.select("path", "rows", "bytes", "dv_path",
+                           "dv_cardinality")
+               .orderBy("path"))
+    rows = [r.asDict() for r in ordered.toLocalIterator()]
     return _bins_from_rows(rows, config)

@@ -161,3 +161,28 @@ def test_mixture_weights_rejects_bad_target(spark):
                                "doc_id long, source string, n_tok long")
     with pytest.raises(ValueError):
         smp.mixture_weights(df, "source", "n_tok", {"a": 0.6})
+
+
+def test_sample_stratified_zero_survivor_stratum_escalates(corpus):
+    # a margin so tight the prefilter initially drops SOME strata
+    # entirely: the verify loop must detect the absent stratum (not
+    # just undershot ones) and widen until the quota is exact
+    fast = smp.sample_stratified(corpus, ["lang"], 3, ["doc_id"],
+                                 seed=4, margin=0.02)
+    naive = _naive_stratified(corpus, ["lang"], 3, "doc_id", 4)
+    assert sorted((r.lang, r.doc_id) for r in fast.collect()) == \
+        sorted((r.lang, r.doc_id) for r in naive.collect())
+    assert fast.select("lang").distinct().count() == 3  # no lost strata
+
+
+def test_mixture_weights_unserved_target_group_is_visible(spark):
+    df = spark.createDataFrame([(i, "web", 100) for i in range(10)],
+                               "doc_id long, source string, n_tok long")
+    out = {r["source"]: r for r in
+           smp.mixture_weights(df, "source", "n_tok",
+                               {"web": 0.7, "code": 0.3}).collect()}
+    # the corpus cannot serve 'code': visible zero-count row, NULL
+    # weight — never silently omitted
+    assert out["code"]["n_docs"] == 0 and out["code"]["n_tokens"] == 0
+    assert out["code"]["weight"] is None
+    assert abs(out["web"]["weight"] - 0.7) < 1e-6  # web share is 1.0
