@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     # verification); the realistic 64-bit width has no such density.
     "dedup_embedding_neardup_lsh",
     "dedup_survivors",
+    "dedup_incremental",
     "sample_fraction",
     "sample_split",
     "sample_stratified",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "code_identifier_stats",
     "code_secret_scan",
     "code_pii_scan",
+    "code_line_dedup",
     "multimodal_features",
     "multimodal_frame_plan",
 ]

@@ -74,6 +74,31 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_keys(sig: DataFrame, id_col: str = "doc_id", *,
+                      n_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """Band a MinHash signature into the LSH probe relation
+    ``(id, band_key)`` — the persistable unit of an incremental dedup
+    index (write it bucketed by ``band_key``; tomorrow's batch probes
+    it with an equi-join, see :func:`dedup_against_index`).
+
+    All bands are stacked into ONE relation -> a single self-join
+    shuffle instead of one join per band (4x fewer stages; the join key
+    stays uniform because each band hashes a different signature
+    slice)."""
+    assert n_hashes % band_size == 0
+    n_bands = n_hashes // band_size
+    band_keys = [
+        F.md5(F.concat_ws("_", *[
+            F.col(f"sig_{i}")
+            for i in range(b * band_size, (b + 1) * band_size)
+        ])).alias(f"bk_{b}")
+        for b in range(n_bands)
+    ]
+    return (sig.select(F.col(id_col), F.array(*band_keys).alias("bks"))
+            .select(id_col, F.explode("bks").alias("band_key")))
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
                         n_hashes: int = 8, band_size: int = 2,
                         max_bucket_size: int | None = 1000) -> DataFrame:
@@ -90,21 +115,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", *,
     (deterministic, oracle-expressible); their members are exact-scale
     duplicates by construction and are caught by exact_dedup far more
     cheaply than by pairwise verification.  ``None`` disables the cap."""
-    assert n_hashes % band_size == 0
-    n_bands = n_hashes // band_size
-    # all bands stacked into one (band_id, band_key) relation -> a
-    # single self-join shuffle instead of one join per band (4x fewer
-    # stages; the join key stays uniform because the band id is mixed
-    # into the hash input)
-    band_keys = [
-        F.md5(F.concat_ws("_", *[
-            F.col(f"sig_{i}")
-            for i in range(b * band_size, (b + 1) * band_size)
-        ])).alias(f"bk_{b}")
-        for b in range(n_bands)
-    ]
-    banded = (sig.select(F.col(id_col), F.array(*band_keys).alias("bks"))
-              .select(id_col, F.explode("bks").alias("band_key")))
+    banded = minhash_band_keys(sig, id_col, n_hashes=n_hashes,
+                               band_size=band_size)
     if max_bucket_size is not None:
         ok = (banded.groupBy("band_key")
               .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -398,6 +410,101 @@ def select_survivors(docs: DataFrame, labels: DataFrame,
          .orderBy(F.desc("doc_len"), F.asc(id_col)))
     return (assigned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def dedup_against_index(new_sig: DataFrame, index: DataFrame,
+                        id_col: str = "doc_id", *,
+                        index_id_col: str | None = None,
+                        n_hashes: int = 8, band_size: int = 2,
+                        max_bucket_size: int | None = 1000) -> DataFrame:
+    """Incremental near-dup detection: probe a batch of NEW documents
+    against a **persisted** MinHash band index of the existing corpus,
+    without re-hashing the corpus.
+
+    ``index`` is :func:`minhash_band_keys` output ``(id, band_key)``
+    for the already-ingested corpus — at scale it lives as a parquet
+    table bucketed by ``band_key``, appended to as batches are
+    accepted.  This is the shape that makes daily dedup O(batch) rather
+    than O(corpus): a 100 TB corpus is LSH-hashed exactly once, and
+    each incoming batch pays only its own shingling plus one equi-join
+    on the uniform band hash (corpus side bucket-pruned / co-located).
+
+    Returns one row per new document that collides with the corpus:
+    ``(id, match_id, n_matches)`` — ``match_id`` the smallest matching
+    corpus id, ``n_matches`` the distinct corpus docs sharing a band.
+    New docs with no collision are absent (they are the keep-set).
+
+    ``max_bucket_size`` caps degenerate INDEX buckets (the boilerplate
+    mega-cluster guard, same drop-whole contract and rationale as
+    :func:`lsh_candidate_pairs`): a probe into a 10^6-doc bucket would
+    emit 10^6 rows per new doc; such buckets are already fully
+    represented by their exact-dup survivors.  Intra-batch duplicates
+    are NOT reported here — run the batch through
+    :func:`lsh_candidate_pairs` for that (both probes reuse the same
+    ``minhash_signature`` pass)."""
+    index_id_col = index_id_col or id_col
+    idx = index.select(F.col(index_id_col).alias("_corpus_id"), "band_key")
+    if max_bucket_size is not None:
+        ok = (idx.groupBy("band_key")
+              .agg(F.count(F.lit(1)).alias("_bsz"))
+              .filter(F.col("_bsz") <= max_bucket_size)
+              .select("band_key"))
+        idx = idx.join(ok, on="band_key", how="left_semi")
+    probes = minhash_band_keys(new_sig, id_col, n_hashes=n_hashes,
+                               band_size=band_size)
+    hits = (probes.join(idx, on="band_key")
+            .select(id_col, "_corpus_id").distinct())
+    return (hits.groupBy(id_col)
+            .agg(F.min("_corpus_id").alias("match_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_matches")))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", *, min_df: int = 2,
+               min_line_chars: int = 1) -> DataFrame:
+    """Exact line-level deduplication (the RefinedWeb/CCNet scrub):
+    drop every line whose exact content occurs in at least ``min_df``
+    DISTINCT documents — boilerplate headers, license banners,
+    navigation chrome — and reassemble each document from its surviving
+    lines in original order.
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped)`` — one
+    row per input document (documents whose every line was boilerplate
+    come back with an empty ``text_clean``, not silently dropped).
+    Lines shorter than ``min_line_chars`` (e.g. blank separator lines,
+    which would otherwise always exceed any df threshold) are exempt
+    and always kept, preserving document structure.
+
+    Scale shape: one explode, then two map-side-combinable aggregations
+    — per-(line, doc) collapse, then distinct-doc counts per line — a
+    join BACK to the exploded lines on the line content (uniform key;
+    the frequency side is one row per distinct line, so even a header
+    shared by 10^8 docs joins as one build row against 10^8 probe rows
+    — linear, never quadratic), and a final groupBy(id) that
+    reassembles via sort_array over (pos, line) structs.  Per-reducer
+    work is bounded by single-document size.  No UDFs."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    # distinct-doc frequency per line content: two combinable aggs
+    # (never a COUNT DISTINCT expand at scale)
+    freq = (lines.select("_line", id_col).distinct()
+            .groupBy("_line").agg(F.count(F.lit(1)).alias("_df")))
+    flagged = lines.join(freq, on="_line").withColumn(
+        "_drop",
+        (F.col("_df") >= min_df) &
+        (F.length("_line") >= min_line_chars))
+    return (flagged.groupBy(id_col).agg(
+        F.concat_ws("\n", F.transform(
+            F.sort_array(F.collect_list(
+                F.when(~F.col("_drop"),
+                       F.struct(F.col("_pos"), F.col("_line"))))),
+            lambda s: s["_line"])).alias("text_clean"),
+        F.sum(F.when(~F.col("_drop"), 1).otherwise(0))
+        .cast("long").alias("n_lines_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+        .cast("long").alias("n_lines_dropped")))
 
 
 def ngram_decontaminate(docs: DataFrame, benchmark: DataFrame, *,

@@ -194,7 +194,7 @@ def mixture_weights(df: DataFrame, group_col: str, token_col: str,
     per = (df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
-        .join(F.broadcast(tgt_df), group_col, "full_outer")
+        .join(tgt_df, group_col, "full_outer")
         .select(group_col,
                 F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),

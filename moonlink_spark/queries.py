@@ -687,6 +687,47 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.select_survivors(docs, labels)
 
 
+# incremental-dedup oracle: the SAME shingle→sig→band CTE chain as the
+# LSH oracle, split into corpus (already indexed) and probe batch on
+# doc_id % 3, with the bucket cap applied to the INDEX side only —
+# pinned to dedup.dedup_against_index's semantics
+_INC_ORACLE = _mh_sql[:_mh_sql.index("small_buckets AS")].rstrip() \
+    .rstrip(",") + """,
+corpus AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+small_corpus AS (
+  SELECT band_key FROM corpus GROUP BY band_key HAVING COUNT(*) <= 1000
+),
+kept AS (SELECT c.* FROM corpus c JOIN small_corpus USING (band_key)),
+hits AS (
+  SELECT DISTINCT b.doc_id, k.doc_id AS corpus_id
+  FROM bands b JOIN kept k USING (band_key)
+  WHERE b.doc_id % 3 = 0
+)
+SELECT doc_id, MIN(corpus_id) AS match_id, COUNT(*) AS n_matches
+FROM hits GROUP BY doc_id
+"""
+
+
+@_register("dedup_incremental", _INC_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash band index
+    (``dedup.minhash_band_keys`` + ``dedup_against_index``): docs with
+    ``doc_id % 3 != 0`` play yesterday's already-indexed corpus, the
+    rest are today's batch.  The corpus is LSH-hashed once and only its
+    ``(id, band_key)`` relation is touched again — daily dedup cost is
+    O(batch), not O(corpus), which is the only shape that survives a
+    100 TB corpus ingesting 1 TB/day.  Hot index buckets (> 1000 docs)
+    are dropped whole, same guard as ``dedup_minhash_lsh``."""
+    docs = _duped_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    sig_c = dd.minhash_signature(corpus, n_hashes=8, shingle_n=3)
+    index = dd.minhash_band_keys(sig_c, n_hashes=8, band_size=2)
+    sig_n = dd.minhash_signature(batch, n_hashes=8, shingle_n=3)
+    return dd.dedup_against_index(sig_n, index, n_hashes=8, band_size=2,
+                                  max_bucket_size=1000)
+
+
 # ---------------------------------------------------------------- sampling
 
 def _split_case_sql(weights: dict[str, float], bucket_expr: str) -> str:
@@ -1380,6 +1421,44 @@ def code_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(F.col("has_pii"))
             .select("doc_id", "n_emails", "n_ipv4",
                     F.sha2(F.col("redacted"), 256).alias("redacted_sha")))
+
+
+@_register("code_line_dedup", f"""
+WITH {_CODE_SQL},
+split_docs AS (
+  SELECT doc_id, string_split(content, chr(10)) AS s FROM code_docs
+),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'p': i, 'l': s[i+1]}} for i in range(0, len(s))]) AS r
+  FROM split_docs
+),
+flat AS (SELECT doc_id, r.p AS pos, r.l AS line FROM lines),
+freq AS (
+  SELECT line, COUNT(*) AS df
+  FROM (SELECT DISTINCT line, doc_id FROM flat) GROUP BY line
+),
+flagged AS (
+  SELECT f.doc_id, f.pos, f.line,
+         (fr.df >= 5 AND length(f.line) >= 1) AS drp
+  FROM flat f JOIN freq fr USING (line)
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT drp), '') AS text_clean,
+       COUNT(*) FILTER (WHERE NOT drp) AS n_lines_kept,
+       COUNT(*) FILTER (WHERE drp) AS n_lines_dropped
+FROM flagged GROUP BY doc_id
+""")
+def code_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level dedup over the code corpus
+    (``dedup.line_dedup``, the RefinedWeb/CCNet boilerplate scrub):
+    lines occurring in >= 5 distinct files — license banners, injected
+    comment headers — are stripped and each file is reassembled from
+    its surviving lines in original order (empty lines exempt).  The
+    oracle rebuilds the cleaned text byte-for-byte."""
+    return dd.line_dedup(_code_docs(spark, sf_dir), text_col="content",
+                         min_df=5, min_line_chars=1)
 
 
 @_register("multimodal_features", """

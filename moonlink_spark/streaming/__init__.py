@@ -1,1 +1,2 @@
 from moonlink_spark.streaming.cdc_apply import apply_cdc_stream  # noqa: F401
+from moonlink_spark.streaming.dedup import dedup_stream  # noqa: F401

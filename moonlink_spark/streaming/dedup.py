@@ -1,0 +1,53 @@
+"""Streaming deduplication: exactly-once semantics over an
+at-least-once event feed.
+
+moonlink's REST/CDC ingestion is at-least-once at the transport layer —
+a client that times out on an ack retries the same rows, and the
+reference deduplicates via LSN bookkeeping inside the table handler
+(`src/moonlink/src/table_handler/` tracks per-xact LSNs; replayed
+events below the committed watermark are dropped).  In a Spark-first
+engine the same guarantee for *event streams* is a built-in:
+``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+event-time watermark passes, so state is O(keys within the dedup
+horizon), never O(all keys ever seen).
+
+Semantics: for each key, the FIRST event wins and later copies arriving
+within ``delay`` of the watermark are suppressed; a copy arriving later
+than that may be re-emitted (the horizon is the at-least-once retry
+bound, which transports keep to seconds — ``delay`` should dominate the
+maximum retry window).  The batch twin for tests is a plain
+``dropDuplicates`` over the same keys, equal whenever every duplicate
+pair lands within the horizon.
+
+Scale shape: one shuffle on the dedup key (uniform when the key is an
+event/row id), state-store-backed, watermark-bounded memory.  This is
+the front door a CDC feed passes through before ``cdc_apply`` batches
+transactions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def dedup_stream(events: DataFrame, key_cols: Sequence[str], *,
+                 watermark_col: str = "ts",
+                 delay: str = "10 minutes") -> DataFrame:
+    """First-event-wins dedup over a streaming DataFrame.
+
+    ``key_cols`` identify a logical event (e.g. ``(user_id, event_id)``
+    or the transport's idempotency token); ``watermark_col`` is the
+    event-time column bounding how long per-key state is retained;
+    ``delay`` is the dedup horizon — retried duplicates must arrive
+    within it.
+
+    Works only on streaming DataFrames (Spark requires a watermark for
+    ``dropDuplicatesWithinWatermark``); the batch oracle is
+    ``df.dropDuplicates(key_cols)``.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    return (events.withWatermark(watermark_col, delay)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

@@ -115,3 +115,44 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         by_user.setdefault(u, []).append(sid)
     for u, ids in by_user.items():
         assert sorted(ids) == list(range(1, len(ids) + 1)), (u, ids)
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """streaming/dedup.py: an at-least-once feed (1/3 of events
+    duplicated) through dropDuplicatesWithinWatermark equals the batch
+    dropDuplicates answer — first event wins, per-key state bounded by
+    the watermark horizon."""
+    from moonlink_spark.streaming.dedup import dedup_stream
+
+    ev = spark.read.parquet(EVENTS) \
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                "event_id", "user_id", "event_type", "value")
+    dup_feed = ev.union(ev.filter(F.col("event_id") % 3 == 0))
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src, exist_ok=True)
+    rows = dup_feed.orderBy("ts", "event_id").collect()
+    per = len(rows) // 3 + 1
+    for i in range(3):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{src}/s{i}")
+    flat = str(tmp_path / "dup_flat")
+    os.makedirs(flat, exist_ok=True)
+    j = 0
+    for i in range(3):
+        d = f"{src}/s{i}"
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    os.rename(os.path.join(d, name),
+                              os.path.join(flat, f"{j:02d}.parquet"))
+                    j += 1
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    deduped = dedup_stream(stream, ["event_id"], watermark_col="ts",
+                           delay="2 hours")
+    got = {tuple(r) for r in
+           _run_stream(spark, deduped, tmp_path, "dedup_ev").collect()}
+    batch = {tuple(r) for r in ev.dropDuplicates(["event_id"]).collect()}
+    assert got == batch and len(got) == ev.count()
