@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pack_sequences",
     "mixture_weights",
+    "budget_selection",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_stats",

@@ -207,3 +207,54 @@ def mixture_weights(df: DataFrame, group_col: str, token_col: str,
                         F.when(F.col("n_tokens") > 0,
                                F.round(F.col("_tgt") / share, 6)))
             .drop("_total", "_tgt"))
+
+
+def select_by_token_budget(df: DataFrame, score_col: str, token_col: str,
+                           budget: int, key_cols: Sequence[str], *,
+                           resolution: int = 1_000_000) -> DataFrame:
+    """Quality-ordered corpus selection under a global token budget —
+    "take the best N tokens": documents are ranked by ``score_col``
+    descending (ties by the zero-padded ``key_cols`` rendering, so
+    selection is a pure deterministic function of the corpus) and the
+    greedy prefix whose running token sum stays within ``budget`` is
+    kept.
+
+    Returns the selected documents (original columns) plus
+    ``cum_tokens`` — each doc's inclusive position in the running sum,
+    so the caller can audit exactly where the budget line fell.
+
+    Scores are clamped to [0, 1] and quantized to ``1/resolution``
+    before ranking (the ranking is by ``floor(score * resolution)``;
+    finer differences tie).  Keys must be unique.
+
+    Scale shape: the global running sum is the planner's two-phase
+    ``ordered_cumsum`` — range-partitioned parallel windows plus
+    broadcast per-partition prefix offsets — so no single task ever
+    sorts the corpus; the budget cut is then a stateless filter.  This
+    is the data-selection step (DsDm/DataComp-style) a 100 TB pipeline
+    runs after scoring: at that scale a driver-side sort or a global
+    one-partition window is impossible, the two-phase cumsum is not.
+    """
+    from moonlink_spark.operators.planner import ordered_cumsum
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    q = F.floor(
+        F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0)) * resolution).cast("long")
+    width = len(str(resolution))
+    parts = [F.lpad((F.lit(resolution) - q).cast("string"), width, "0")]
+    for c in key_cols:
+        parts += [F.lit(":"), F.lpad(F.col(c).cast("string"), 40, "0")]
+    src = df.withColumn("_ord", F.concat(*parts))
+    out = ordered_cumsum(src, "_ord", token_col, "_cum")
+    res = (out.filter(F.col("_cum") <= budget)
+           .select(*[F.col(c) for c in df.columns],
+                   F.col("_cum").cast("long").alias("cum_tokens")))
+    # materialize the selection, then release the cumsum's corpus-wide
+    # cache (same lifecycle as pack_sequences)
+    res = res.localCheckpoint(eager=True)
+    cached = getattr(out, "_cached", None)
+    if cached is not None:
+        cached.unpersist()
+    return res

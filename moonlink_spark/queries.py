@@ -866,6 +866,54 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.mixture_weights(docs, "lang", "n_chars", _MIX_TARGET)
 
 
+@_register("budget_selection", """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS n_tok,
+         len(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')))
+           * 1.0
+           / greatest(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')), 1)
+           AS score
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok, score,
+         lpad(CAST(1000000 - CAST(floor(
+                least(greatest(score, 0.0), 1.0) * 1000000) AS BIGINT)
+              AS VARCHAR), 7, '0')
+           || ':' || lpad(doc_id::VARCHAR, 40, '0') AS ord
+  FROM t
+),
+c AS (
+  SELECT doc_id, score, n_tok,
+         SUM(n_tok) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+  FROM o
+)
+SELECT doc_id, ROUND(score, 6) AS score, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 20000
+""")
+def budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (``sampling.select_by_token_budget``):
+    rank docs by a quality proxy (distinct-token ratio) and keep the
+    greedy prefix whose running token sum stays within a 20k-token
+    budget — the "take the best N tokens" data-selection step.  The
+    global running sum rides the two-phase range-partitioned cumsum
+    (no single-task sort); the oracle replays the identical quantized
+    ordering and windowed sum."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), "[ \\t\\n]+")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("score"))
+    out = smp.select_by_token_budget(scored, "score", "n_tok", 20_000,
+                                     ["doc_id"])
+    return out.select("doc_id", F.round("score", 6).alias("score"),
+                      "n_tok", "cum_tokens")
+
+
 @_register("dedup_ngram_jaccard", f"""
 WITH {_DUPED_SQL},
 toks AS (

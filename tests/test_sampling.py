@@ -186,3 +186,29 @@ def test_mixture_weights_unserved_target_group_is_visible(spark):
     assert out["code"]["n_docs"] == 0 and out["code"]["n_tokens"] == 0
     assert out["code"]["weight"] is None
     assert abs(out["web"]["weight"] - 0.7) < 1e-6  # web share is 1.0
+
+
+def test_select_by_token_budget_greedy_prefix(spark):
+    rows = [(0, 0.9, 100), (1, 0.8, 100), (2, 0.7, 100),
+            (3, 0.95, 50), (4, 0.1, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+    got = {r["doc_id"]: r["cum_tokens"] for r in
+           smp.select_by_token_budget(df, "score", "n_tok", 260,
+                                      ["doc_id"]).collect()}
+    # score order: 3 (50), 0 (150), 1 (250), 2 would hit 350 > 260
+    assert got == {3: 50, 0: 150, 1: 250}
+    # budget below the best doc's size -> empty, never a partial doc
+    assert smp.select_by_token_budget(df, "score", "n_tok", 10,
+                                      ["doc_id"]).count() == 0
+    with pytest.raises(ValueError):
+        smp.select_by_token_budget(df, "score", "n_tok", 0, ["doc_id"])
+
+
+def test_select_by_token_budget_ties_and_clamp(spark):
+    # equal scores tie-break by zero-padded key; out-of-range scores
+    # clamp to [0,1] instead of corrupting the order key width
+    rows = [(7, 0.5, 10), (2, 0.5, 10), (11, 1.7, 10), (5, -3.0, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+    out = smp.select_by_token_budget(df, "score", "n_tok", 30, ["doc_id"])
+    assert [r["doc_id"] for r in out.orderBy("cum_tokens").collect()] \
+        == [11, 2, 7]
