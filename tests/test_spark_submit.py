@@ -1,0 +1,105 @@
+"""End-to-end launch-shape test: the north rule's literal deployment
+path (`BASELINE.json`: "run via spark-submit --py-files on a
+multi-executor cluster") — zip the package, `spark-submit --py-files
+moonlink_spark.zip tools/run_maintenance.py`, and verify the
+maintenance report plus the content invariant.
+
+The subprocess runs from a NEUTRAL cwd with the repo stripped from
+PYTHONPATH, so the only way ``import moonlink_spark`` can succeed on
+the driver (and on executors) is through the ``--py-files`` zip — the
+test fails if the package stops being zip-importable (e.g. a stray
+data-file dependency or a ``__file__``-relative path sneaks in).
+
+Reference analogue: moonlink ships as an embeddable library loaded by
+its host process (`src/moonlink/lib.rs`); the Spark-native equivalent
+of "deployable artifact" is the py-files zip, and this test is the
+cargo-package smoke check for it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zip_package(dest: str) -> str:
+    """Zip moonlink_spark/ exactly as the README documents
+    (``zip -r moonlink_spark.zip moonlink_spark``)."""
+    zpath = os.path.join(dest, "moonlink_spark.zip")
+    src = os.path.join(REPO, "moonlink_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                if f.endswith(".pyc") or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
+def test_spark_submit_py_files_maintenance(tmp_path, spark):
+    warehouse = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(warehouse, seed=7, n_files=24,
+                             rows_per_file=(40, 120), n_repos=6,
+                             content_bytes=(64, 512))
+
+    # expected live content, computed in-process before the submit
+    from moonlink_spark.engine import MoonTable
+    t = MoonTable(spark, warehouse)
+    base_version = t.current_version()
+    expected = (t.scan().selectExpr("sha2(content, 256) AS h")
+                .groupBy().agg({"h": "count"}).collect()[0][0])
+    expected_shas = {r["h"] for r in
+                     t.scan().selectExpr("sha2(content, 256) AS h")
+                     .distinct().collect()}
+
+    zpath = _zip_package(str(tmp_path))
+    neutral = str(tmp_path / "cwd")
+    os.makedirs(neutral, exist_ok=True)
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)  # the zip must be the only import path
+
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zpath,
+         os.path.join(REPO, "tools", "run_maintenance.py"),
+         "--warehouse", warehouse, "--mode", "full",
+         "--expire-retain", "1"],
+        cwd=neutral, env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # the report is the single JSON line on stdout
+    report = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            report = json.loads(line)
+    assert report is not None, proc.stdout[-2000:]
+    assert report["base_version"] == base_version
+    assert report["final_version"] > base_version
+    assert report["live_rows"] == expected
+    assert report["optimize"]["mode"] == "full"
+
+    # content invariant across the process boundary: the in-process
+    # engine reads the post-maintenance state the subprocess committed
+    t2 = MoonTable(spark, warehouse)
+    after = {r["h"] for r in
+             t2.scan().selectExpr("sha2(content, 256) AS h")
+             .distinct().collect()}
+    assert after == expected_shas
