@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; approximate / multi-job stateful
-    entries (similarity_topk_ivf, maintenance_e2e) are intentionally
-    absent → rows-only check."""
+    """DuckDB-equivalent SQL per query; the one approximate-by-design
+    entry (similarity_topk_ivf) is intentionally absent → rows-only
+    check."""
     return dict(ORACLE)
