@@ -147,10 +147,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     keep counting all shingles, so capped pairs can only lose
     intersection — Jaccard is underestimated, never inflated: the cap
     yields false negatives on pairs whose overlap is entirely
-    boilerplate, never false positives.  ``None`` disables the cap."""
+    boilerplate, never false positives.  ``None`` disables the cap.
+
+    Shingles are hashed to 60-bit longs (the cross-engine ``h60``)
+    before anything shuffles: every downstream exchange — the per-doc
+    size agg, the document-frequency agg, the semi-join, and above all
+    the postings self-join — then moves an 8-byte key instead of a
+    20-30-byte string.  Jaccard over hashed shingle sets is the
+    standard formulation (Broder's original shingling hashes first);
+    a cross-shingle h60 collision (p ≈ n²/2^61) can merge two shingles
+    corpus-wide, identically in the DuckDB oracle since h60 is the
+    same function in both engines."""
+    hashed = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), shingle_n), h60))
     sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        F.col(id_col), F.explode(hashed).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     co_sh = sh
     if max_shingle_df is not None:

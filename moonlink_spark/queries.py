@@ -921,10 +921,10 @@ toks AS (
   FROM dup_docs
 ),
 shingles AS (
-  SELECT DISTINCT doc_id, sh FROM (
+  SELECT DISTINCT doc_id, {h60_sql('sh_raw')} AS sh FROM (
     SELECT doc_id,
            unnest([array_to_string(t[i+1:i+3], ' ')
-                   for i in range(0, greatest(len(t) - 3, 0) + 1)]) AS sh
+                   for i in range(0, greatest(len(t) - 3, 0) + 1)]) AS sh_raw
     FROM toks)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
