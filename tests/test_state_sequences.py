@@ -208,6 +208,138 @@ def test_4_unreferenced_dv_deleted_by_expire(spark, tmp_path):
         t.scan(v2).count()
 
 
+# ---------------------------------------------------------------------------
+# Data-file state family (``data_file_state_tests.rs``), portable subset.
+#
+# The reference's family is a state machine over (remote storage, local
+# cache pin, use refcount) — states (1)..(5) in its header comment
+# (``data_file_state_tests.rs:24-30``).  The local-cache axis is owned
+# by Spark executors in this architecture (declared non-goal), so the
+# cache-pin states collapse; what remains portable is the
+# remote-storage × in-use axis, which maps exactly onto this engine's
+# model:
+#
+#   "remote storage"   <-> file committed in the warehouse + referenced
+#                          by some retained manifest
+#   "in use"           <-> a reader holds a scan planned at a pinned
+#                          version that references the file
+#   "use over"         <-> no retained version references it; the file
+#                          is requested-to-delete at the next expire
+#
+# Each test keeps the reference's state-number naming.
+# ---------------------------------------------------------------------------
+
+
+def test_shutdown_table_clean_state(spark, tmp_path):
+    """``test_shutdown_table``: dropping the engine object mid-life
+    leaves a warehouse a fresh manager loads completely — no stray
+    tmp/staging files anywhere under the tree (the reference asserts
+    the shutdown path leaves no cache residue)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:2]), key_columns=KEYS)
+    t.optimize("full")
+    wh = t.store.warehouse
+    want = {tuple(r) for r in t.scan().select(*KEYS).collect()}
+    del t  # "shutdown" — engine holds no state the store can't reload
+    for root, _dirs, files in os.walk(wh):
+        for f in files:
+            assert "tmp" not in f, f"stray staging file {root}/{f}"
+    t2 = MoonTable(spark, wh, CFG)
+    assert {tuple(r) for r in t2.scan().select(*KEYS).collect()} == want
+
+
+def test_1_compact_1_5_old_files_remain_until_expire(spark, tmp_path):
+    """(1) + compact, not in use: compaction REPLACES the manifest's
+    file set but does not delete the old files — they stay on disk
+    ("remote storage", unreferenced by the new version) until expire
+    requests deletion (``data_file_state_tests.rs:1758``, detached
+    deletion in ``table_handler.rs:187-200``)."""
+    t = _mk(spark, tmp_path)
+    # a second append => >=2 live files, so full-mode compaction has
+    # something to bin-pack (a single target-sized file is a no-op)
+    t.append(spark.createDataFrame(
+        [("org9/r", "src/x.rs", "ffffffff", "rust", "fn x() {}")],
+        "repo string, path string, commit string, lang string, "
+        "content string"))
+    v1 = t.current_version()
+    old_paths = {e["path"] for e in _entries(t.store.warehouse, v1)}
+    snap = t.optimize("full")
+    new_paths = {e["path"] for e in _entries(t.store.warehouse,
+                                             snap.version)}
+    assert new_paths.isdisjoint(old_paths)
+    for p in old_paths:  # state (1): still on remote, not referenced
+        assert t.store.fs.is_file(t.store.abs(p))
+    out = t.expire_snapshots(retain_last=1)
+    assert old_paths <= set(out["deleted_files"])
+    for p in old_paths:  # state (0): no such entry
+        assert not t.store.fs.exists(t.store.abs(p))
+
+
+def test_2_read_over_1_in_flight_scan_survives_compaction(spark, tmp_path):
+    """(2) -> (1): a scan PLANNED before compaction (in use) executes
+    correctly after the compaction commit — the old files it references
+    are still present; when the read is over and the version expires,
+    the files are deleted (``test_2_read_over_1``)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    reader = t.scan()  # planned now, executed later ("in use")
+    t.optimize("full")
+    got = {tuple(r) for r in reader.select(*KEYS).collect()}
+    assert got == {(r[0], r[1], r[2]) for r in ROWS[3:]}
+    t.expire_snapshots(retain_last=1)  # use over -> requested to delete
+    fresh = {tuple(r) for r in t.scan().select(*KEYS).collect()}
+    assert fresh == got
+
+
+def test_3_compact_3_5_pinned_reader_spans_compaction(spark, tmp_path):
+    """(3) + compact: the compacted-away files stay readable through a
+    version-pinned reader for as long as the version is retained; the
+    new files coexist (``test_3_compact_3_5``: compaction while the old
+    files are in use keeps both generations live)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    v2 = t.current_version()
+    snap = t.optimize("full")
+    # both generations on disk simultaneously
+    for e in _entries(t.store.warehouse, v2):
+        assert t.store.fs.is_file(t.store.abs(e["path"]))
+    for e in _entries(t.store.warehouse, snap.version):
+        assert t.store.fs.is_file(t.store.abs(e["path"]))
+    # pinned reader (in use) sees pre-compaction file set, same rows
+    pinned = {tuple(r) for r in t.scan(v2).select(*KEYS).collect()}
+    assert pinned == {(r[0], r[1], r[2]) for r in ROWS[3:]}
+
+
+def test_3_read_and_read_over_and_unpinned_1(spark, tmp_path):
+    """(3) -> (1): after the pinned version leaves retention, its files
+    are requested-to-delete; a NEW reader at the current version is
+    unaffected (``test_3_read_and_read_over_and_unpinned_1``)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    v2 = t.current_version()
+    t.optimize("full")
+    assert t.scan(v2).count() == len(ROWS) - 3  # read...
+    t.expire_snapshots(retain_last=1)           # ...read over, unpinned
+    with pytest.raises(Exception):
+        t.scan(v2).count()
+    assert t.scan().count() == len(ROWS) - 3
+
+
+def test_1_use_2_reread_same_bytes(spark, tmp_path):
+    """(1) <-> (2): use / use-over cycles are idempotent — repeated
+    scans of the same version return the identical row multiset and
+    leave the manifest byte-identical (no state accrues from reads;
+    the reference asserts reads never mutate persisted state)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_dels(spark, ROWS[:3]), key_columns=KEYS)
+    v = t.current_version()
+    before = _entries(t.store.warehouse, v)
+    a = sorted(map(tuple, t.scan(v).select(*KEYS).collect()))
+    b = sorted(map(tuple, t.scan(v).select(*KEYS).collect()))
+    assert a == b
+    assert _entries(t.store.warehouse, v) == before
+
+
 def test_2_full_row_cycle_bounds_tighten(spark, tmp_path):
     """Upsert-heavy sequence: after edits + compaction, per-file bounds
     reflect the rewritten content exactly (recomputed from footers, not
