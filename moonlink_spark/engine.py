@@ -629,6 +629,78 @@ class MoonTable:
             expected_parent=base.version, presorted=True)
 
     # -- retention -------------------------------------------------------
+    def maintain(self, option: str = "best_effort") -> dict:
+        """Evaluate maintenance triggers and run at most ONE maintenance
+        operation — the decision layer the reference's table handler
+        applies on every commit (``table_handler_state.rs:25-67``:
+        ``MaintenanceRequestStatus`` Unrequested/ForceRegular/ForceFull,
+        at most one maintenance in flight per table).
+
+        ``option``:
+
+        - ``"best_effort"`` — evaluate the production triggers against
+          the current manifest: data compaction when at least
+          ``min_files_to_compact`` files qualify (undersized or past the
+          deletion fraction, ``compaction_config.rs:47-54``), else index
+          merge when >= 16 DV sidecars / small index blocks accumulated
+          (``index_merge_config.rs:258-268``), else nothing.
+        - ``"force_regular"`` — run data compaction unconditionally
+          (trigger thresholds still shape candidate selection).
+        - ``"force_full"`` — compact everything (``ForceFull``).
+        - ``"skip"`` — evaluate nothing (the reference's Skip option).
+
+        Returns an auditable decision record: the decision, the trigger
+        counts it was based on, and the version window.  The trigger
+        evaluation is ONE aggregate over the manifest DataFrame (never a
+        listing of data files), so it costs O(manifest) regardless of
+        table size — cheap enough to call after every ingest batch.
+        """
+        if option not in ("best_effort", "force_regular", "force_full",
+                          "skip"):
+            raise ValueError(f"unknown maintain option {option!r}")
+        v0 = self.current_version()
+        rec = {"option": option, "decision": "none",
+               "version_before": v0, "version_after": v0, "reasons": {}}
+        if option == "skip":
+            return rec
+        if option in ("force_regular", "force_full"):
+            mode = "data" if option == "force_regular" else "full"
+            snap = self.optimize(mode)
+            rec.update(decision=mode, version_after=snap.version)
+            return rec
+
+        mdf = self.store.manifest_df(self.spark, v0)
+        qualifies = planner_mod.select_candidates(
+            mdf, self.config.compaction).select(F.lit(1).alias("q"))
+        counts = mdf.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("dv_path").isNotNull(), 1).otherwise(0))
+            .alias("n_dv")).collect()[0]
+        n_candidates = qualifies.count()
+        n_blocks = 0
+        if self.config.index_key_columns:
+            from moonlink_spark.operators import keyindex
+            n_blocks = sum(
+                len(keyindex._bucket_parts(self.store, b))
+                for b in range(self.config.index_buckets))
+        rec["reasons"] = {
+            "n_files": int(counts["n_files"]),
+            "n_compact_candidates": int(n_candidates),
+            "n_dv_sidecars": int(counts["n_dv"] or 0),
+            "n_index_blocks": n_blocks,
+            "min_files_to_compact":
+                self.config.compaction.min_files_to_compact,
+            "min_blocks_to_merge": MIN_DV_SIDECARS_TO_MERGE,
+        }
+        if n_candidates >= self.config.compaction.min_files_to_compact:
+            snap = self.optimize("data")
+            rec.update(decision="data", version_after=snap.version)
+        elif (int(counts["n_dv"] or 0) >= MIN_DV_SIDECARS_TO_MERGE
+              or n_blocks >= MIN_DV_SIDECARS_TO_MERGE):
+            snap = self.optimize("index")
+            rec.update(decision="index", version_after=snap.version)
+        return rec
+
     def expire_snapshots(self, retain_last: int = 2, *,
                          clean_tmp_older_than_seconds: float = 24 * 3600
                          ) -> dict:

@@ -45,9 +45,16 @@ class IngestSession:
     event-loop analogue, ``table_handler.rs:30-207``)."""
 
     def __init__(self, table, *, key_columns: Sequence[str],
-                 record_to: str | None = None):
+                 record_to: str | None = None,
+                 auto_maintain: bool = False):
         self.table = table
         self.key_columns = list(key_columns)
+        # evaluate maintenance triggers after every applied flush — the
+        # reference's table handler evaluates compaction/index-merge on
+        # each snapshot completion (table_handler_state.rs); decisions
+        # land in ``self.last_maintenance`` for the caller to audit
+        self.auto_maintain = auto_maintain
+        self.last_maintenance: dict | None = None
         # record-and-replay hook (regression.rs analogue): every
         # committed transaction also lands in a JSON-lines recording
         # that tests/recordings/ can replay verbatim
@@ -112,8 +119,11 @@ class IngestSession:
         if self._pending:
             raise RuntimeError(
                 "open transaction: commit() or rollback() before flush()")
-        return self.wal.replay_into(self.table,
+        snap = self.wal.replay_into(self.table,
                                     key_columns=self.key_columns)
+        if snap is not None and self.auto_maintain:
+            self.last_maintenance = self.table.maintain("best_effort")
+        return snap
 
     # -- watermarks -------------------------------------------------------
     def committed_lsn(self) -> int:

@@ -1,0 +1,115 @@
+"""Maintenance decision layer: ``MoonTable.maintain`` and the ingest
+auto-maintain hook.
+
+The reference evaluates compaction / index-merge triggers on every
+snapshot completion and admits at most one maintenance operation at a
+time (``table_handler_state.rs:25-67``, ``MaintenanceRequestStatus``
+Unrequested/ForceRegular/ForceFull + the Skip snapshot option).  These
+tests pin the trigger arithmetic of the Spark analogue and that
+decisions are auditable records, not silent side effects.
+"""
+
+import pytest
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.snapshotstore import SnapshotStore
+
+KEYS = ["repo", "path", "commit"]
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+ROW_DDL = ("repo string, path string, commit string, lang string, "
+           "content string")
+
+
+def _mk(spark, tmp_path, min_files=4, name="wh"):
+    cfg = TableConfig(compaction=CompactionConfig(
+        min_files_to_compact=min_files, target_file_bytes=1 << 20,
+        bin_target_bytes=1 << 20, bin_concurrency=1))
+    wh = str(tmp_path / name)
+    store = SnapshotStore(wh)
+    store.init_warehouse()
+    store.commit([], schema=SCHEMA, stats_columns=cfg.stats_columns,
+                 properties={"flush_lsn": 0, "operation": "create-table"})
+    return MoonTable(spark, wh, cfg)
+
+
+def _append_files(spark, t, n, tag=""):
+    for i in range(n):
+        t.append(spark.createDataFrame(
+            [(f"org{i}/r{tag}", f"src/f{i}.rs", f"{i:08x}", "rust",
+              f"fn f{i}() {{}}")], ROW_DDL.replace(", _op string", "")))
+
+
+def test_skip_evaluates_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    rec = t.maintain("skip")
+    assert rec["decision"] == "none"
+    assert rec["reasons"] == {}
+    assert rec["version_before"] == rec["version_after"]
+
+
+def test_best_effort_below_threshold_is_none(spark, tmp_path):
+    """Fewer qualifying files than min_files_to_compact => no op runs,
+    but the record shows the counts the decision was based on."""
+    t = _mk(spark, tmp_path, min_files=4)
+    _append_files(spark, t, 2)
+    v = t.current_version()
+    rec = t.maintain()
+    assert rec["decision"] == "none"
+    assert rec["reasons"]["n_compact_candidates"] == 2
+    assert rec["reasons"]["min_files_to_compact"] == 4
+    assert t.current_version() == v
+
+
+def test_best_effort_triggers_data_compaction(spark, tmp_path):
+    """At/above the file-count trigger the policy runs data compaction
+    and the record carries the version window."""
+    t = _mk(spark, tmp_path, min_files=4)
+    _append_files(spark, t, 5)
+    v = t.current_version()
+    rec = t.maintain()
+    assert rec["decision"] == "data"
+    assert rec["reasons"]["n_compact_candidates"] == 5
+    assert rec["version_before"] == v
+    assert rec["version_after"] > v
+    assert t.scan().count() == 5
+    # compacted: fewer live files than inputs
+    ents = t.store.manifest_entries(rec["version_after"])
+    assert len(ents) < 5
+
+
+def test_force_full_compacts_everything(spark, tmp_path):
+    t = _mk(spark, tmp_path, min_files=64)  # best-effort would decline
+    _append_files(spark, t, 3)
+    rec = t.maintain("force_full")
+    assert rec["decision"] == "full"
+    assert len(t.store.manifest_entries(rec["version_after"])) == 1
+    assert t.scan().count() == 3
+
+
+def test_unknown_option_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError):
+        t.maintain("sometimes")
+
+
+def test_ingest_auto_maintain_hook(spark, tmp_path):
+    """IngestSession(auto_maintain=True): every applied flush evaluates
+    the triggers; once enough flush files accumulate the session's table
+    compacts itself and the decision is auditable on the session."""
+    t = _mk(spark, tmp_path, min_files=3)
+    _append_files(spark, t, 3)
+    s = IngestSession(t, key_columns=KEYS, auto_maintain=True)
+    s.insert({"repo": "orgX/r", "path": "src/new.rs", "commit": "aa",
+              "lang": "rust", "content": "fn new() {}"})
+    s.commit()
+    snap = s.flush()
+    assert snap is not None
+    assert s.last_maintenance is not None
+    assert s.last_maintenance["decision"] == "data"
+    assert t.scan().count() == 4
+    # nothing to apply -> no flush, no re-evaluation
+    s.last_maintenance = None
+    assert s.flush() is None
+    assert s.last_maintenance is None
