@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "text_langid",
     "text_fingerprint",
     "text_repetition",
+    "text_url_stats",
+    "text_domain_blocklist",
     "text_decontaminate",
     "code_license_detect",
     "code_comment_stats",

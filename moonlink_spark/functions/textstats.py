@@ -141,6 +141,50 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
         "*", F.array_min(grams).cast("long").alias(out_col))
 
 
+# URL domain matcher (RE2/Java common subset: no lookarounds).  Group 1
+# captures the host.
+URL_DOMAIN_REGEX = "https?://([a-zA-Z0-9.-]+)"
+
+
+def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL profile: ``n_urls``, ``n_domains`` (distinct),
+    ``min_domain`` (lexicographic min, NULL when no URL) — the inputs a
+    web-corpus curation step filters on (link-spam ratio, single-domain
+    boilerplate).  Pure regexp/array codegen: narrow projection, no
+    shuffle, rides the scan at any scale."""
+    doms = F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_REGEX), 1)
+    return df.select(
+        "*",
+        F.size(doms).cast("long").alias("n_urls"),
+        F.size(F.array_distinct(doms)).cast("long").alias("n_domains"),
+        F.array_min(doms).alias("min_domain"))
+
+
+def domain_blocklist_hits(df: DataFrame, blocklist: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          domain_col: str = "domain") -> DataFrame:
+    """Flag documents containing a URL whose domain is on a blocklist
+    (the UT1/adult-domain scrub every web-scale pipeline runs).
+
+    Returns one row per flagged doc: ``(id, n_blocked,
+    blocked_domains)`` — callers anti-join the corpus against it.
+
+    Scale shape: blocklists are ~10^5-10^6 rows — broadcast; the corpus
+    side explodes per-doc DISTINCT domains (bounded fan-out) and filters
+    through the broadcast hash join before anything shuffles; the only
+    shuffle is the final groupBy over the rare hits.  No UDFs."""
+    doms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.col(text_col), F.lit(URL_DOMAIN_REGEX), 1))).alias("_dom"))
+    bl = blocklist.select(F.col(domain_col).alias("_dom")).distinct()
+    return (doms.join(F.broadcast(bl), "_dom")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_blocked"),
+                 F.sort_array(F.collect_list("_dom"))
+                 .alias("blocked_domains")))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      n: int = 3) -> DataFrame:
     """Within-document repetition (the Gopher/MassiveText-style quality

@@ -1234,6 +1234,77 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
 
 
+# URL-bearing twin of the documents table: the synthetic corpus carries
+# no URLs, so the query injects them deterministically (same pattern as
+# _DUPED_SQL synthesizes duplicates) — every doc links its source site,
+# and every 7th doc also links a spam domain.
+_URLED_SQL = """
+url_docs AS (
+  SELECT doc_id,
+         text || ' http://' || source || '.org/d/' || doc_id::VARCHAR ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' https://spam' || (doc_id % 3)::VARCHAR || '.example/x'
+              ELSE '' END AS text
+  FROM documents)
+"""
+
+
+def _urled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    spam = F.concat(F.lit(" https://spam"), (F.col("doc_id") % 3)
+                    .cast("string"), F.lit(".example/x"))
+    return d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" http://"), F.col("source"),
+                 F.lit(".org/d/"), F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 7 == 0, spam).otherwise(F.lit(""))
+                 ).alias("text"))
+
+
+@_register("text_url_stats", f"""
+WITH {_URLED_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            'https?://([a-zA-Z0-9.-]+)', 1)) AS BIGINT) AS n_urls,
+       CAST(len(list_distinct(regexp_extract_all(text,
+            'https?://([a-zA-Z0-9.-]+)', 1))) AS BIGINT) AS n_domains,
+       list_min(regexp_extract_all(text,
+            'https?://([a-zA-Z0-9.-]+)', 1)) AS min_domain
+FROM url_docs
+""")
+def text_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL/domain profile (textstats.url_stats) — link-spam
+    ratio inputs for web-corpus curation.  Pure regexp/array codegen, no
+    shuffle."""
+    return ts.url_stats(_urled_docs(spark, sf_dir)).select(
+        "doc_id", "n_urls", "n_domains", "min_domain")
+
+
+@_register("text_domain_blocklist", f"""
+WITH {_URLED_SQL},
+bl AS (SELECT * FROM (VALUES ('spam0.example'), ('spam1.example'),
+                             ('spam2.example')) AS t(domain)),
+doms AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text,
+             'https?://([a-zA-Z0-9.-]+)', 1)) AS dom
+  FROM url_docs
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked,
+       list(dom ORDER BY dom) AS blocked_domains
+FROM doms JOIN bl ON doms.dom = bl.domain
+GROUP BY doc_id
+""")
+def text_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist scrub (textstats.domain_blocklist_hits): flag
+    docs linking a blocked domain.  Blocklist broadcasts; per-doc
+    distinct domains explode through the broadcast join; only the rare
+    hits shuffle."""
+    bl = spark.createDataFrame(
+        [("spam0.example",), ("spam1.example",), ("spam2.example",)],
+        "domain string")
+    return ts.domain_blocklist_hits(_urled_docs(spark, sf_dir), bl)
+
+
 @_register("text_decontaminate", """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
