@@ -227,10 +227,13 @@ class Catalog:
             }
             if store.exists():
                 snap = store.read_snapshot()
-                t = pq.read_table(snap.manifest_path,
-                                  columns=["rows", "dv_cardinality"])
-                rows = pc.sum(t.column("rows")).as_py() or 0
-                dv = pc.sum(t.column("dv_cardinality")).as_py() or 0
+                rows = 0
+                dv = 0
+                for p in snap.manifest_paths:
+                    t = pq.read_table(
+                        p, columns=["rows", "dv_cardinality"])
+                    rows += pc.sum(t.column("rows")).as_py() or 0
+                    dv += pc.sum(t.column("dv_cardinality")).as_py() or 0
                 status.update({
                     "version": snap.version,
                     "flush_lsn": snap.flush_lsn,

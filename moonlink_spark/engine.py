@@ -153,8 +153,9 @@ class MoonTable:
         manifest = self.manifest(base.version)
         bins = plan_compaction(
             manifest, comp,
-            manifest_path=base.manifest_path,
-            manifest_bytes=self.store.fs.size(base.manifest_path))
+            manifest_path=base.manifest_paths,
+            manifest_bytes=sum(self.store.fs.size(p)
+                               for p in base.manifest_paths))
         if not bins:
             return base  # the `Nothing` outcome
         t_plan = _time.monotonic() - t_start
@@ -269,14 +270,14 @@ class MoonTable:
         # new base.  If a compacted file gained deletes or vanished,
         # the rewrite is stale and must abort (rerun re-plans).
         #
-        # The successor manifest is computed as a DataFrame (old
-        # manifest anti-join compacted ∪ new output entries — the
-        # reference's manifest-rewrite-as-data,
-        # puffin_writer_proxy.rs:253-364) and streamed into the commit:
-        # the driver never materializes the full manifest.
+        # The successor manifest is a DELTA: remove the compacted
+        # inputs, add the rewrite outputs.  commit_delta rewrites only
+        # the manifest segments the inputs live in and carries every
+        # other segment over by reference — the driver never touches
+        # unaffected metadata (cf. the reference's changed-manifests-
+        # only iceberg sync, puffin_writer_proxy.rs:253-364).
         compacted_df = scan_op.file_list_df(
             self.spark, sorted(compacted), "path")
-        out_rows = []
         out_dicts = []
         for rec in records:
             for out in rec["outputs"]:
@@ -291,36 +292,9 @@ class MoonTable:
                                          or {}).get(c)
                     flat[f"ndv_{c}"] = (out.get("ndv") or {}).get(c)
                 out_dicts.append(flat)
-                out_rows.append(tuple(flat.get(f.name)
-                                      for f in manifest.schema.fields))
         out_dicts.sort(key=lambda e: e["path"])
         commit_base = base
         for attempt in range(5):
-            if (self.store.fs.size(self.store.manifest_path(
-                    commit_base.version))
-                    <= planner_mod.LOCAL_PLAN_MAX_MANIFEST_BYTES):
-                # small manifest: assemble the successor driver-side —
-                # a sorted-merge of the filtered old entries with the
-                # new outputs, zero Spark jobs (the commit job was the
-                # second-largest serial term in the scaling profile).
-                # The DataFrame path below remains the 10^8-entry route.
-                import heapq
-                keep_rows = (
-                    e for e in self.store.manifest_rows_iter(
-                        commit_base.version)
-                    if e["path"] not in compacted)
-                entries_iter = heapq.merge(
-                    keep_rows, iter(out_dicts),
-                    key=lambda e: e["path"])
-            else:
-                mdf = self.store.manifest_df(self.spark,
-                                             commit_base.version)
-                keep = mdf.join(F.broadcast(compacted_df), on="path",
-                                how="left_anti")
-                final = keep.unionByName(self.spark.createDataFrame(
-                    out_rows, schema=mdf.schema))
-                entries_iter = (r.asDict() for r in
-                                final.orderBy("path").toLocalIterator())
             metrics["phase_seconds"]["commit_start_at"] = round(
                 _time.monotonic() - t_start, 3)
             props = dict(commit_base.properties)
@@ -331,12 +305,13 @@ class MoonTable:
                 "metrics": metrics,
             })
             try:
-                return self.store.commit(
-                    entries_iter, schema=commit_base.schema,
+                return self.store.commit_delta(
+                    commit_base.version,
+                    added=out_dicts, removed=sorted(compacted),
+                    schema=commit_base.schema,
                     stats_columns=self.config.stats_columns,
                     properties=props,
-                    expected_parent=commit_base.version,
-                    presorted=True)
+                    expected_parent=commit_base.version)
             except CommitConflict:
                 if attempt == 4:
                     raise
@@ -427,23 +402,21 @@ class MoonTable:
                            F.input_file_name(),
                            self.store.warehouse).alias("_new_dv"),
                        F.col("cardinality").alias("_new_card")))
-        final = (mdf.join(F.broadcast(upd), on="path", how="left")
-                 .withColumn("dv_path", F.coalesce("_new_dv", "dv_path"))
-                 .withColumn("dv_cardinality",
-                             F.coalesce("_new_card", "dv_cardinality"))
-                 .drop("_new_dv", "_new_card"))
+        # delta commit: only the files whose DV pointer moved rewrite
+        # their manifest segment; everything else carries by reference.
+        # The updated set is the files-with-DVs being consolidated —
+        # the operation's own working set, never the whole table.
+        updated = {r["path"]: (r["_new_dv"], r["_new_card"])
+                   for r in upd.collect()}
         props = dict(base.properties)
         props.update({"flush_lsn": base.flush_lsn, "job_id": job_id,
                       "operation": "optimize-index",
                       "metrics": {"dv_sidecars_in": len(live_dv),
                                   "dv_sidecars_out": len(parts)}})
-        entries_iter = (r.asDict() for r in
-                        final.orderBy("path").toLocalIterator())
-        snap = self.store.commit(
-            entries_iter, schema=base.schema,
+        snap = self.store.commit_delta(
+            base.version, updated=updated, schema=base.schema,
             stats_columns=self.config.stats_columns,
-            properties=props, expected_parent=base.version,
-            presorted=True)
+            properties=props, expected_parent=base.version)
         self.store.fs.rmtree(tmp)
         return snap
 
@@ -505,12 +478,11 @@ class MoonTable:
         props.update({"flush_lsn": base.flush_lsn + 1,
                       "operation": "create-snapshot",
                       "job_id": f"snap-v{base.version:06d}"})
-        return self.store.commit(
-            self.store.manifest_rows_iter(base.version),
-            schema=base.schema,
-            stats_columns=self.config.stats_columns,
-            properties=props,
-            expected_parent=base.version, presorted=True)
+        # metadata-only: reuse the parent's manifest segments verbatim —
+        # O(1) regardless of table size (the Iceberg metadata snapshot)
+        return self.store.commit_reuse(
+            base.version, schema=base.schema, properties=props,
+            expected_parent=base.version)
 
     def history(self) -> list[dict]:
         """Snapshot log, oldest first: one row per retained version with
@@ -553,12 +525,11 @@ class MoonTable:
             "rollback_of": version,
             "job_id": f"rollback-v{version:06d}-from-v{base.version:06d}",
         })
-        return self.store.commit(
-            self.store.manifest_rows_iter(version),
-            schema=target.schema,
-            stats_columns=self.config.stats_columns,
-            properties=props,
-            expected_parent=base.version, presorted=True)
+        # manifest segments are immutable and shared: restoring the
+        # target's content is a reference to its segment list — O(1)
+        return self.store.commit_reuse(
+            version, schema=target.schema, properties=props,
+            expected_parent=base.version)
 
     # -- schema evolution (add/drop columns only, mirroring
     #    mooncake_table.rs:616-651 / file_catalog.rs:685-704) -----------
@@ -593,11 +564,9 @@ class MoonTable:
             "operation": f"add-column-{name}",
             "job_id": f"addcol-{name}-v{base.version:06d}",
         })
-        return self.store.commit(
-            self.store.manifest_rows_iter(base.version), schema=schema,
-            stats_columns=self.config.stats_columns,
-            properties=props,
-            expected_parent=base.version, presorted=True)
+        return self.store.commit_reuse(
+            base.version, schema=schema, properties=props,
+            expected_parent=base.version)
 
     def drop_column(self, name: str) -> Snapshot:
         """Drop a column.  Metadata-only: the column simply leaves the
@@ -622,11 +591,9 @@ class MoonTable:
             "operation": f"drop-column-{name}",
             "job_id": f"dropcol-{name}-v{base.version:06d}",
         })
-        return self.store.commit(
-            self.store.manifest_rows_iter(base.version), schema=schema,
-            stats_columns=self.config.stats_columns,
-            properties=props,
-            expected_parent=base.version, presorted=True)
+        return self.store.commit_reuse(
+            base.version, schema=schema, properties=props,
+            expected_parent=base.version)
 
     # -- retention -------------------------------------------------------
     def maintain(self, option: str = "best_effort") -> dict:

@@ -8,17 +8,15 @@ delete→position matching entirely.  This operator is that fast path in
 Spark terms: NO key join, NO scan of existing data, no DV work — rows
 become fresh size-rolled ingest files (snappy, same row budget as the
 reference's mem-slice flush, ``mooncake_table_config.rs:158-163``) and
-the successor manifest is the streamed sorted-merge of the old manifest
-with the new entries.
+the commit is a pure manifest DELTA: one new segment of fresh entries,
+every existing segment carried by reference.
 
-Scale shape: one narrow write job over the incoming rows; the commit
-streams both manifest sides (``heapq.merge`` of two path-ordered
-iterators), so the driver holds one batch regardless of table size.
+Scale shape: one narrow write job over the incoming rows; commit cost
+is O(new files) regardless of table size.
 """
 
 from __future__ import annotations
 
-import heapq
 import math
 import os
 import uuid
@@ -121,19 +119,16 @@ def append_rows(
         })
         if extra_properties:
             props.update(extra_properties)
-        # streamed sorted-merge: both sides ascend by path, the driver
-        # never holds more than one manifest batch
-        entries = heapq.merge(
-            store.manifest_rows_iter(base.version),
-            iter(new_entries),
-            key=lambda e: e["path"])
+        # pure delta: appends only ADD entries, so the commit writes one
+        # new manifest segment and references every existing segment —
+        # O(new files), never O(table)
         try:
-            return store.commit(
-                entries, schema=base.schema,
+            return store.commit_delta(
+                base.version, added=new_entries,
+                schema=base.schema,
                 stats_columns=config.stats_columns,
                 properties=props,
-                expected_parent=base.version,
-                presorted=True)
+                expected_parent=base.version)
         except CommitConflict:
             if attempt == 4:
                 raise

@@ -85,8 +85,10 @@ def _version_changes(spark: SparkSession, store: SnapshotStore,
             "re-sync consumers from a snapshot at or after it")
     if op not in _LOGICAL_OPS:
         return None
-    m_b = spark.read.parquet(store.manifest_path(version))
-    m_a = spark.read.parquet(store.manifest_path(snap_b.parent))
+    m_b = spark.read.parquet(
+        *store.read_snapshot(version).manifest_paths)
+    m_a = spark.read.parquet(
+        *store.read_snapshot(snap_b.parent).manifest_paths)
     ddl = snap_b.properties.get("schema_ddl")
     out = []
 

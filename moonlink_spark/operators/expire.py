@@ -135,7 +135,8 @@ def expire_snapshots(
 
     reachable = None
     for v in keep:
-        m = spark.read.parquet(store.manifest_path(v))
+        m = spark.read.parquet(
+            *store.read_snapshot(v).manifest_paths)
         files = m.select(F.col("path").alias("f")).union(
             m.filter(F.col("dv_path").isNotNull())
             .select(F.col("dv_path").alias("f")))
@@ -169,9 +170,23 @@ def expire_snapshots(
         if collect_audit or not deleted:
             deleted.extend(batch)
 
+    # manifest segments are SHARED between versions (delta commits carry
+    # unchanged segments by reference): a dropped version's segment is
+    # deleted only when no retained version still references it.
+    retained_segs: set[str] = set()
+    for v in keep:
+        retained_segs.update(s["path"] for s in store.manifest_segments(v))
     for v in drop:
+        for s in store.manifest_segments(v):
+            if s["path"] not in retained_segs:
+                p = store.abs(s["path"])
+                if store.fs.exists(p):
+                    store.fs.remove(p)
         store.fs.remove(store.header_path(v))
-        store.fs.remove(store.manifest_path(v))
+        lst = store.manifest_list_path(v)
+        if store.fs.is_file(lst):
+            store.fs.remove(lst)
+        getattr(store, "_seg_cache", {}).pop(v, None)
     tmp_removed = _clean_stale_tmp(store, clean_tmp_older_than_seconds,
                                    now=time.time())
     return {"expired_versions": drop, "deleted_files": sorted(deleted),

@@ -131,7 +131,7 @@ def merge_into(
         if (config.index_key_columns
                 and tuple(key_columns) == tuple(config.index_key_columns)):
             keep = keyindex.candidate_files(
-                spark, store, spark.read.parquet(snapshot.manifest_path),
+                spark, store, spark.read.parquet(*snapshot.manifest_paths),
                 changes, list(key_columns),
                 n_buckets=config.index_buckets)
         loc = scan(spark, store, snapshot, with_location=True,
@@ -157,7 +157,7 @@ def merge_into(
         # -- 2. merge with existing DVs per affected file ----------------
         # `affected` is change-batch-sized (the files a CDC batch
         # touches), not table-sized — safe to plan with driver-side.
-        manifest = spark.read.parquet(snapshot.manifest_path)
+        manifest = spark.read.parquet(*snapshot.manifest_paths)
         affected = [r[FILE_COL] for r in
                     new_dels.select(FILE_COL).distinct().collect()]
         upd = None  # DataFrame (path, _new_dv, _new_card) or None
@@ -260,33 +260,29 @@ def merge_into(
                     list(config.index_key_columns),
                     n_buckets=config.index_buckets, job_id=job_id)
 
-        # -- 4. commit: successor manifest as a DataFrame ----------------
-        out = manifest
+        # -- 4. commit: manifest DELTA -----------------------------------
+        # A MERGE's metadata footprint is exactly its working set: the
+        # affected files' new DV pointers (``upd`` — change-batch-sized,
+        # already driver-safe per the `affected` collect above) plus the
+        # fresh ingest entries.  commit_delta rewrites only the manifest
+        # segments those files live in; the rest of a 10^12-entry
+        # manifest is carried by reference.
+        updated = {}
         if upd is not None:
-            out = (manifest.join(F.broadcast(upd), on="path", how="left")
-                   .withColumn("dv_path",
-                               F.coalesce("_new_dv", "dv_path"))
-                   .withColumn("dv_cardinality",
-                               F.coalesce("_new_card", "dv_cardinality"))
-                   .drop("_new_dv", "_new_card"))
-        if new_entries:
-            stats_cols = [c for c in config.stats_columns]
-            rows = []
-            for e in new_entries:
-                flat = {"path": e["path"], "rows": e["rows"],
-                        "bytes": e["bytes"], "dv_path": None,
-                        "dv_cardinality": 0}
-                for c in stats_cols:
-                    mn, mx = (e.get("bounds") or {}).get(c, (None, None))
-                    flat[f"min_{c}"] = mn
-                    flat[f"max_{c}"] = mx
-                    flat[f"null_{c}"] = (e.get("null_counts")
-                                         or {}).get(c)
-                    flat[f"ndv_{c}"] = (e.get("ndv") or {}).get(c)
-                rows.append(tuple(flat.get(f.name) for f in
-                                  manifest.schema.fields))
-            out = out.unionByName(
-                spark.createDataFrame(rows, schema=manifest.schema))
+            updated = {r["path"]: (r["_new_dv"], r["_new_card"])
+                       for r in upd.collect()}
+        added = []
+        for e in new_entries:
+            flat = {"path": e["path"], "rows": e["rows"],
+                    "bytes": e["bytes"], "dv_path": None,
+                    "dv_cardinality": 0}
+            for c in config.stats_columns:
+                mn, mx = (e.get("bounds") or {}).get(c, (None, None))
+                flat[f"min_{c}"] = mn
+                flat[f"max_{c}"] = mx
+                flat[f"null_{c}"] = (e.get("null_counts") or {}).get(c)
+                flat[f"ndv_{c}"] = (e.get("ndv") or {}).get(c)
+            added.append(flat)
 
         props = dict(snapshot.properties)
         props.update({
@@ -298,15 +294,14 @@ def merge_into(
         })
         if extra_properties:
             props.update(extra_properties)
-        entries_iter = (r.asDict() for r in
-                        out.orderBy("path").toLocalIterator())
-        return store.commit(
-            entries_iter,
+        return store.commit_delta(
+            snapshot.version,
+            added=added,
+            updated=updated,
             schema=snapshot.schema,
             stats_columns=config.stats_columns,
             properties=props,
             expected_parent=snapshot.version,
-            presorted=True,
         )
     finally:
         if new_dels is not None:

@@ -153,7 +153,7 @@ def _bins_from_rows(rows: list[dict],
     return [bins[k] for k in sorted(bins)]
 
 
-def plan_compaction_local(manifest_path: str,
+def plan_compaction_local(manifest_paths: list[str],
                           config: CompactionConfig) -> list[CompactionBin]:
     """Driver-side planning over a small manifest (pyarrow, no Spark
     jobs) — identical semantics to the DataFrame path: same candidate
@@ -161,10 +161,13 @@ def plan_compaction_local(manifest_path: str,
     binning."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(manifest_path,
-                      columns=["path", "rows", "bytes", "dv_path",
-                               "dv_cardinality"])
-    rows = t.to_pylist()
+    if isinstance(manifest_paths, str):
+        manifest_paths = [manifest_paths]
+    rows = []
+    for p in manifest_paths:
+        rows.extend(pq.read_table(
+            p, columns=["path", "rows", "bytes", "dv_path",
+                        "dv_cardinality"]).to_pylist())
     frac = config.deletion_trigger_fraction
     if frac > 0:
         cand = [r for r in rows
@@ -181,7 +184,7 @@ def plan_compaction_local(manifest_path: str,
 
 def plan_compaction(manifest: DataFrame,
                     config: CompactionConfig, *,
-                    manifest_path: str | None = None,
+                    manifest_path: str | list[str] | None = None,
                     manifest_bytes: int | None = None
                     ) -> list[CompactionBin]:
     """Select candidates, cap per-op file count, pack into bins.
@@ -189,8 +192,9 @@ def plan_compaction(manifest: DataFrame,
     Returns ``[]`` when fewer than ``min_files_to_compact`` candidates
     exist (the ``Nothing`` outcome of ``get_payload_to_compact``).
 
-    When the caller passes ``manifest_path`` and the manifest object is
-    small (``LOCAL_PLAN_MAX_MANIFEST_BYTES``), planning runs driver-side
+    When the caller passes ``manifest_path`` (one path or the segment
+    list) and the manifest objects are small
+    (``LOCAL_PLAN_MAX_MANIFEST_BYTES`` total), planning runs driver-side
     with pyarrow — the plan is identical, minus several whole-table-
     irrelevant Spark jobs of scheduler latency.
     """

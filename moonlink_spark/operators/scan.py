@@ -278,7 +278,7 @@ def scan(
     MERGE (``operators/keyindex.py``); applied as a semi-join before the
     planning projection."""
     manifest = prune_manifest(
-        spark.read.parquet(snapshot.manifest_path), predicates)
+        spark.read.parquet(*snapshot.manifest_paths), predicates)
     if keep_files is not None:
         manifest = manifest.join(keep_files, on="path", how="left_semi")
     # Planning collects (path, dv_path, dv_cardinality) — file *lists*,

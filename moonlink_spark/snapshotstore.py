@@ -20,6 +20,19 @@ itself big data, and the maintenance planner reads it with
 ``spark.read.parquet`` and plans with DataFrame ops — never collecting the
 file list to the driver.
 
+Since format_version 2 a version's manifest is a LIST of immutable
+parquet *segments* (each path-sorted, rolled at ``SEGMENT_ROWS``
+entries) named by ``snapshots/manifest-list-v{N}.parquet`` — the
+Iceberg manifest-list/manifest-file split.  Segments are SHARED between
+versions: a delta commit (:meth:`SnapshotStore.commit_delta`) rewrites
+only the segments whose path range contains a removed/updated entry and
+carries every other segment over by reference, so a 100-row MERGE on a
+10^12-entry manifest costs O(segments hit), not O(table).  Metadata-only
+commits (create_snapshot, rollback, schema evolution) reuse the parent's
+segment list verbatim (:meth:`SnapshotStore.commit_reuse`) — O(1).
+Version-1 snapshots (single ``manifest-v{N}.parquet``, no list file)
+remain readable: the list falls back to that one segment.
+
 Commit protocol (cf. the etag-CAS version hint,
 ``storage/table/iceberg/file_catalog.rs:78,640-665``):
 
@@ -89,11 +102,22 @@ class Snapshot:
     parent: int | None
     schema: list[str]
     properties: dict[str, Any]
-    manifest_path: str  # absolute path of the manifest parquet
+    manifest_paths: list[str]  # absolute paths of the manifest segments
 
     @property
     def flush_lsn(self) -> int:
         return int(self.properties.get("flush_lsn", 0))
+
+    @property
+    def manifest_path(self) -> str:
+        """Back-compat accessor for single-segment snapshots; a
+        multi-segment manifest has no single path — use
+        ``manifest_paths``."""
+        if len(self.manifest_paths) != 1:
+            raise RuntimeError(
+                f"v{self.version} manifest has "
+                f"{len(self.manifest_paths)} segments; use manifest_paths")
+        return self.manifest_paths[0]
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -161,6 +185,19 @@ def bound_type(ddl: str | None) -> pa.DataType | None:
 
 _MANIFEST_BATCH_ROWS = 65_536
 
+# Entries per manifest segment.  Segments are the unit a delta commit
+# rewrites and the unit the list file tracks: smaller segments mean a
+# point-MERGE rewrites less metadata; larger segments mean a shorter
+# manifest list.  ~262k entries ≈ 10-25 MB zstd — the Iceberg manifest
+# sweet spot, scaled up for the 10^12-entry design regime.
+SEGMENT_ROWS = 1 << 18
+
+# Delta commits accumulate ~1-2 segments each; optimize() consolidates.
+# Between optimizes, a commit whose segment count would exceed MAX
+# k-way-merges the smallest segments back down to TARGET.
+MAX_MANIFEST_SEGMENTS = 64
+COALESCE_TARGET_SEGMENTS = 48
+
 
 class SnapshotStore:
     """Filesystem-backed snapshot store rooted at a warehouse directory.
@@ -191,7 +228,17 @@ class SnapshotStore:
         return os.path.join(self.snapshot_dir, f"v{version:06d}.json")
 
     def manifest_path(self, version: int) -> str:
+        """Legacy single-segment manifest name (format_version 1 and the
+        single-segment fast path of full commits)."""
         return os.path.join(self.snapshot_dir, f"manifest-v{version:06d}.parquet")
+
+    def manifest_list_path(self, version: int) -> str:
+        return os.path.join(self.snapshot_dir,
+                            f"manifest-list-v{version:06d}.parquet")
+
+    def segment_path(self, version: int, idx: int) -> str:
+        return os.path.join(
+            self.snapshot_dir, f"manifest-v{version:06d}-p{idx:04d}.parquet")
 
     def checkpoint_dir(self, job_id: str) -> str:
         return os.path.join(self.warehouse, CHECKPOINT_DIR, job_id)
@@ -217,6 +264,30 @@ class SnapshotStore:
         return sorted(out)
 
     # -- read ------------------------------------------------------------
+    def manifest_segments(self, version: int) -> list[dict]:
+        """Segment descriptors of one version, in list order:
+        ``{path (warehouse-relative), entries, min_path, max_path,
+        bytes}``.  From the manifest-list parquet; version-1 snapshots
+        (no list file) fall back to their single legacy manifest with
+        unknown stats (``entries``/ranges None → a delta commit treats
+        it as always-intersecting, conservatively).  Cached: segment
+        lists are immutable once committed."""
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        if version in cache:
+            return cache[version]
+        lst = self.manifest_list_path(version)
+        if self.fs.is_file(lst):
+            segs = pq.read_table(lst).to_pylist()
+        else:
+            segs = [{"path": os.path.relpath(self.manifest_path(version),
+                                             self.warehouse),
+                     "entries": None, "min_path": None, "max_path": None,
+                     "bytes": None}]
+        cache[version] = segs
+        return segs
+
     def read_snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
             version = self.current_version()
@@ -226,7 +297,8 @@ class SnapshotStore:
             parent=hdr.get("parent"),
             schema=hdr["schema"],
             properties=hdr.get("properties", {}),
-            manifest_path=self.manifest_path(version),
+            manifest_paths=[self.abs(s["path"])
+                            for s in self.manifest_segments(version)],
         )
 
     def commit_time(self, version: int) -> float:
@@ -242,47 +314,41 @@ class SnapshotStore:
     def manifest_df(self, spark, version: int | None = None):
         """The manifest as a Spark DataFrame — the planner's input."""
         snap = self.read_snapshot(version)
-        return spark.read.parquet(snap.manifest_path)
+        return spark.read.parquet(*snap.manifest_paths)
 
     def manifest_entries(self, version: int | None = None) -> list[dict]:
-        """Driver-side manifest rows (test/inspection helper — the
-        planner itself goes through :meth:`manifest_df`)."""
+        """Driver-side manifest rows, globally path-sorted
+        (test/inspection helper — the planner itself goes through
+        :meth:`manifest_df`)."""
         snap = self.read_snapshot(version)
-        return pq.read_table(snap.manifest_path).to_pylist()
+        out: list[dict] = []
+        for p in snap.manifest_paths:
+            out.extend(pq.read_table(p).to_pylist())
+        out.sort(key=lambda e: e["path"])
+        return out
 
     def manifest_rows_iter(self, version: int | None = None):
-        """Stream manifest rows (dicts, ascending ``path`` — manifests
-        are written sorted) with bounded memory: metadata-only commits
-        (create_snapshot, schema evolution, bulk load) pipe this straight
-        into :meth:`commit` ``presorted=True`` and never hold the full
-        manifest, regardless of entry count."""
+        """Stream manifest rows (dicts, ascending ``path``) with bounded
+        memory: a k-way merge of the per-segment iterators (each segment
+        is written path-sorted); the driver holds one batch per segment,
+        regardless of entry count."""
+        import heapq
+
         snap = self.read_snapshot(version)
-        pf = pq.ParquetFile(snap.manifest_path)
-        for batch in pf.iter_batches(batch_size=_MANIFEST_BATCH_ROWS):
-            yield from batch.to_pylist()
+
+        def seg_iter(path):
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches(batch_size=_MANIFEST_BATCH_ROWS):
+                yield from batch.to_pylist()
+
+        yield from heapq.merge(
+            *[seg_iter(p) for p in snap.manifest_paths],
+            key=lambda e: e["path"])
 
     # -- write -----------------------------------------------------------
-    def write_manifest(self, version: int, entries: Iterable[dict],
-                       stats_columns: Iterable[str],
-                       stats_types: dict | None = None,
-                       presorted: bool = False) -> str:
-        """Write ``manifest-v{N}.parquet`` deterministically (entries
-        sorted by path) and return its path. Does NOT publish the version.
-
-        ``entries`` is an *iterable* and is streamed to parquet in
-        batches: with ``presorted=True`` (caller guarantees ascending
-        ``path`` order — e.g. rows from ``df.orderBy('path')
-        .toLocalIterator()``) the driver never holds more than one batch
-        of manifest rows, which is what makes a 10^8-entry manifest
-        commit feasible.  Entries carry bounds either nested
-        (``bounds={col: (mn, mx)}``) or flat (``min_<col>``/``max_<col>``
-        keys, i.e. manifest-row shape).
-
-        ``stats_types`` maps stats column → DDL type; bounds columns are
-        written in the matching native arrow type (typed pruning).
-        Unsupported types get NULL bounds (conservatively never pruned).
-        """
-        stats_columns = list(stats_columns)
+    def _manifest_schema(self, stats_columns: list[str],
+                         stats_types: dict | None):
+        """Arrow schema + per-column bound types for manifest rows."""
         stats_types = stats_types or {}
         fields = list(_BASE_FIELDS)
         btypes: dict[str, pa.DataType | None] = {}
@@ -301,27 +367,96 @@ class SnapshotStore:
         # ``collect_ndv``; NULL = not collected
         for c in stats_columns:
             fields.append((f"ndv_{c}", pa.int64()))
-        schema = pa.schema(fields)
+        return pa.schema(fields), btypes, fields
+
+    def write_manifest(self, version: int, entries: Iterable[dict],
+                       stats_columns: Iterable[str],
+                       stats_types: dict | None = None,
+                       presorted: bool = False,
+                       start_idx: int = 0,
+                       allow_legacy_name: bool = True,
+                       arrow_schema: "pa.Schema | None" = None
+                       ) -> list[dict]:
+        """Write ``entries`` as one or more path-sorted manifest
+        segments, rolled every ``SEGMENT_ROWS`` rows, and return their
+        descriptors ``[{path, entries, min_path, max_path, bytes}]``.
+        Does NOT publish the version.
+
+        ``entries`` is an *iterable* and is streamed to parquet in
+        batches: with ``presorted=True`` (caller guarantees ascending
+        ``path`` order) the driver never holds more than one batch of
+        manifest rows, which is what makes a 10^8-entry manifest commit
+        feasible.  Entries carry bounds either nested
+        (``bounds={col: (mn, mx)}``) or flat (``min_<col>``/``max_<col>``
+        keys, i.e. manifest-row shape).
+
+        ``stats_types`` maps stats column → DDL type; bounds columns are
+        written in the matching native arrow type (typed pruning).
+        Unsupported types get NULL bounds (conservatively never pruned).
+
+        A run that fits one segment (and starts at index 0) keeps the
+        legacy single-file name ``manifest-v{N}.parquet`` so external
+        readers of small tables see the familiar object.
+        """
+        stats_columns = list(stats_columns)
+        if arrow_schema is not None:
+            # delta commits pin added segments to the BASE segments'
+            # exact parquet schema — mixed bound types across segments
+            # of one version would break the unioned manifest read
+            schema = arrow_schema
+            fields = [(f.name, f.type) for f in schema]
+            btypes = {c: schema.field(f"min_{c}").type
+                      for c in stats_columns}
+        else:
+            schema, btypes, fields = self._manifest_schema(
+                stats_columns, stats_types)
 
         if not presorted:
             entries = sorted(entries, key=lambda e: e["path"])
 
-        path = self.manifest_path(version)
-        tmp = path + ".manifest-tmp"
-        writer = pq.ParquetWriter(tmp, schema, compression="zstd")
+        descs: list[dict] = []
+        state = {"writer": None, "tmp": None, "n": 0,
+                 "min": None, "max": None, "idx": start_idx}
 
-        def _flush(cols: dict) -> None:
-            arrays = []
-            for name, typ in fields:
-                arrays.append(pa.array(cols[name], type=typ))
-            writer.write_batch(
-                pa.RecordBatch.from_arrays(arrays,
-                                           schema=schema))
+        def _open() -> None:
+            final = self.segment_path(version, state["idx"])
+            state["tmp"] = final + ".manifest-tmp"
+            state["writer"] = pq.ParquetWriter(
+                state["tmp"], schema, compression="zstd")
+            state["n"] = 0
+            state["min"] = None
+            state["max"] = None
 
+        def _finalize() -> None:
+            state["writer"].close()
+            final = self.segment_path(version, state["idx"])
+            self.fs.rename(state["tmp"], final)
+            descs.append({
+                "path": os.path.relpath(final, self.warehouse),
+                "entries": state["n"],
+                "min_path": state["min"], "max_path": state["max"],
+                "bytes": self.fs.size(final)})
+            state["idx"] += 1
+            state["writer"] = None
+
+        def _flush(cols: dict, n: int) -> None:
+            if state["writer"] is None:
+                _open()
+            arrays = [pa.array(cols[name], type=typ)
+                      for name, typ in fields]
+            state["writer"].write_batch(
+                pa.RecordBatch.from_arrays(arrays, schema=schema))
+            if n:
+                if state["min"] is None:
+                    state["min"] = cols["path"][0]
+                state["max"] = cols["path"][-1]
+            state["n"] += n
+            if state["n"] >= SEGMENT_ROWS:
+                _finalize()
+
+        cols: dict[str, list] = {name: [] for name, _ in fields}
+        n = 0
         try:
-            cols: dict[str, list] = {name: [] for name, _ in fields}
-            n = 0
-            wrote_any = False
             for e in entries:
                 cols["path"].append(e["path"])
                 cols["rows"].append(int(e["rows"]))
@@ -352,14 +487,36 @@ class SnapshotStore:
                         int(dv) if dv is not None else None)
                 n += 1
                 if n >= _MANIFEST_BATCH_ROWS:
-                    _flush(cols)
-                    wrote_any = True
+                    _flush(cols, n)
                     cols = {name: [] for name, _ in fields}
                     n = 0
-            if n or not wrote_any:
-                _flush(cols)
+            if n or (not descs and state["writer"] is None):
+                _flush(cols, n)
+            if state["writer"] is not None:
+                _finalize()
         finally:
-            writer.close()
+            if state["writer"] is not None:
+                state["writer"].close()
+        if (allow_legacy_name and start_idx == 0 and len(descs) == 1):
+            legacy = self.manifest_path(version)
+            self.fs.rename(self.abs(descs[0]["path"]), legacy)
+            descs[0]["path"] = os.path.relpath(legacy, self.warehouse)
+        return descs
+
+    def write_manifest_list(self, version: int,
+                            descs: list[dict]) -> str:
+        """Write the manifest-list parquet for ``version``."""
+        schema = pa.schema([("path", pa.string()),
+                            ("entries", pa.int64()),
+                            ("min_path", pa.string()),
+                            ("max_path", pa.string()),
+                            ("bytes", pa.int64())])
+        t = pa.Table.from_pylist(
+            [{k: d.get(k) for k in schema.names} for d in descs],
+            schema=schema)
+        path = self.manifest_list_path(version)
+        tmp = path + ".manifest-tmp"
+        pq.write_table(t, tmp, compression="zstd")
         self.fs.rename(tmp, path)
         return path
 
@@ -391,10 +548,18 @@ class SnapshotStore:
         version = 0 if current is None else current + 1
 
         stats_types = (properties or {}).get("schema_types")
-        self.write_manifest(version, entries, stats_columns,
-                            stats_types=stats_types, presorted=presorted)
+        descs = self.write_manifest(version, entries, stats_columns,
+                                    stats_types=stats_types,
+                                    presorted=presorted)
+        return self._publish(version, current, descs, schema, properties)
+
+    def _publish(self, version: int, current: int | None,
+                 descs: list[dict], schema: list[str],
+                 properties: dict | None) -> Snapshot:
+        """Write the manifest list + header and CAS-publish."""
+        self.write_manifest_list(version, descs)
         header = {
-            "format_version": 1,
+            "format_version": 2,
             "version": version,
             "parent": current,
             "schema": schema,
@@ -416,3 +581,192 @@ class SnapshotStore:
         if not self.fs.publish_cas(hint, str(version).encode(), expected):
             raise CommitConflict("concurrent commit detected at publish")
         return self.read_snapshot(version)
+
+    def commit_reuse(
+        self,
+        base_version: int,
+        *,
+        schema: list[str],
+        properties: dict[str, Any] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Metadata-only commit: publish a new version whose manifest is
+        ``base_version``'s SEGMENT LIST, verbatim — zero manifest I/O
+        beyond one small list file.  The Iceberg metadata-only snapshot:
+        create_snapshot, rollback, and schema evolution (add/drop column
+        never touch data files) all commit this way, so they are O(1)
+        regardless of table size."""
+        current = self.current_version() if self.exists() else None
+        if expected_parent is not None and current != expected_parent:
+            raise CommitConflict(
+                f"expected parent v{expected_parent}, found v{current}")
+        version = 0 if current is None else current + 1
+        descs = [dict(d) for d in self.manifest_segments(base_version)]
+        return self._publish(version, current, descs, schema, properties)
+
+    def commit_delta(
+        self,
+        base_version: int,
+        *,
+        added: Iterable[dict] = (),
+        removed: Iterable[str] = (),
+        updated: dict[str, tuple] | None = None,
+        schema: list[str],
+        stats_columns: Iterable[str],
+        properties: dict[str, Any] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Publish a new version as a DELTA against ``base_version``:
+        ``added`` manifest entries appear, ``removed`` paths disappear,
+        and ``updated`` maps path → (dv_path, dv_cardinality) for
+        entries whose delete-vector pointer changed.
+
+        Only the segments whose [min_path, max_path] range contains an
+        affected path are rewritten (vectorized arrow filter, one
+        bounded segment at a time); every other segment is carried into
+        the new version BY REFERENCE.  A point MERGE therefore commits
+        in O(segments hit + delta), never O(table) — the manifest-file
+        granularity Iceberg commits have (and the reason the reference's
+        iceberg syncer only writes changed manifests,
+        ``iceberg_table_syncer.rs:723-838``).
+
+        Raises ``RuntimeError`` if a removed/updated path is not found
+        in the base manifest — a delta against the wrong base is a
+        correctness bug, never silently absorbed."""
+        import pyarrow.compute as pc
+
+        current = self.current_version() if self.exists() else None
+        if expected_parent is not None and current != expected_parent:
+            raise CommitConflict(
+                f"expected parent v{expected_parent}, found v{current}")
+        version = 0 if current is None else current + 1
+
+        updated = dict(updated or {})
+        removed_set = set(removed)
+        affected = sorted(removed_set | set(updated))
+        overlap = removed_set & set(updated)
+        if overlap:
+            raise ValueError(f"paths both removed and updated: "
+                             f"{sorted(overlap)[:3]}...")
+
+        base_segs = self.manifest_segments(base_version)
+        # added segments must carry the base segments' exact parquet
+        # schema (bound-column types) — read it once from the first one
+        base_schema = (pq.ParquetFile(self.abs(base_segs[0]["path"]))
+                       .schema_arrow if base_segs else None)
+        kept_descs: list[dict] = []
+        patched_rows: list[dict] = []
+        found: set[str] = set()
+        next_idx = 0
+
+        def _intersects(seg: dict) -> bool:
+            if not affected:
+                return False
+            lo, hi = seg.get("min_path"), seg.get("max_path")
+            if lo is None or hi is None:
+                return True  # unknown range (v1 segment): conservative
+            import bisect
+            i = bisect.bisect_left(affected, lo)
+            return i < len(affected) and affected[i] <= hi
+
+        for seg in base_segs:
+            if seg.get("entries") == 0:
+                continue  # empty segment: nothing to carry
+            if not _intersects(seg):
+                kept_descs.append(dict(seg))
+                continue
+            t = pq.read_table(self.abs(seg["path"]))
+            hit = pc.is_in(t["path"], value_set=pa.array(
+                affected, type=pa.string()))
+            n_hits = pc.sum(hit).as_py() or 0
+            if not n_hits:
+                kept_descs.append(dict(seg))
+                continue
+            hit_rows = t.filter(hit)
+            for row in hit_rows.to_pylist():
+                found.add(row["path"])
+                if row["path"] in updated:
+                    dv_path, dv_card = updated[row["path"]]
+                    row["dv_path"] = dv_path
+                    row["dv_cardinality"] = int(dv_card or 0)
+                    patched_rows.append(row)
+            kept = t.filter(pc.invert(hit))
+            if kept.num_rows:
+                final = self.segment_path(version, next_idx)
+                tmp = final + ".manifest-tmp"
+                pq.write_table(kept, tmp, compression="zstd")
+                self.fs.rename(tmp, final)
+                paths = kept["path"]
+                kept_descs.append({
+                    "path": os.path.relpath(final, self.warehouse),
+                    "entries": kept.num_rows,
+                    "min_path": paths[0].as_py(),
+                    "max_path": paths[kept.num_rows - 1].as_py(),
+                    "bytes": self.fs.size(final)})
+                next_idx += 1
+
+        missing = [p for p in affected if p not in found]
+        if missing:
+            raise RuntimeError(
+                f"delta commit against v{base_version}: "
+                f"{len(missing)} removed/updated paths not in the base "
+                f"manifest (first: {missing[:3]})")
+
+        stats_types = (properties or {}).get("schema_types")
+        new_entries = sorted(
+            list(added) + patched_rows, key=lambda e: e["path"])
+        if new_entries:
+            kept_descs.extend(self.write_manifest(
+                version, new_entries, stats_columns,
+                stats_types=stats_types, presorted=True,
+                start_idx=next_idx, allow_legacy_name=False,
+                arrow_schema=base_schema))
+        if not kept_descs:
+            # empty table: one empty segment keeps every reader trivial
+            kept_descs = self.write_manifest(
+                version, [], stats_columns, stats_types=stats_types,
+                presorted=True, start_idx=next_idx,
+                allow_legacy_name=False, arrow_schema=base_schema)
+
+        kept_descs = self._coalesce_segments(
+            version, kept_descs, stats_columns, stats_types,
+            arrow_schema=base_schema)
+        return self._publish(version, current, kept_descs, schema,
+                             properties)
+
+    def _coalesce_segments(self, version: int, descs: list[dict],
+                           stats_columns, stats_types,
+                           arrow_schema=None) -> list[dict]:
+        """Keep the segment count bounded between optimizes: when a
+        commit would exceed ``MAX_MANIFEST_SEGMENTS``, k-way-merge the
+        smallest segments down to ``COALESCE_TARGET_SEGMENTS``.  Bounded
+        driver work (the merged segments are the smallest by entry
+        count) amortized across many delta commits."""
+        import heapq
+
+        if len(descs) <= MAX_MANIFEST_SEGMENTS:
+            return descs
+        by_size = sorted(
+            descs, key=lambda d: d["entries"]
+            if d.get("entries") is not None else 1 << 62)
+        n_merge = len(descs) - COALESCE_TARGET_SEGMENTS + 1
+        victims = by_size[:n_merge]
+        survivors = [d for d in descs if d not in victims]
+
+        def seg_iter(desc):
+            pf = pq.ParquetFile(self.abs(desc["path"]))
+            for batch in pf.iter_batches(batch_size=_MANIFEST_BATCH_ROWS):
+                yield from batch.to_pylist()
+
+        used = {int(d["path"].rsplit("-p", 1)[1].split(".")[0])
+                for d in descs
+                if f"manifest-v{version:06d}-p" in d["path"]}
+        start = (max(used) + 1) if used else 0
+        merged = self.write_manifest(
+            version,
+            heapq.merge(*[seg_iter(d) for d in victims],
+                        key=lambda e: e["path"]),
+            stats_columns, stats_types=stats_types, presorted=True,
+            start_idx=start, allow_legacy_name=False,
+            arrow_schema=arrow_schema)
+        return survivors + merged

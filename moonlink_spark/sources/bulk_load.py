@@ -131,12 +131,22 @@ def load_files(
         "loaded_files": len(new_entries),
         "loaded_rows": sum(e["rows"] for e in new_entries),
     })
-    # streamed sorted-merge of the old manifest and the new entries —
-    # the driver never holds the full manifest
-    merged = heapq.merge(store.manifest_rows_iter(base.version),
-                         sorted(new_entries, key=lambda e: e["path"]),
-                         key=lambda e: e["path"])
-    return store.commit(merged, schema=tbl_schema,
-                        stats_columns=config.stats_columns,
-                        properties=props, expected_parent=base.version,
-                        presorted=True)
+    if (props.get("schema_types")
+            != base.properties.get("schema_types")):
+        # the load introduces typed bounds on a previously untyped
+        # table: the manifest's bound columns change arrow type, so
+        # every segment must be rewritten — full commit (streamed
+        # sorted-merge, driver holds one batch)
+        merged = heapq.merge(store.manifest_rows_iter(base.version),
+                             sorted(new_entries, key=lambda e: e["path"]),
+                             key=lambda e: e["path"])
+        return store.commit(merged, schema=tbl_schema,
+                            stats_columns=config.stats_columns,
+                            properties=props, expected_parent=base.version,
+                            presorted=True)
+    # pure delta: adopted files only ADD manifest entries
+    return store.commit_delta(base.version, added=new_entries,
+                              schema=tbl_schema,
+                              stats_columns=config.stats_columns,
+                              properties=props,
+                              expected_parent=base.version)

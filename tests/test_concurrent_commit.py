@@ -36,18 +36,19 @@ def table(spark, tmp_path):
 
 
 def _inject_before_optimize_commit(monkeypatch, side_effect):
-    """Run ``side_effect`` once, right before the first optimize commit."""
-    orig = SnapshotStore.commit
+    """Run ``side_effect`` once, right before the first optimize commit
+    (optimize commits deltas, so hook ``commit_delta``)."""
+    orig = SnapshotStore.commit_delta
     state = {"armed": True}
 
-    def hijacked(self, entries, **kw):
+    def hijacked(self, base_version, **kw):
         op = (kw.get("properties") or {}).get("operation", "")
         if state["armed"] and op.startswith("optimize"):
             state["armed"] = False
             side_effect()
-        return orig(self, entries, **kw)
+        return orig(self, base_version, **kw)
 
-    monkeypatch.setattr(SnapshotStore, "commit", hijacked)
+    monkeypatch.setattr(SnapshotStore, "commit_delta", hijacked)
 
 
 def test_optimize_rebases_over_unrelated_commit(spark, table, monkeypatch):
@@ -89,17 +90,17 @@ def test_optimize_aborts_when_input_gains_deletes(spark, table, monkeypatch):
 
 
 def test_merge_retries_over_concurrent_snapshot(spark, table, monkeypatch):
-    orig = SnapshotStore.commit
+    orig = SnapshotStore.commit_delta
     state = {"armed": True}
 
-    def hijacked(self, entries, **kw):
+    def hijacked(self, base_version, **kw):
         op = (kw.get("properties") or {}).get("operation", "")
         if state["armed"] and op == "merge":
             state["armed"] = False
             MoonTable(spark, table.store.warehouse, CFG).create_snapshot()
-        return orig(self, entries, **kw)
+        return orig(self, base_version, **kw)
 
-    monkeypatch.setattr(SnapshotStore, "commit", hijacked)
+    monkeypatch.setattr(SnapshotStore, "commit_delta", hijacked)
     dels = (table.scan(0).select(*KEYS, "lang", "content")
             .orderBy(*KEYS).limit(5).withColumn("_op", F.lit("delete")))
     n0 = table.scan(0).count()

@@ -25,9 +25,10 @@ CFG = TableConfig(compaction=CompactionConfig(
 def duckdb_live_sha(store: SnapshotStore, version: int) -> list[str]:
     """Reconstruct live rows in DuckDB from manifest + DVs only."""
     con = duckdb.connect()
-    manifest = store.manifest_path(version)
+    manifests = store.read_snapshot(version).manifest_paths
     rows = con.execute(
-        f"SELECT path, dv_path FROM '{manifest}'").fetchall()
+        "SELECT path, dv_path FROM read_parquet(?)",
+        [manifests]).fetchall()
     files = [store.abs(p) for p, _ in rows]
     dv_paths = sorted({store.abs(d) for _, d in rows if d})
     con.execute("CREATE TABLE data AS SELECT *, "

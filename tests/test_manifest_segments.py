@@ -1,0 +1,177 @@
+"""Segmented-manifest commits: the Iceberg manifest-list/manifest-file
+split (cf. the reference's changed-manifests-only iceberg sync,
+``iceberg_table_syncer.rs:723-838``).
+
+Pins the properties the scale story rests on:
+
+- a delta commit REUSES unaffected segments by reference (same object
+  in both versions' lists) and rewrites only segments whose path range
+  contains an affected entry;
+- metadata-only commits (create_snapshot / rollback / add_column) share
+  the parent's segment list verbatim — zero manifest I/O;
+- expire deletes a segment only when no retained version references it;
+- segment count stays bounded (coalesce policy);
+- version-1 layouts (single manifest, no list file) stay readable and
+  delta-committable;
+- a delta against the wrong base refuses loudly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import moonlink_spark.snapshotstore as ss
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.snapshotstore import SnapshotStore
+
+KEYS = ["repo", "path", "commit"]
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+ROW_DDL = ("repo string, path string, commit string, lang string, "
+           "content string")
+CHANGE_DDL = ROW_DDL + ", _op string"
+CFG = TableConfig(compaction=CompactionConfig(
+    min_files_to_compact=2, target_file_bytes=1 << 20,
+    bin_target_bytes=1 << 20, bin_concurrency=1))
+
+
+def _mk(spark, tmp_path, n=8, name="wh"):
+    wh = str(tmp_path / name)
+    store = SnapshotStore(wh)
+    store.init_warehouse()
+    store.commit([], schema=SCHEMA, stats_columns=CFG.stats_columns,
+                 properties={"flush_lsn": 0, "operation": "create-table"})
+    t = MoonTable(spark, wh, CFG)
+    for i in range(n):  # one file per append => n manifest entries
+        t.append(spark.createDataFrame(
+            [(f"org{i}/r", f"src/f{i:02d}.rs", f"{i:08x}", "rust",
+              f"fn f{i}() {{}}")], ROW_DDL))
+    return t
+
+
+def _segs(t, v):
+    return [s["path"] for s in SnapshotStore(t.store.warehouse)
+            .manifest_segments(v)]
+
+
+def test_append_is_pure_delta(spark, tmp_path):
+    """Each append adds ONE new segment; every prior segment is carried
+    by reference (same relative path object)."""
+    t = _mk(spark, tmp_path, n=3)
+    v = t.current_version()
+    prev = _segs(t, v - 1)
+    curr = _segs(t, v)
+    assert set(prev) <= set(curr)
+    assert len(curr) == len(prev) + 1
+
+
+def test_merge_rewrites_only_hit_segments(spark, tmp_path, monkeypatch):
+    """A delete MERGE rewrites the segment(s) holding the affected
+    files' entries and references the rest; scan results stay exact."""
+    t = _mk(spark, tmp_path, n=6)
+    v = t.current_version()
+    before = set(_segs(t, v))
+    dels = spark.createDataFrame(
+        [("org2/r", "src/f02.rs", f"{2:08x}", "rust", "x", "delete")],
+        CHANGE_DDL)
+    t.merge(dels, key_columns=KEYS)
+    v2 = t.current_version()
+    after = set(_segs(t, v2))
+    shared = before & after
+    # most segments carried by reference, at least one rewritten
+    assert shared, "no segment reuse at all"
+    assert after - before, "no segment was rewritten/added"
+    got = {r["path"] for r in t.scan().select("path").collect()}
+    assert got == {f"src/f{i:02d}.rs" for i in range(6) if i != 2}
+    # the DV update landed in the new version only
+    ents = {e["path"]: e for e in t.store.manifest_entries(v2)}
+    assert sum(e["dv_cardinality"] for e in ents.values()) == 1
+    old = {e["path"]: e for e in t.store.manifest_entries(v)}
+    assert sum(e["dv_cardinality"] for e in old.values()) == 0
+
+
+def test_metadata_commits_share_segments(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=3)
+    v = t.current_version()
+    base_segs = _segs(t, v)
+    s1 = t.create_snapshot()
+    assert _segs(t, s1.version) == base_segs
+    s2 = t.add_column("license", "string", default="mit")
+    assert _segs(t, s2.version) == base_segs
+    s3 = t.rollback_to(v)
+    assert _segs(t, s3.version) == base_segs
+    assert t.scan(s3.version).count() == 3
+
+
+def test_expire_respects_shared_segments(spark, tmp_path):
+    """Expiring a version deletes only segments no retained version
+    references; shared segments survive and retained scans still work."""
+    t = _mk(spark, tmp_path, n=4)
+    v = t.current_version()
+    dels = spark.createDataFrame(
+        [("org1/r", "src/f01.rs", f"{1:08x}", "rust", "x", "delete")],
+        CHANGE_DDL)
+    t.merge(dels, key_columns=KEYS)  # shares most of v's segments
+    store = SnapshotStore(t.store.warehouse)
+    shared = set(_segs(t, v)) & set(_segs(t, t.current_version()))
+    assert shared
+    t.expire_snapshots(retain_last=1)
+    for s in shared:  # still referenced by the retained version
+        assert store.fs.is_file(store.abs(s))
+    assert t.scan().count() == 3
+    with pytest.raises(Exception):
+        t.scan(0).count()
+
+
+def test_segment_rolling_and_coalesce(spark, tmp_path, monkeypatch):
+    """Tiny SEGMENT_ROWS forces multi-segment full commits; a low
+    MAX_MANIFEST_SEGMENTS forces the coalesce path.  Content stays
+    exact throughout."""
+    monkeypatch.setattr(ss, "SEGMENT_ROWS", 2)
+    monkeypatch.setattr(ss, "MAX_MANIFEST_SEGMENTS", 4)
+    monkeypatch.setattr(ss, "COALESCE_TARGET_SEGMENTS", 3)
+    t = _mk(spark, tmp_path, n=9)
+    v = t.current_version()
+    assert len(_segs(t, v)) <= 4  # coalesce kept the count bounded
+    got = {r["path"] for r in t.scan().select("path").collect()}
+    assert got == {f"src/f{i:02d}.rs" for i in range(9)}
+    # entries survive coalescing exactly once each
+    ents = t.store.manifest_entries(v)
+    assert len(ents) == 9
+    assert len({e["path"] for e in ents}) == 9
+
+
+def test_v1_layout_readable_and_delta_committable(spark, tmp_path):
+    """A version-1 snapshot (single manifest-v{N}.parquet, no list
+    file) reads via the fallback, and a delta commit on top works
+    (conservative always-intersect)."""
+    t = _mk(spark, tmp_path, n=3)
+    store = SnapshotStore(t.store.warehouse)
+    v = t.current_version()
+    # forge the pre-upgrade layout: consolidate to one segment, rename
+    # it to the legacy single-manifest name, drop the list file
+    t.optimize("full")
+    v = t.current_version()
+    segs = store.manifest_segments(v)
+    assert len(segs) == 1
+    store.fs.rename(store.abs(segs[0]["path"]), store.manifest_path(v))
+    lst = store.manifest_list_path(v)
+    assert store.fs.is_file(lst)
+    store.fs.remove(lst)
+    store2 = SnapshotStore(t.store.warehouse)  # fresh (no seg cache)
+    snap = store2.read_snapshot(v)
+    assert snap.manifest_paths == [store2.manifest_path(v)]
+    t2 = MoonTable(spark, t.store.warehouse, CFG)
+    dels = spark.createDataFrame(
+        [("org0/r", "src/f00.rs", f"{0:08x}", "rust", "x", "delete")],
+        CHANGE_DDL)
+    t2.merge(dels, key_columns=KEYS)
+    assert t2.scan().count() == 2
+
+
+def test_delta_against_wrong_base_refuses(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=2)
+    with pytest.raises(RuntimeError, match="not in the base manifest"):
+        t.store.commit_delta(
+            t.current_version(), removed=["data/never-existed.parquet"],
+            schema=SCHEMA, stats_columns=CFG.stats_columns,
+            properties={}, expected_parent=t.current_version())

@@ -1,0 +1,110 @@
+"""Manifest commit-cost microbench: full rewrite vs delta.
+
+Synthesizes a warehouse whose manifest has N entries (no data files —
+commit cost is pure metadata work), then measures:
+
+- ``full``  — the pre-segmentation commit shape: stream ALL N entries
+  through ``store.commit`` (what every commit used to cost);
+- ``delta`` — ``store.commit_delta`` applying a 100-entry update +
+  100 added entries (what MERGE/append commits cost now);
+- ``reuse`` — ``store.commit_reuse`` (what create_snapshot / rollback /
+  schema evolution cost now).
+
+Writes one JSON line; commit as ``MANIFEST_DELTA.json``.  The claim
+this artifact records: delta/reuse commit cost is flat in table size,
+full-commit cost is linear — the reason a 10^12-entry manifest is
+commit-able at all.
+
+Usage: python tools/manifest_delta_bench.py [sizes ...]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from moonlink_spark.snapshotstore import SnapshotStore  # noqa: E402
+
+STATS = ("repo", "path", "commit", "lang")
+
+
+def entries(n: int):
+    for i in range(n):
+        yield {
+            "path": f"data/s{i % 64:02x}/data-base-{i:012d}.parquet",
+            "rows": 1000, "bytes": 4 << 20,
+            "dv_path": None, "dv_cardinality": 0,
+            "bounds": {"repo": (f"org{i % 97}", f"org{i % 97}"),
+                       "path": (f"src/a{i}.rs", f"src/z{i}.rs"),
+                       "commit": ("aaaa", "ffff"),
+                       "lang": ("rust", "rust")},
+        }
+
+
+def bench(n: int, tmp: str) -> dict:
+    store = SnapshotStore(f"{tmp}/wh{n}")
+    store.init_warehouse()
+    t0 = time.monotonic()
+    store.commit(entries(n), schema=["repo", "path", "commit", "lang",
+                                     "content", "_pos"],
+                 stats_columns=STATS, properties={"flush_lsn": 0})
+    t_full = time.monotonic() - t0
+
+    rng = random.Random(7)
+    all_paths = sorted(e["path"] for e in entries(n))
+    schema = ["repo", "path", "commit", "lang", "content", "_pos"]
+
+    # scattered delta: 100 uniformly random keys — worst case, hits
+    # ~min(100, n_segments) segments
+    touched = rng.sample(all_paths, min(100, n))
+    updated = {p: (f"dv/s00/dv-x-{j}.parquet", 7)
+               for j, p in enumerate(touched)}
+    added = [dict(e, path=e["path"].replace("base", "newf"))
+             for e in list(entries(100))]
+    t0 = time.monotonic()
+    store.commit_delta(0, added=added, updated=updated, schema=schema,
+                       stats_columns=STATS,
+                       properties={"flush_lsn": 1}, expected_parent=0)
+    t_scatter = time.monotonic() - t0
+
+    # key-local delta: 100 path-contiguous keys (the z-ordered CDC
+    # batch shape) — hits exactly one segment regardless of table size
+    mid = n // 2
+    local = {p: (f"dv/s00/dv-y-{j}.parquet", 3)
+             for j, p in enumerate(all_paths[mid:mid + 100])}
+    t0 = time.monotonic()
+    store.commit_delta(1, updated=local, schema=schema,
+                       stats_columns=STATS,
+                       properties={"flush_lsn": 2}, expected_parent=1)
+    t_local = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    store.commit_reuse(2, schema=schema,
+                       properties={"flush_lsn": 3}, expected_parent=2)
+    t_reuse = time.monotonic() - t0
+    segs = len(store.manifest_segments(2))
+    return {"entries": n, "full_commit_s": round(t_full, 3),
+            "delta_scattered_s": round(t_scatter, 3),
+            "delta_keylocal_s": round(t_local, 3),
+            "reuse_commit_s": round(t_reuse, 4),
+            "segments_after_deltas": segs}
+
+
+def main():
+    import tempfile
+    sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [bench(n, tmp) for n in sizes]
+    out = {"metric": "manifest_commit_seconds",
+           "delta_shape": ("scattered: 100 random updates + 100 adds; "
+                           "keylocal: 100 contiguous updates"),
+           "rows": rows}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
