@@ -669,41 +669,62 @@ class SnapshotStore:
             i = bisect.bisect_left(affected, lo)
             return i < len(affected) and affected[i] <= hi
 
+        candidates = []
         for seg in base_segs:
             if seg.get("entries") == 0:
                 continue  # empty segment: nothing to carry
             if not _intersects(seg):
                 kept_descs.append(dict(seg))
                 continue
+            candidates.append(seg)
+
+        # rewrite the hit segments in a thread pool (bounded arrow
+        # filter+write each — the same pooling shape as footer stats /
+        # finalization renames); indices are reserved up front so names
+        # stay deterministic per segment
+        def _rewrite(seg: dict, idx: int):
             t = pq.read_table(self.abs(seg["path"]))
             hit = pc.is_in(t["path"], value_set=pa.array(
                 affected, type=pa.string()))
-            n_hits = pc.sum(hit).as_py() or 0
-            if not n_hits:
-                kept_descs.append(dict(seg))
-                continue
-            hit_rows = t.filter(hit)
-            for row in hit_rows.to_pylist():
-                found.add(row["path"])
-                if row["path"] in updated:
-                    dv_path, dv_card = updated[row["path"]]
-                    row["dv_path"] = dv_path
-                    row["dv_cardinality"] = int(dv_card or 0)
-                    patched_rows.append(row)
+            if not (pc.sum(hit).as_py() or 0):
+                return dict(seg), [], []
+            hits = t.filter(hit).to_pylist()
             kept = t.filter(pc.invert(hit))
+            desc = None
             if kept.num_rows:
-                final = self.segment_path(version, next_idx)
+                final = self.segment_path(version, idx)
                 tmp = final + ".manifest-tmp"
                 pq.write_table(kept, tmp, compression="zstd")
                 self.fs.rename(tmp, final)
                 paths = kept["path"]
-                kept_descs.append({
+                desc = {
                     "path": os.path.relpath(final, self.warehouse),
                     "entries": kept.num_rows,
                     "min_path": paths[0].as_py(),
                     "max_path": paths[kept.num_rows - 1].as_py(),
-                    "bytes": self.fs.size(final)})
-                next_idx += 1
+                    "bytes": self.fs.size(final)}
+            f, patched = [], []
+            for row in hits:
+                f.append(row["path"])
+                if row["path"] in updated:
+                    dv_path, dv_card = updated[row["path"]]
+                    row["dv_path"] = dv_path
+                    row["dv_cardinality"] = int(dv_card or 0)
+                    patched.append(row)
+            return desc, f, patched
+
+        if candidates:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(candidates))) as pool:
+                results = list(pool.map(
+                    _rewrite, candidates, range(len(candidates))))
+            for desc, f, patched in results:
+                if desc is not None:
+                    kept_descs.append(desc)
+                found.update(f)
+                patched_rows.extend(patched)
+            next_idx = len(candidates)
 
         missing = [p for p in affected if p not in found]
         if missing:
