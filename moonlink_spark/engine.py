@@ -675,6 +675,30 @@ class MoonTable:
             self.spark, self.store, retain_last=retain_last,
             clean_tmp_older_than_seconds=clean_tmp_older_than_seconds)
 
+    # -- external-reader support ------------------------------------------
+    def get_parquet_metadatas(self, data_files: list[str]) -> list[bytes]:
+        """Serialized parquet footer metadata for committed data files —
+        what an external engine needs to plan row-group reads without
+        re-fetching whole objects (``get_parquet_metadatas``,
+        ``moonlink_backend/src/lib.rs:292-306``).  Footer reads run in a
+        thread pool (the reference buffers at a fixed parallelism).
+        Paths are warehouse-relative (manifest ``path`` values)."""
+        import pyarrow.parquet as _pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(rel: str) -> bytes:
+            import io
+            md = _pq.ParquetFile(self.store.abs(rel)).metadata
+            buf = io.BytesIO()
+            md.write_metadata_file(buf)
+            return buf.getvalue()
+
+        if not data_files:
+            return []
+        with ThreadPoolExecutor(
+                max_workers=min(16, len(data_files))) as pool:
+            return list(pool.map(one, data_files))
+
     # -- observability ---------------------------------------------------
     def metrics(self, job_id: str | None = None) -> list[dict]:
         """Lineage records (per-bin rows/bytes counters) for one job or

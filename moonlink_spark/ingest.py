@@ -125,6 +125,25 @@ class IngestSession:
             self.last_maintenance = self.table.maintain("best_effort")
         return snap
 
+    def wait_for_wal_flush(self, lsn: int, *,
+                           timeout_seconds: float = 60.0,
+                           poll_seconds: float = 0.05) -> None:
+        """Block until the WAL's durable LSN reaches ``lsn`` — the
+        ``wait_for_wal_flush`` surface (``moonlink_backend/src/lib.rs:
+        407-426``).  Within one session ``commit()`` is
+        durable-before-ack, so this returns immediately for own writes;
+        the poll loop exists for a second session/process appending to
+        the same table's WAL (re-reads through the fs seam).  Raises
+        ``TimeoutError`` if the LSN is not reached in time."""
+        import time as _time
+        deadline = _time.monotonic() + timeout_seconds
+        while self.committed_lsn() < lsn:
+            if _time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"WAL flush LSN {self.committed_lsn()} did not reach "
+                    f"{lsn} within {timeout_seconds}s")
+            _time.sleep(poll_seconds)
+
     # -- watermarks -------------------------------------------------------
     def committed_lsn(self) -> int:
         """Highest durable (acked) LSN."""

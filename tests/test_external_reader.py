@@ -57,3 +57,26 @@ def test_duckdb_reads_snapshot(spark, tmp_path, maintained):
         "sha2(content, 256) as h").collect())
     external = duckdb_live_sha(SnapshotStore(w), version)
     assert engine == external
+
+
+def test_get_parquet_metadatas_plan_rowgroups(spark, tmp_path):
+    """get_parquet_metadatas (lib.rs:292-306): serialized footers an
+    external engine can plan row-group reads from, without fetching
+    the data objects."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=67, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64))
+    t = MoonTable(spark, w, CFG)
+    ents = t.store.manifest_entries(t.current_version())
+    rels = [e["path"] for e in ents][:4]
+    blobs = t.get_parquet_metadatas(rels)
+    assert len(blobs) == len(rels)
+    for rel, blob in zip(rels, blobs):
+        md = pq.read_metadata(io.BytesIO(blob))
+        assert md.num_rows == pq.ParquetFile(
+            t.store.abs(rel)).metadata.num_rows
+        assert md.num_row_groups >= 1

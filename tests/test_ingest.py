@@ -134,3 +134,19 @@ def test_rest_event_validation_and_gated_codecs():
         parse_avro_event(b"", None)
     with _pytest.raises(NotImplementedError, match="protobuf"):
         parse_protobuf_event(b"", None)
+
+
+def test_wait_for_wal_flush(spark, tmp_path):
+    """wait_for_wal_flush (lib.rs:407-426): returns once the durable
+    LSN reaches the target — immediately for own (durable-before-ack)
+    commits, TimeoutError for an LSN nobody wrote."""
+    t = _mk(spark, str(tmp_path / "wh"))
+    s = IngestSession(t, key_columns=KEYS)
+    s.insert(_row(0))
+    lsn = s.commit()
+    s.wait_for_wal_flush(lsn)  # already durable
+    # a second session (fresh WAL view over the same table) sees it too
+    s2 = IngestSession(t, key_columns=KEYS)
+    s2.wait_for_wal_flush(lsn, timeout_seconds=5)
+    with pytest.raises(TimeoutError):
+        s2.wait_for_wal_flush(lsn + 10, timeout_seconds=0.3)
