@@ -35,7 +35,6 @@ from moonlink_spark.functions.zorder import compute_zorder_boundaries
 from moonlink_spark.operators import expire as expire_op
 from moonlink_spark.operators import merge as merge_op
 from moonlink_spark.operators import scan as scan_op
-from moonlink_spark.operators import planner as planner_mod
 from moonlink_spark.operators.planner import plan_compaction
 from moonlink_spark.operators.rewrite import rewrite_bin
 from moonlink_spark.snapshotstore import (
@@ -637,13 +636,21 @@ class MoonTable:
             return rec
 
         mdf = self.store.manifest_df(self.spark, v0)
-        qualifies = planner_mod.select_candidates(
-            mdf, self.config.compaction).select(F.lit(1).alias("q"))
+        comp = self.config.compaction
+        deleted_frac = (F.col("dv_cardinality")
+                        / F.greatest(F.col("rows"), F.lit(1)))
+        if comp.deletion_trigger_fraction > 0:
+            qualify = (F.col("bytes") < F.lit(comp.target_file_bytes)) | (
+                deleted_frac >= F.lit(comp.deletion_trigger_fraction))
+        else:  # full mode: everything qualifies (planner.select_candidates)
+            qualify = F.lit(True)
         counts = mdf.agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum(F.when(F.col("dv_path").isNotNull(), 1).otherwise(0))
-            .alias("n_dv")).collect()[0]
-        n_candidates = qualifies.count()
+            .alias("n_dv"),
+            F.sum(F.when(qualify, 1).otherwise(0)).alias("n_cand")
+        ).collect()[0]
+        n_candidates = int(counts["n_cand"] or 0)
         n_blocks = 0
         if self.config.index_key_columns:
             from moonlink_spark.operators import keyindex

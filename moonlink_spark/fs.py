@@ -92,6 +92,20 @@ class PosixFileSystem:
         self.write_atomic(path, data)
         return True
 
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Create ``path`` with ``data`` iff it does not exist; returns
+        False when it already does.  The lock/lease primitive (posix:
+        ``O_EXCL``; S3: conditional PUT ``If-None-Match: *``; GCS:
+        ``x-goog-if-generation-match: 0``)."""
+        try:
+            with open(path, "xb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        except FileExistsError:
+            return False
+
     def rename(self, src: str, dst: str) -> None:
         """Atomic replace (same-filesystem)."""
         os.replace(src, dst)

@@ -67,6 +67,14 @@ DATA_DIR = "data"
 DV_DIR = "dv"
 CHECKPOINT_DIR = "checkpoints"
 VERSION_HINT = "VERSION_HINT"
+COMMIT_LOCK = "COMMIT_LOCK"
+
+# Commit-lock lease: how long a holder may sit on the lock before
+# another committer may take it over (a crashed committer's lock must
+# not wedge the table), and how long an acquirer waits before giving up
+# with CommitConflict (callers' retry loops handle it).
+COMMIT_LOCK_TTL_SECONDS = 120.0
+COMMIT_LOCK_ACQUIRE_SECONDS = 30.0
 
 # Hash-prefixed object layout (the public Iceberg
 # ``ObjectStoreLocationProvider`` pattern: a short hash component in
@@ -346,6 +354,65 @@ class SnapshotStore:
             key=lambda e: e["path"])
 
     # -- write -----------------------------------------------------------
+    def _commit_lock(self):
+        """Serialize commits per table (context manager).
+
+        The reference serializes all table mutations through one event
+        loop per table (``table_handler.rs``); this lease is the
+        multi-process analogue.  Why it must exist: snapshot artifacts
+        (header, manifest list, segments) have DETERMINISTIC names per
+        version, so two committers racing for version N would overwrite
+        each other's artifacts BEFORE the VERSION_HINT CAS decides the
+        winner — the loser could corrupt the winner's already-published
+        version.  The CAS alone protects only the pointer, not the
+        artifacts it points at.
+
+        Lease semantics: exclusive create through the fs seam (posix
+        ``O_EXCL`` / object-store ``If-None-Match``); a holder older
+        than ``COMMIT_LOCK_TTL_SECONDS`` is presumed crashed and taken
+        over; acquirers give up with :class:`CommitConflict` after
+        ``COMMIT_LOCK_ACQUIRE_SECONDS`` (callers' retry loops handle
+        it)."""
+        import contextlib
+        import uuid
+
+        store = self
+
+        @contextlib.contextmanager
+        def _ctx():
+            path = os.path.join(store.snapshot_dir, COMMIT_LOCK)
+            token = uuid.uuid4().hex.encode()
+            deadline = time.monotonic() + COMMIT_LOCK_ACQUIRE_SECONDS
+            while not store.fs.create_exclusive(path, token):
+                try:
+                    age = time.time() - store.fs.mtime(path)
+                except (FileNotFoundError, OSError):
+                    continue  # released between check and stat: retry
+                if age > COMMIT_LOCK_TTL_SECONDS:
+                    # presumed-crashed holder: best-effort takeover
+                    try:
+                        store.fs.remove(path)
+                    except (FileNotFoundError, OSError):
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise CommitConflict(
+                        f"commit lock held for {age:.1f}s by another "
+                        "committer")
+                time.sleep(0.02)
+            try:
+                yield
+            finally:
+                # release only our own lease (a TTL takeover may have
+                # replaced it while we were stalled)
+                try:
+                    if store.fs.read_bytes(path) == token:
+                        store.fs.remove(path)
+                except (FileNotFoundError, OSError):
+                    pass
+
+        return _ctx()
+
     def _manifest_schema(self, stats_columns: list[str],
                          stats_types: dict | None):
         """Arrow schema + per-column bound types for manifest rows."""
@@ -541,17 +608,19 @@ class SnapshotStore:
         names per column, maintained by schema evolution / bulk load);
         absent that, bounds are string-typed (the north-rule table).
         """
-        current = self.current_version() if self.exists() else None
-        if expected_parent is not None and current != expected_parent:
-            raise CommitConflict(
-                f"expected parent v{expected_parent}, found v{current}")
-        version = 0 if current is None else current + 1
+        with self._commit_lock():
+            current = self.current_version() if self.exists() else None
+            if expected_parent is not None and current != expected_parent:
+                raise CommitConflict(
+                    f"expected parent v{expected_parent}, found v{current}")
+            version = 0 if current is None else current + 1
 
-        stats_types = (properties or {}).get("schema_types")
-        descs = self.write_manifest(version, entries, stats_columns,
-                                    stats_types=stats_types,
-                                    presorted=presorted)
-        return self._publish(version, current, descs, schema, properties)
+            stats_types = (properties or {}).get("schema_types")
+            descs = self.write_manifest(version, entries, stats_columns,
+                                        stats_types=stats_types,
+                                        presorted=presorted)
+            return self._publish(version, current, descs, schema,
+                                 properties)
 
     def _publish(self, version: int, current: int | None,
                  descs: list[dict], schema: list[str],
@@ -596,13 +665,15 @@ class SnapshotStore:
         create_snapshot, rollback, and schema evolution (add/drop column
         never touch data files) all commit this way, so they are O(1)
         regardless of table size."""
-        current = self.current_version() if self.exists() else None
-        if expected_parent is not None and current != expected_parent:
-            raise CommitConflict(
-                f"expected parent v{expected_parent}, found v{current}")
-        version = 0 if current is None else current + 1
-        descs = [dict(d) for d in self.manifest_segments(base_version)]
-        return self._publish(version, current, descs, schema, properties)
+        with self._commit_lock():
+            current = self.current_version() if self.exists() else None
+            if expected_parent is not None and current != expected_parent:
+                raise CommitConflict(
+                    f"expected parent v{expected_parent}, found v{current}")
+            version = 0 if current is None else current + 1
+            descs = [dict(d) for d in self.manifest_segments(base_version)]
+            return self._publish(version, current, descs, schema,
+                                 properties)
 
     def commit_delta(
         self,
@@ -633,6 +704,16 @@ class SnapshotStore:
         Raises ``RuntimeError`` if a removed/updated path is not found
         in the base manifest — a delta against the wrong base is a
         correctness bug, never silently absorbed."""
+        with self._commit_lock():
+            return self._commit_delta_locked(
+                base_version, added=added, removed=removed,
+                updated=updated, schema=schema,
+                stats_columns=stats_columns, properties=properties,
+                expected_parent=expected_parent)
+
+    def _commit_delta_locked(self, base_version, *, added, removed,
+                             updated, schema, stats_columns, properties,
+                             expected_parent):
         import pyarrow.compute as pc
 
         current = self.current_version() if self.exists() else None

@@ -175,3 +175,31 @@ def test_delta_against_wrong_base_refuses(spark, tmp_path):
             t.current_version(), removed=["data/never-existed.parquet"],
             schema=SCHEMA, stats_columns=CFG.stats_columns,
             properties={}, expected_parent=t.current_version())
+
+
+def test_commit_lock_serializes_and_recovers(spark, tmp_path, monkeypatch):
+    """The commit lock: released after every commit; a held lock makes
+    a second committer give up with CommitConflict; a stale (crashed
+    holder) lock is taken over after the TTL."""
+    import os
+    import time
+
+    from moonlink_spark.snapshotstore import COMMIT_LOCK, CommitConflict
+
+    t = _mk(spark, tmp_path, n=2)
+    store = t.store
+    lock = os.path.join(store.snapshot_dir, COMMIT_LOCK)
+    assert not store.fs.exists(lock)  # released after all commits
+
+    # held lock -> second committer refuses after the acquire window
+    monkeypatch.setattr(ss, "COMMIT_LOCK_ACQUIRE_SECONDS", 0.2)
+    assert store.fs.create_exclusive(lock, b"someone-else")
+    with pytest.raises(CommitConflict, match="commit lock held"):
+        t.create_snapshot()
+
+    # stale lock (older than TTL) -> taken over, commit succeeds
+    monkeypatch.setattr(ss, "COMMIT_LOCK_TTL_SECONDS", 0.05)
+    time.sleep(0.1)
+    snap = t.create_snapshot()
+    assert snap.properties["operation"] == "create-snapshot"
+    assert not store.fs.exists(lock)
