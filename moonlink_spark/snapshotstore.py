@@ -389,9 +389,22 @@ class SnapshotStore:
                 except (FileNotFoundError, OSError):
                     continue  # released between check and stat: retry
                 if age > COMMIT_LOCK_TTL_SECONDS:
-                    # presumed-crashed holder: best-effort takeover
+                    # Presumed-crashed holder: takeover by RENAME to a
+                    # unique tombstone, not remove — rename is atomic
+                    # and exactly one of N racing takeover attempts
+                    # wins, so a waiter can never delete the FRESH lock
+                    # another takeover just created (the stat→remove
+                    # window).  Object-store mapping: conditional
+                    # delete on the etag/generation read at the stat
+                    # (S3 ``If-Match`` DELETE / GCS
+                    # ``if-generation-match``).
+                    tomb = f"{path}.stale-{uuid.uuid4().hex}"
                     try:
-                        store.fs.remove(path)
+                        store.fs.rename(path, tomb)
+                    except (FileNotFoundError, OSError):
+                        continue  # someone else won the takeover: retry
+                    try:
+                        store.fs.remove(tomb)
                     except (FileNotFoundError, OSError):
                         pass
                     continue
