@@ -507,6 +507,85 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events")))
 
 
+@_register("events_asof_join", """
+WITH u AS (
+  SELECT user_id AS k, ts AS t, 0 AS tag, event_id, event_type, value,
+         NULL::BIGINT AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey, o_orderdate, 1, NULL, NULL, NULL, o_orderkey
+  FROM orders
+), w AS (
+  SELECT o_orderkey, tag,
+         LAST_VALUE(event_id IGNORE NULLS) OVER win AS last_event_id,
+         LAST_VALUE(event_type IGNORE NULLS) OVER win AS last_event_type,
+         LAST_VALUE(value IGNORE NULLS) OVER win AS last_value
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY t, tag, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT o_orderkey, last_event_id, last_event_type, last_value
+FROM w WHERE tag = 1
+""")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks up the latest event of its customer
+    at or before the order date (kdb+ ``aj`` / pandas ``merge_asof``
+    semantics).  Union + one per-key ordered window — never an
+    inequality join (see ``functions/temporal.py``)."""
+    from moonlink_spark.functions.temporal import asof_join
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    joined = asof_join(
+        o, ev, probe_key="o_custkey", quote_key="user_id",
+        probe_time="o_orderdate", quote_time="ts",
+        value_columns=["event_id", "event_type", "value"],
+        quote_order="event_id")
+    return joined.select(
+        "o_orderkey",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"))
+
+
+@_register("events_range_join", """
+SELECT p.event_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 7 DAY
+ AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per-purchase activity profile — count and
+    value total of the same user's events in the 7 days before each
+    purchase.  Bucketized to an equi-join on (key, 7-day bucket) — each
+    purchase window replicates to at most 2 buckets, each event to
+    exactly 1 — then the exact range filter; the raw inequality
+    self-join this replaces is O(events^2) per user (see
+    ``functions/temporal.py``)."""
+    from moonlink_spark.functions.temporal import interval_join
+    week_us = 7 * 86400 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    hi = F.unix_micros(F.col("ts").cast("timestamp"))
+    joined = interval_join(
+        p, ev.select(F.col("user_id").alias("e_user"), "ts", "value")
+             .withColumnRenamed("ts", "e_ts"),
+        left_key="user_id", right_key="e_user",
+        left_lo=hi - F.lit(week_us), left_hi=hi,
+        right_time="e_ts", bucket_micros=week_us)
+    return (joined.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value")))
+
+
 # ---------------------------------------------------------------------------
 # 2. training-data operators
 # ---------------------------------------------------------------------------

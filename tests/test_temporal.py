@@ -1,0 +1,146 @@
+"""Temporal join kernels (``functions/temporal.py``): the distributed
+union+window as-of join and the bucketized interval join must equal
+their naive inequality-join twins (the O(n*m) formulation that cannot
+run at scale but is trivially correct at test scale)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from moonlink_spark.functions.temporal import asof_join, interval_join
+
+US = 1_000_000
+
+
+def _ts(h, m=0, s=0):
+    return datetime.datetime(2024, 3, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        (1, _ts(9), 100, "a", 1.0),
+        (1, _ts(10), 101, "b", 2.0),
+        (1, _ts(10), 102, "c", 3.0),   # tie on ts: event_id breaks it
+        (2, _ts(12), 200, "d", 4.0),
+        # user 3 has no quotes
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+
+
+@pytest.fixture(scope="module")
+def probes(spark):
+    rows = [
+        (10, 1, _ts(9, 30)),   # between quotes -> 100
+        (11, 1, _ts(10)),      # exactly at tie -> at-or-before -> 102
+        (12, 1, _ts(8)),       # before all -> NULL
+        (13, 2, _ts(23)),      # long after -> 200 (stale under tolerance)
+        (14, 3, _ts(12)),      # keyless -> NULL
+    ]
+    return spark.createDataFrame(
+        rows, "probe_id long, user_id long, pts timestamp")
+
+
+def test_asof_join_semantics(probes, quotes):
+    out = asof_join(
+        probes, quotes, probe_key="user_id", quote_key="user_id",
+        probe_time="pts", quote_time="ts",
+        value_columns=["event_id", "event_type"], quote_order="event_id")
+    got = {r["probe_id"]: (r["event_id"], r["event_type"])
+           for r in out.collect()}
+    assert got == {10: (100, "a"), 11: (102, "c"), 12: (None, None),
+                   13: (200, "d"), 14: (None, None)}
+
+
+def test_asof_join_tolerance(probes, quotes):
+    out = asof_join(
+        probes, quotes, probe_key="user_id", quote_key="user_id",
+        probe_time="pts", quote_time="ts", value_columns=["event_id"],
+        quote_order="event_id", tolerance_micros=2 * 3600 * US)
+    got = {r["probe_id"]: r["event_id"] for r in out.collect()}
+    # probe 13 is 11h after its quote -> nulled; the rest unchanged
+    assert got == {10: 100, 11: 102, 12: None, 13: None, 14: None}
+
+
+def test_asof_join_equals_naive_inequality_join(spark):
+    """Randomized twin: union+window == greatest-quote-per-probe via
+    the naive inequality join, including tie-breaks."""
+    q = (spark.range(300)
+         .select((F.col("id") % 7).alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(1_700_000_000 * US)
+                     + (F.xxhash64("id") % (86400 * US))).alias("ts"),
+                 F.col("id").alias("event_id"),
+                 (F.xxhash64("id", F.lit(1)) % 100).cast("double")
+                 .alias("value")))
+    p = (spark.range(200)
+         .select(F.col("id").alias("probe_id"),
+                 (F.col("id") % 9).alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(1_700_000_000 * US)
+                     + (F.xxhash64("id", F.lit(2)) % (86400 * US)))
+                 .alias("pts")))
+    fast = asof_join(p, q, probe_key="user_id", quote_key="user_id",
+                     probe_time="pts", quote_time="ts",
+                     value_columns=["event_id", "value"],
+                     quote_order="event_id")
+    naive = (p.join(q, (p["user_id"] == q["user_id"])
+                    & (q["ts"] <= p["pts"]), "left")
+             .withColumn("_rk", F.row_number().over(
+                 Window.partitionBy("probe_id")
+                 .orderBy(F.desc_nulls_last("ts"),
+                          F.desc_nulls_last("event_id"))))
+             .filter(F.col("_rk") == 1)
+             .select("probe_id", "event_id", "value"))
+    lhs = {r["probe_id"]: (r["event_id"], r["value"])
+           for r in fast.collect()}
+    rhs = {r["probe_id"]: (r["event_id"], r["value"])
+           for r in naive.collect()}
+    assert lhs == rhs
+
+
+def test_interval_join_equals_naive_theta_join(spark):
+    """Bucketized interval join == the naive theta join, across bucket
+    widths (windows spanning 1 and 2 buckets, boundary-exact)."""
+    ev = (spark.range(400)
+          .select((F.col("id") % 5).alias("user_id"),
+                  F.timestamp_micros(
+                      F.lit(1_700_000_000 * US)
+                      + (F.xxhash64("id") % (10 * 86400 * US)))
+                  .alias("ts"),
+                  F.col("id").alias("event_id")))
+    probes = (spark.range(60)
+              .select(F.col("id").alias("probe_id"),
+                      (F.col("id") % 6).alias("user_id"),
+                      (F.lit(1_700_000_000 * US)
+                       + (F.xxhash64("id", F.lit(3))
+                          % (10 * 86400 * US))).alias("lo_us")))
+    probes = probes.withColumn("hi_us", F.col("lo_us") + 86400 * US)
+    naive_ev = ev.withColumn("rt", F.unix_micros("ts"))
+    naive = (probes.join(
+        naive_ev, (probes["user_id"] == naive_ev["user_id"])
+        & (naive_ev["rt"] >= probes["lo_us"])
+        & (naive_ev["rt"] < probes["hi_us"]))
+        .select("probe_id", "event_id"))
+    expect = sorted((r["probe_id"], r["event_id"]) for r in naive.collect())
+    for bucket in (86400 * US, 36 * 3600 * US):
+        fast = interval_join(
+            probes, ev.withColumnRenamed("user_id", "e_user"),
+            left_key="user_id", right_key="e_user",
+            left_lo=F.col("lo_us"), left_hi=F.col("hi_us"),
+            right_time="ts", bucket_micros=bucket)
+        got = sorted((r["probe_id"], r["event_id"])
+                     for r in fast.collect())
+        assert got == expect, f"bucket={bucket}"
+
+
+def test_asof_join_refuses_column_collision(probes, quotes):
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(probes, quotes.withColumnRenamed("event_id", "probe_id"),
+                  probe_key="user_id", quote_key="user_id",
+                  probe_time="pts", quote_time="ts",
+                  value_columns=["probe_id"], quote_order="probe_id")
