@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "dv_antijoin_scan",
     "merge_latest_wins",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
+    "text_gopher_rules",
     "manifest_binning",
     "zorder_morton_key",
     "dedup_exact",

@@ -206,3 +206,65 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     return df.select(
         "*", total.alias("n_grams"), dist.alias("n_distinct_grams"),
         F.round(F.lit(1.0) - dist / total, 6).alias("dup_gram_ratio"))
+
+
+# The eight "required word" indicators from the published
+# Gopher/MassiveText rules (Rae et al. 2021, table A1): a document must
+# contain at least two of them.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that",
+                         "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000
+                 ) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al.
+    2021 — public): word-count bounds, mean-word-length in [3, 10],
+    symbol-to-word ratio (``#``/ellipsis) <= 0.1, <= 90 % of lines
+    bullet-led, <= 30 % of lines ellipsis-ended, >= 80 % of words
+    containing an alphabetic character, and >= 2 of the eight required
+    English words present.
+
+    Adds the per-rule features and a composite ``passes_gopher``.  Pure
+    higher-order array expressions — codegen'd, narrow projection, no
+    shuffle; rides the scan at any scale like the rest of this module.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_words = F.size(toks).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = (F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x)).cast("double") / safe_words)
+    n_symbols = F.size(F.regexp_extract_all(
+        t, F.lit(r"(\.\.\.|…|#)"), 0)).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (F.size(F.filter(
+        lines, lambda x: F.substring(F.ltrim(x), 1, 1)
+        .isin(*GOPHER_BULLETS))).cast("double") / n_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda x: F.endswith(F.rtrim(x), F.lit("..."))
+        | F.endswith(F.rtrim(x), F.lit("…")))).cast("double") / n_lines)
+    alpha_frac = (F.size(F.filter(
+        toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / safe_words)
+    low = F.transform(toks, F.lower)
+    n_required = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        lambda w: F.array_contains(low, w))).cast("long")
+    symbol_ratio = n_symbols / safe_words
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_len >= 3.0) & (mean_len <= 10.0)
+              & (symbol_ratio <= 0.1)
+              & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+              & (alpha_frac >= 0.8) & (n_required >= 2))
+    return df.select(
+        "*", n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_required.alias("n_required_words"),
+        passes.alias("passes_gopher"))

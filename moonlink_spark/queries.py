@@ -1313,6 +1313,65 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
 
 
+_GREQ = ", ".join(f"'{w}'" for w in ts.GOPHER_REQUIRED_WORDS)
+
+
+@_register("text_gopher_rules", f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '[ \\t\\n]+') END
+             AS toks,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '(\\.\\.\\.|…|#)')) * 1.0
+             AS n_symbols
+  FROM documents
+), g AS (
+  SELECT doc_id, n_symbols,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) * 1.0 AS safe_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             * 1.0 AS tok_chars,
+         greatest(len(lines), 1) * 1.0 AS n_lines,
+         len(list_filter(lines,
+             x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*'))) * 1.0
+             AS bullet_lines,
+         len(list_filter(lines,
+             x -> ends_with(rtrim(x), '...')
+                  OR ends_with(rtrim(x), '…'))) * 1.0 AS ellipsis_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             * 1.0 AS alpha_words,
+         len(list_filter([{_GREQ}],
+             w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+             AS n_required
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(tok_chars / safe_words, 6) AS mean_word_len,
+       ROUND(n_symbols / safe_words, 6) AS symbol_word_ratio,
+       ROUND(bullet_lines / n_lines, 6) AS bullet_line_frac,
+       ROUND(ellipsis_lines / n_lines, 6) AS ellipsis_line_frac,
+       ROUND(alpha_words / safe_words, 6) AS alpha_word_frac,
+       CAST(n_required AS BIGINT) AS n_required_words,
+       (n_words >= 50 AND n_words <= 100000
+        AND tok_chars / safe_words >= 3.0
+        AND tok_chars / safe_words <= 10.0
+        AND n_symbols / safe_words <= 0.1
+        AND bullet_lines / n_lines <= 0.9
+        AND ellipsis_lines / n_lines <= 0.3
+        AND alpha_words / safe_words >= 0.8
+        AND n_required >= 2) AS passes_gopher
+FROM g
+""")
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText quality rule set
+    (textstats.gopher_rules): per-rule features + composite pass flag.
+    Pure codegen higher-order array expressions; no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.gopher_rules(d).drop("text")
+
+
 # URL-bearing twin of the documents table: the synthetic corpus carries
 # no URLs, so the query injects them deterministically (same pattern as
 # _DUPED_SQL synthesizes duplicates) — every doc links its source site,
