@@ -248,3 +248,42 @@ class Catalog:
         store = SnapshotStore(
             os.path.join(self.base_path, entry["warehouse"]), self.fs)
         return store.read_snapshot().schema
+
+    def maintain_all(self, option: str = "best_effort",
+                     max_actions: int | None = None) -> list[dict]:
+        """Evaluate the maintenance policy across every registered
+        table (the backend-level sweep over the reference's per-table
+        maintenance event loops — ``optimize_table`` exists per table
+        in ``moonlink_backend/src/lib.rs``; a deployment invokes it
+        over the catalog).
+
+        Runs ``MoonTable.maintain(option)`` table by table (each
+        evaluation is ONE manifest aggregate; see ``engine.maintain``)
+        and returns the decision records, each tagged with its
+        (database, table).  ``max_actions`` caps how many tables may
+        actually run an op this sweep — the remaining tables are still
+        evaluated and report ``decision="deferred"`` with their trigger
+        counts, so a scheduler can spread heavy maintenance across
+        sweeps without losing visibility.  Tables whose evaluation
+        raises are reported with ``decision="error"`` rather than
+        aborting the sweep.
+        """
+        records: list[dict] = []
+        acted = 0
+        for entry in self._entries():
+            db, name = entry["database"], entry["table"]
+            try:
+                t = self.get_table(db, name)
+                if max_actions is not None and acted >= max_actions:
+                    rec = t.maintain("evaluate")
+                    rec["decision"] = "deferred"
+                else:
+                    rec = t.maintain(option)
+                    if rec.get("decision") not in ("none", "skip"):
+                        acted += 1
+            except Exception as exc:  # sweep must survive one bad table
+                rec = {"option": option, "decision": "error",
+                       "error": f"{type(exc).__name__}: {exc}"}
+            rec["database"], rec["table"] = db, name
+            records.append(rec)
+        return records

@@ -614,6 +614,9 @@ class MoonTable:
           (trigger thresholds still shape candidate selection).
         - ``"force_full"`` — compact everything (``ForceFull``).
         - ``"skip"`` — evaluate nothing (the reference's Skip option).
+        - ``"evaluate"`` — compute the trigger counts (one manifest
+          aggregate) but never act; ``decision`` stays ``"none"``.
+          What a scheduler polls between sweeps.
 
         Returns an auditable decision record: the decision, the trigger
         counts it was based on, and the version window.  The trigger
@@ -622,7 +625,7 @@ class MoonTable:
         table size — cheap enough to call after every ingest batch.
         """
         if option not in ("best_effort", "force_regular", "force_full",
-                          "skip"):
+                          "skip", "evaluate"):
             raise ValueError(f"unknown maintain option {option!r}")
         v0 = self.current_version()
         rec = {"option": option, "decision": "none",
@@ -666,6 +669,8 @@ class MoonTable:
                 self.config.compaction.min_files_to_compact,
             "min_blocks_to_merge": MIN_DV_SIDECARS_TO_MERGE,
         }
+        if option == "evaluate":
+            return rec
         if n_candidates >= self.config.compaction.min_files_to_compact:
             snap = self.optimize("data")
             rec.update(decision="data", version_after=snap.version)

@@ -130,3 +130,37 @@ def test_typed_schema_flows_to_bounds(spark, tmp_path):
     # int-typed manifest bounds, not lexicographic strings
     ents = t.store.manifest_entries(1)
     assert all(isinstance(e["min_id"], int) for e in ents)
+
+
+def test_maintain_all_sweeps_acts_and_defers(spark, tmp_path):
+    """Catalog-wide maintenance sweep: tables with compactable debt get
+    one op each; max_actions caps the acting tables (the rest evaluated
+    and deferred with trigger counts); a broken table reports an error
+    row without aborting the sweep."""
+    cat = mk_catalog(spark, tmp_path)
+    cfg = TableConfig(compaction=CompactionConfig(
+        target_file_bytes=1 << 20, min_files_to_compact=2))
+    for name in ("t1", "t2"):
+        cat.create_table("db1", name, schema=SCHEMA, config=cfg)
+        t = cat.get_table("db1", name)
+        seed_rows(spark, t, n=30, tag="x")
+        seed_rows(spark, t, n=30, tag="y")  # >=2 undersized files
+
+    recs = cat.maintain_all(max_actions=1)
+    by = {(r["database"], r["table"]): r for r in recs}
+    assert by[("db1", "t1")]["decision"] == "data"
+    deferred = by[("db1", "t2")]
+    assert deferred["decision"] == "deferred"
+    assert deferred["reasons"]["n_compact_candidates"] >= 2
+    assert deferred["version_after"] == deferred["version_before"]
+
+    # second sweep, no cap: t2 gets its op now, t1 already clean
+    recs2 = {(r["database"], r["table"]): r for r in cat.maintain_all()}
+    assert recs2[("db1", "t2")]["decision"] == "data"
+
+    # a table whose warehouse vanished -> error row, sweep continues
+    import shutil
+    shutil.rmtree(cat.warehouse_path("db1", "t1"))
+    recs3 = {(r["database"], r["table"]): r for r in cat.maintain_all()}
+    assert recs3[("db1", "t1")]["decision"] == "error"
+    assert recs3[("db1", "t2")]["decision"] in ("none", "data", "index")
