@@ -63,6 +63,10 @@ class FlakyMixin:
         self._maybe_fail("publish_cas")
         return super().publish_cas(path, data, expected)
 
+    def create_exclusive(self, path, data):
+        self._maybe_fail("create_exclusive")
+        return super().create_exclusive(path, data)
+
 
 class FlakyPosix(FlakyMixin, PosixFileSystem):
     pass
@@ -97,7 +101,8 @@ def del_batch(t, n=3):
             .withColumn("_op", F.lit("delete")))
 
 
-@pytest.mark.parametrize("op", ["write_atomic", "rename", "publish_cas"])
+@pytest.mark.parametrize("op", ["write_atomic", "rename", "publish_cas",
+                                "create_exclusive"])
 def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op,
                                                          flaky_cls):
     t = MoonTable(spark, wh, CFG)
@@ -111,9 +116,16 @@ def test_merge_failure_leaves_table_intact_and_retryable(spark, wh, op,
     with pytest.raises(InjectedFault):
         flaky.merge(batch, key_columns=KEYS, job_tag="flaky")
 
-    # published state untouched; reader unaffected
+    # published state untouched; reader unaffected; and the commit
+    # lock was released on the way out (a leaked lease would stall
+    # every later committer until the TTL)
     assert t.current_version() == v0
     assert sha_set(t) == before
+    import os
+
+    from moonlink_spark.snapshotstore import COMMIT_LOCK
+    assert not os.path.exists(
+        os.path.join(t.store.snapshot_dir, COMMIT_LOCK))
 
     # retry on a healthy fs succeeds with correct content
     snap = t.merge(batch, key_columns=KEYS, job_tag="retry")
