@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "text_gopher_rules",
+    "text_unigram_lm",
     "manifest_binning",
     "zorder_morton_key",
     "dedup_exact",

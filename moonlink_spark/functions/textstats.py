@@ -268,3 +268,46 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         n_required.alias("n_required_words"),
         passes.alias("passes_gopher"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    alpha: float = 0.5) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style
+    perplexity gate, with the corpus itself as the LM): each document's
+    mean negative log2-probability of its tokens under the corpus
+    unigram distribution with add-``alpha`` smoothing.  Template spam
+    and keyboard mash sit far from the corpus distribution and score
+    high; typical prose scores low.
+
+    Returns one row per document with >=1 token: ``n_tokens``,
+    ``bits_per_token``.
+
+    Plan shape (the wordcount classic, linear at any corpus size):
+    token explode -> map-side-combined groupBy(token) for the vocab ->
+    join the exploded tokens back on the token key -> groupBy(doc).
+    The vocab's log-prob is computed once per DISTINCT token, not per
+    occurrence.
+
+    Cross-engine determinism: per-token log2 values are rounded to 6
+    decimals and summed as DECIMAL (exact, order-free) — a raw double
+    sum would depend on partition order and never match an oracle.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(ws_tokens(F.lower(F.col(text_col))))
+                      .alias("_tok")))
+    vocab = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt"))
+    totals = vocab.agg(F.sum("_cnt").alias("_n"),
+                       F.count(F.lit(1)).cast("double").alias("_v"))
+    lp = (vocab.crossJoin(F.broadcast(totals))
+          .select("_tok",
+                  F.round(F.log2((F.col("_cnt") + F.lit(alpha))
+                                 / (F.col("_n")
+                                    + F.lit(alpha) * F.col("_v"))), 6)
+                  .cast("decimal(18,6)").alias("_logp")))
+    return (toks.join(lp, "_tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(-F.sum("_logp").cast("double")
+                         / F.count(F.lit(1)), 6).alias("bits_per_token")))

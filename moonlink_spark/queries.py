@@ -1313,6 +1313,39 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
 
 
+@_register("text_unigram_lm", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)),
+                                           '[ \\t\\n]+') END) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) * 1.0 AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n, count(*) * 1.0 AS v FROM vocab
+), lp AS (
+  SELECT tok,
+         CAST(ROUND(log2((cnt + 0.5) / (n + 0.5 * v)), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM vocab, tot
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(-CAST(SUM(l.logp) AS DOUBLE) / COUNT(*), 6)
+           AS bits_per_token
+FROM toks t JOIN lp l USING (tok)
+GROUP BY t.doc_id
+""")
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (textstats.unigram_logprob): mean
+    bits-per-token under the corpus unigram distribution — the
+    CCNet-style perplexity gate.  Wordcount plan shape: explode +
+    map-side-combined vocab agg + token join + doc agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.unigram_logprob(d)
+
+
 _GREQ = ", ".join(f"'{w}'" for w in ts.GOPHER_REQUIRED_WORDS)
 
 
