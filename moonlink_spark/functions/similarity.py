@@ -197,3 +197,67 @@ def axis_lsh_bucket(df: DataFrame, *, vec_col: str = "embedding",
         b = b + F.when(F.element_at(v, d + 1) > 0,
                        F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn(out_col, b.cast("int"))
+
+
+def kmeans(corpus: DataFrame, *, vec_col: str = "embedding",
+           k: int = 16, iters: int = 10, sample_rows: int = 4096,
+           seed: int = 13) -> tuple[np.ndarray, DataFrame]:
+    """Distributed Lloyd's k-means over unit-normalized vectors
+    (spherical k-means — the metric every other operator here uses).
+
+    Returns ``(centroids, assigned)``: the final ``k x d`` centroid
+    array and the corpus with a ``cluster`` column.  The standard use
+    downstream is cluster-balanced selection — feed ``cluster`` to
+    ``sampling.stratified_sample`` to cap any one content region's
+    share of a training mix (topic balancing), or inspect per-cluster
+    counts for corpus composition drift.
+
+    The canonical Spark k-means loop, linear per iteration at any
+    corpus size:
+
+    - init: the bounded deterministic sample of :func:`train_centroids`
+      (per-partition top-k by hash, never ``limit()``'s partition-0
+      bias);
+    - assign: one matmul per Arrow batch against the broadcast ``k x
+      d`` centroid array (:func:`assign_cells`);
+    - recompute: per-cluster vector sums via ``posexplode`` +
+      ``groupBy(cluster, dim)`` — pure codegen and map-side
+      combinable, so each partition emits at most ``k x d`` partial
+      rows regardless of its row count; only ``k x d`` aggregated rows
+      (plus ``k`` counts) ever reach the driver per iteration.
+
+    Empty clusters keep their previous centroid.  Note the per-cluster
+    mean is a floating-point sum over an unordered partitioning, so
+    centroids can differ in the last ulps across runs; for
+    well-separated data assignments are stable (the seeded INIT is
+    exactly reproducible).
+    """
+    cents = train_centroids(corpus, vec_col=vec_col, n_centroids=k,
+                            sample_rows=sample_rows, iters=1, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = corpus.withColumn(
+        "_uv", F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12))))
+    for _ in range(iters):
+        assigned = assign_cells(unit, cents, vec_col="_uv",
+                                out_col="cluster")
+        stats = (assigned.select("cluster", F.posexplode("_uv")
+                                 .alias("_d", "_x"))
+                 .groupBy("cluster", "_d")
+                 .agg(F.sum("_x").alias("_s"),
+                      F.count(F.lit(1)).alias("_n"))
+                 .collect())
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in stats:
+            sums[r["cluster"], r["_d"]] = r["_s"]
+            counts[r["cluster"]] = r["_n"]
+        nxt = cents.copy()
+        nz = counts > 0
+        nxt[nz] = sums[nz] / counts[nz, None]
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True),
+                          1e-12)
+        cents = nxt
+    assigned = assign_cells(unit, cents, vec_col="_uv",
+                            out_col="cluster").drop("_uv")
+    return cents, assigned
