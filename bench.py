@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "merge_latest_wins",
     "events_sessionize",
     "events_asof_join",
+    "events_json_extract",
     "events_range_join",
     "text_gopher_rules",
     "text_unigram_lm",

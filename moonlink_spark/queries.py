@@ -507,6 +507,31 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events")))
 
 
+@_register("events_json_extract", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END) AS n_missing
+FROM events GROUP BY event_type
+""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a semi-structured column: JSON-path extract
+    from the events ``props`` payload inside whole-stage codegen
+    (``get_json_object`` — no UDF, no pre-parse materialization),
+    aggregated per event type.  Integer aggregates -> exact cross-engine
+    comparison."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(k).alias("sum_k"),
+                 F.max(k).alias("max_k"),
+                 F.sum(F.when(k.isNull(), 1).otherwise(0))
+                 .alias("n_missing")))
+
+
 @_register("events_asof_join", """
 WITH u AS (
   SELECT user_id AS k, ts AS t, 0 AS tag, event_id, event_type, value,
