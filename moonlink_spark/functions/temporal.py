@@ -65,6 +65,12 @@ def asof_join(
     overlap = set(pcols) & set(value_columns)
     if overlap:
         raise ValueError(f"probe/value column collision: {sorted(overlap)}")
+    reserved = {"_k", "_t", "_tag", "_tb", "_qt"} | {
+        f"_q_{c}" for c in value_columns}
+    bad = reserved & set(pcols)
+    if bad:
+        raise ValueError(f"probe columns collide with asof_join "
+                         f"internals: {sorted(bad)}")
 
     q_types = dict(quotes.dtypes)
     p = probes.select(
@@ -132,6 +138,11 @@ def interval_join(
     ``(key, bucket)`` — broadcastable, AQE-skew-splittable, salt-able
     like any other — with the exact range predicate applied after.
     """
+    bad = {"_lo", "_hi", "_bucket", "_rt"} & (set(left.columns)
+                                              | set(right.columns))
+    if bad:
+        raise ValueError(f"columns collide with interval_join "
+                         f"internals: {sorted(bad)}")
     lt = left.withColumn("_lo", left_lo).withColumn("_hi", left_hi)
     # floor division (F.floor of float division is exact here: epoch
     # micros < 2^53 are exactly representable and IEEE division of
