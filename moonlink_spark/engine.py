@@ -86,13 +86,24 @@ class MoonTable:
         catalog keeps every ``v{N}.metadata.json``,
         ``file_catalog.rs:606-624``).  Resolved from the header's
         ``committed_at`` stamp (mtimes do not survive object-store
-        copies/migrations; pre-upgrade headers fall back to mtime)."""
-        cands = [v for v in self.store.versions()
-                 if self.store.commit_time(v) <= ts]
-        if not cands:
+        copies/migrations; pre-upgrade headers fall back to mtime).
+
+        Commits are serialized per table (the commit lock) and stamped
+        at publish, so ``committed_at`` is monotone in version — the
+        lookup is a binary search: O(log versions) header reads, not a
+        full snapshot-log walk."""
+        versions = self.store.versions()
+        lo, hi = 0, len(versions)  # invariant: commit_time(< lo) <= ts
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.store.commit_time(versions[mid]) <= ts:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo == 0:
             raise ValueError(
                 f"no snapshot committed at or before ts={ts!r}")
-        return max(cands)
+        return versions[lo - 1]
 
     def scan(self, version: int | None = None, *,
              as_of: float | None = None,
@@ -483,24 +494,40 @@ class MoonTable:
             base.version, schema=base.schema, properties=props,
             expected_parent=base.version)
 
-    def history(self) -> list[dict]:
+    def history(self, limit: int | None = None) -> list[dict]:
         """Snapshot log, oldest first: one row per retained version with
         its parent, operation, flush_lsn, committed-at time (from the
         immutable header object's timestamp) and job id — the table's
         analogue of the per-snapshot metadata moonlink accumulates in
-        its version-hinted catalog (``file_catalog.rs:606-624``)."""
-        out = []
-        for v in self.store.versions():
+        its version-hinted catalog (``file_catalog.rs:606-624``).
+
+        ``limit`` keeps only the newest N rows and reads only those N
+        headers; header reads are pooled (headers are tiny immutable
+        objects — at 10^4+ retained versions the latency is the
+        object-store round-trips, not bytes)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        versions = self.store.versions()
+        if limit is not None:
+            versions = versions[-limit:]
+
+        def row(v: int) -> dict:
             s = self.store.read_snapshot(v)
-            out.append({
+            return {
                 "version": v,
                 "parent": s.parent,
                 "operation": s.properties.get("operation"),
                 "job_id": s.properties.get("job_id"),
                 "flush_lsn": s.flush_lsn,
-                "committed_at": self.store.commit_time(v),
-            })
-        return out
+                "committed_at": (s.committed_at
+                                 if s.committed_at is not None
+                                 else self.store.commit_time(v)),
+            }
+
+        if len(versions) <= 2:
+            return [row(v) for v in versions]
+        with ThreadPoolExecutor(max_workers=min(16, len(versions))) as ex:
+            return list(ex.map(row, versions))
 
     def rollback_to(self, version: int) -> Snapshot:
         """Restore the table to ``version``'s content by committing a

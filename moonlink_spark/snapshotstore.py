@@ -111,6 +111,9 @@ class Snapshot:
     schema: list[str]
     properties: dict[str, Any]
     manifest_paths: list[str]  # absolute paths of the manifest segments
+    # epoch-seconds commit stamp from the header (None only for
+    # pre-upgrade snapshots written before the stamp existed)
+    committed_at: float | None = None
 
     @property
     def flush_lsn(self) -> int:
@@ -300,6 +303,7 @@ class SnapshotStore:
         if version is None:
             version = self.current_version()
         hdr = json.loads(self.fs.read_bytes(self.header_path(version)))
+        ts = hdr.get("committed_at")
         return Snapshot(
             version=hdr["version"],
             parent=hdr.get("parent"),
@@ -307,6 +311,7 @@ class SnapshotStore:
             properties=hdr.get("properties", {}),
             manifest_paths=[self.abs(s["path"])
                             for s in self.manifest_segments(version)],
+            committed_at=float(ts) if ts is not None else None,
         )
 
     def commit_time(self, version: int) -> float:

@@ -56,6 +56,25 @@ def test_history_lists_all_versions(spark, table):
     assert lsns == sorted(lsns)
 
 
+def test_history_limit_and_version_at_boundaries(spark, table):
+    # limit keeps only the newest N rows (and reads only those headers)
+    h2 = table.history(limit=2)
+    assert [e["version"] for e in h2] == [1, 2]
+    assert table.history(limit=100) == table.history()
+    # version_at is a binary search over the monotone committed_at
+    # stamps: exact stamps resolve to their own version, midpoints to
+    # the version before, anything past the tip to the tip
+    full = table.history()
+    for e in full:
+        assert table.version_at(e["committed_at"]) == e["version"]
+    assert table.version_at(full[-1]["committed_at"] + 3600) == 2
+    mid = (full[0]["committed_at"] + full[1]["committed_at"]) / 2
+    if full[0]["committed_at"] < mid < full[1]["committed_at"]:
+        assert table.version_at(mid) == 0
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.version_at(full[0]["committed_at"] - 1.0)
+
+
 def test_rollback_restores_content_history_immutable(spark, table):
     t = table
     want_v1 = content_set(t, 1)
