@@ -261,3 +261,43 @@ def kmeans(corpus: DataFrame, *, vec_col: str = "embedding",
     assigned = assign_cells(unit, cents, vec_col="_uv",
                             out_col="cluster").drop("_uv")
     return cents, assigned
+
+
+def semdedup(corpus: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 16,
+             threshold: float = 0.95, iters: int = 4,
+             sample_rows: int = 4096, seed: int = 13) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication.
+    Cluster the embedding space with spherical k-means, find cosine
+    near-duplicates WITHIN each cluster only, and keep one document per
+    near-dup component.  Returns the keep-list ``(id, component)`` —
+    one row per kept doc (survivor = min id; singletons survive as
+    their own component).
+
+    Scale shape: the only full-corpus passes are the k-means
+    assignments (one broadcast matmul per Arrow batch per iteration);
+    the pair join is an equi-join on the cluster id, so its cost is
+    bounded by per-cluster sizes, not n² — pick ``k`` ~ sqrt(n/target
+    cluster size) to bound them.  Component collapse is the O(log n)
+    star-contraction; the final keep-list is one groupBy on the
+    (uniform) component key.
+
+    Iterative (k-means) → no SQL oracle by nature; evidenced by the
+    unit twin test in ``tests/test_functions.py``."""
+    from moonlink_spark.functions import dedup as dd
+
+    _, assigned = kmeans(corpus, vec_col=vec_col, k=k, iters=iters,
+                         sample_rows=sample_rows, seed=seed)
+    pairs = dd.embedding_neardup_pairs(
+        assigned, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, bucket_col="cluster")
+    labels = dd.neardup_components(pairs)
+    lab = labels.select(F.col("id").alias("_lab_id"), "component")
+    with_comp = (corpus.select(F.col(id_col))
+                 .join(lab, F.col(id_col) == F.col("_lab_id"), "left")
+                 .select(F.col(id_col),
+                         F.coalesce("component", F.col(id_col))
+                         .alias("component")))
+    return (with_comp.groupBy("component")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "component"))

@@ -311,3 +311,64 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.round(-F.sum("_logp").cast("double")
                          / F.count(F.lit(1)), 6).alias("bits_per_token")))
+
+
+# fastText-style hashed linear classifier (Joulin et al. 2016, "Bag of
+# Tricks for Efficient Text Classification" — public).  Feature = token
+# hash bucket; document score = sum of bucket weights.  Weights are
+# integer MILLI-units so the per-doc aggregate is an exact LONG sum —
+# order-free, bit-stable across partition counts and engines.
+FT_DIM_DEFAULT = 1 << 18
+
+
+def hashed_weights(spark, *, dim: int = FT_DIM_DEFAULT,
+                   seed: int = 7) -> DataFrame:
+    """Deterministic pseudo-random weight table ``(feature, w_milli)``
+    with ``w_milli = h60('w{seed}:' || feature) % 2001 - 1000`` — the
+    stand-in for a trained fastText/logistic weight vector in tests and
+    the driver oracle (real users pass their trained table instead; the
+    scoring plumbing is identical)."""
+    return (spark.range(dim).select(F.col("id").alias("feature"))
+            .withColumn(
+                "w_milli",
+                (F.pmod(h60(F.concat(F.lit(f"w{seed}:"),
+                                     F.col("feature").cast("string"))),
+                        F.lit(2001)) - F.lit(1000)).cast("long")))
+
+
+def hashed_linear_score(df: DataFrame, weights: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        dim: int = FT_DIM_DEFAULT) -> DataFrame:
+    """Score documents with a hashed linear text classifier: each
+    lowercased whitespace token hashes into one of ``dim`` feature
+    buckets (hashing trick); the document score is the sum of bucket
+    weights; ``label`` is its sign and ``prob`` the sigmoid of the
+    per-token mean.  The quality-classifier gate of a training-data
+    pipeline (fastText-shaped), with the model supplied as a DataFrame.
+
+    Returns ``(id, n_tokens, score_milli, label, prob)``; docs with
+    zero tokens are dropped (no features → no prediction).
+
+    Scale shape: explode (narrow) → **broadcast** hash join against
+    the weight table (≤ a few MB even at 2^18 features; missing
+    buckets score 0) → ONE shuffle, the groupBy on the uniform doc id.
+    No UDF anywhere; ``score_milli``/``label`` are exact integers
+    (oracle-checked), ``prob`` is derived display-only."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_tok"))
+    feats = toks.select(
+        id_col, F.pmod(h60(F.col("_tok")), F.lit(dim)).alias("feature"))
+    w = F.broadcast(weights.select("feature", "w_milli"))
+    scored = (feats.join(w, on="feature", how="left")
+              .na.fill({"w_milli": 0})
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("w_milli").alias("score_milli")))
+    mean_w = (F.col("score_milli").cast("double")
+              / (F.lit(1000.0) * F.col("n_tokens").cast("double")))
+    return scored.select(
+        id_col, "n_tokens", "score_milli",
+        (F.col("score_milli") > 0).cast("int").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w)), 6)
+        .alias("prob"))

@@ -1430,6 +1430,40 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.gopher_rules(d).drop("text")
 
 
+_FT_DIM = 1 << 16  # classifier hash buckets in the registered query
+
+
+@_register("text_quality_classifier", f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)),
+                                           '[ \\t\\n]+') END) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id, ({h60_sql('tok')} % {_FT_DIM}) AS feature FROM toks
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM({h60_sql("'w7:' || CAST(feature AS VARCHAR)")}
+                % 2001 - 1000) AS BIGINT) AS score_milli,
+       CAST(CAST(SUM({h60_sql("'w7:' || CAST(feature AS VARCHAR)")}
+                     % 2001 - 1000) AS BIGINT) > 0 AS INTEGER) AS label
+FROM feats
+GROUP BY doc_id
+""")
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (textstats.hashed_linear_score): tokens hash into 2^16 buckets, the
+    doc score is an exact LONG sum of integer milli-weights from a
+    broadcast weight table (here the deterministic seeded table the
+    oracle recomputes functionally — real users pass trained weights).
+    Explode → broadcast join → one groupBy on the doc id; no UDF."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = ts.hashed_weights(spark, dim=_FT_DIM, seed=7)
+    return ts.hashed_linear_score(d, w, dim=_FT_DIM).drop("prob")
+
+
 # URL-bearing twin of the documents table: the synthetic corpus carries
 # no URLs, so the query injects them deterministically (same pattern as
 # _DUPED_SQL synthesizes duplicates) — every doc links its source site,
