@@ -190,13 +190,19 @@ class MoonTable:
             # pinning the schema skips a footer-inference pass over the
             # full candidate file set (one job per 10^12-file plan)
             reader = reader.schema(base.properties["schema_ddl"])
-        sample = reader.parquet(
-            *[self.store.abs(p) for p in sample_files]
-        ).select(*self.config.zorder_columns)
-        boundaries = compute_zorder_boundaries(
-            sample, list(self.config.zorder_columns),
-            bits=self.config.zorder_bits, total_rows=approx_rows,
-            curve=self.config.zorder_curve)
+        if self.config.zorder_columns:
+            sample = reader.parquet(
+                *[self.store.abs(p) for p in sample_files]
+            ).select(*self.config.zorder_columns)
+            boundaries = compute_zorder_boundaries(
+                sample, list(self.config.zorder_columns),
+                bits=self.config.zorder_bits, total_rows=approx_rows,
+                curve=self.config.zorder_curve)
+        else:
+            # clustering off (zorder_columns=()): rewrite preserves
+            # (file, pos) order — the reference's own compaction order
+            # (compactor.rs:333-344) — and needs no boundary sample
+            boundaries = {}
         t_boundaries = _time.monotonic() - t_start - t_plan
 
         # same table config with the mode-resolved compaction thresholds
@@ -622,7 +628,22 @@ class MoonTable:
             expected_parent=base.version)
 
     # -- retention -------------------------------------------------------
-    def maintain(self, option: str = "best_effort") -> dict:
+    def clustering_health(self, col: str | None = None) -> dict:
+        """Interval-sweep clustering disorder of the current layout:
+        the fraction of data files whose ``[min,max]`` range on the
+        (first) Z-order column overlaps an earlier file's — ≈0 right
+        after a full Z-order rewrite, degrading as CDC merges land
+        unclustered ingest files.  O(manifest), no single-task sort
+        (``planner.clustering_stats``)."""
+        from moonlink_spark.operators import planner as planner_op
+        if col is None:
+            if not self.config.zorder_columns:
+                raise ValueError("table has no zorder_columns; pass col=")
+            col = self.config.zorder_columns[0]
+        return planner_op.clustering_health(self.manifest(), col)
+
+    def maintain(self, option: str = "best_effort", *,
+                 recluster_overlap_threshold: float | None = None) -> dict:
         """Evaluate maintenance triggers and run at most ONE maintenance
         operation — the decision layer the reference's table handler
         applies on every commit (``table_handler_state.rs:25-67``:
@@ -696,6 +717,17 @@ class MoonTable:
                 self.config.compaction.min_files_to_compact,
             "min_blocks_to_merge": MIN_DV_SIDECARS_TO_MERGE,
         }
+        # opt-in Z-order decay trigger: costs one extra manifest-sized
+        # job (interval sweep), so it is off unless the caller asks —
+        # the scheduler shape is "evaluate cheap triggers every flush,
+        # clustering health on a slower cadence".
+        if recluster_overlap_threshold is not None \
+                and self.config.zorder_columns:
+            health = self.clustering_health()
+            rec["reasons"]["clustering_overlap_fraction"] = \
+                health["overlap_fraction"]
+            rec["reasons"]["recluster_overlap_threshold"] = \
+                recluster_overlap_threshold
         if option == "evaluate":
             return rec
         if n_candidates >= self.config.compaction.min_files_to_compact:
@@ -705,6 +737,12 @@ class MoonTable:
               or n_blocks >= MIN_DV_SIDECARS_TO_MERGE):
             snap = self.optimize("index")
             rec.update(decision="index", version_after=snap.version)
+        elif (recluster_overlap_threshold is not None
+              and self.config.zorder_columns
+              and rec["reasons"].get("clustering_overlap_fraction", 0.0)
+              >= recluster_overlap_threshold):
+            snap = self.optimize("full")
+            rec.update(decision="recluster", version_after=snap.version)
         return rec
 
     def expire_snapshots(self, retain_last: int = 2, *,

@@ -219,3 +219,85 @@ def plan_compaction(manifest: DataFrame,
                .orderBy("path"))
     rows = [r.asDict() for r in ordered.toLocalIterator()]
     return _bins_from_rows(rows, config)
+
+
+def ordered_running_max(df: DataFrame, order_cols: list[str],
+                        value_col: str, out_col: str) -> DataFrame:
+    """Running max of ``value_col`` over all STRICTLY PRECEDING rows in
+    the global ``order_cols`` order (first row gets NULL) — the same
+    two-phase shape as :func:`ordered_cumsum`: range-partition on the
+    order columns, per-partition prefix max via parallel windows, plus
+    broadcast cross-partition prefix maxes.  No single task ever sorts
+    the whole dataset.  The result depends only on the global order
+    (``order_cols`` must be a total order), so reruns are identical.
+    Caller unpersists via the returned DataFrame's ``_cached``."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_part", F.spark_partition_id())
+            .persist())
+    pmaxes = (part.groupBy("_part").agg(F.max(value_col).alias("_m"))
+              .orderBy("_part").collect())
+    offs, acc = [], None
+    for r in pmaxes:  # prefix max of the partitions BEFORE each one
+        offs.append((int(r["_part"]), acc))
+        m = r["_m"]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    vtype = dict(df.dtypes)[value_col]
+    off_df = spark.createDataFrame(
+        offs or [(0, None)], f"_part int, _off {vtype}")
+    w = (Window.partitionBy("_part").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (part.join(F.broadcast(off_df), on="_part", how="left")
+           .withColumn(out_col,
+                       F.greatest(F.max(value_col).over(w), F.col("_off")))
+           .drop("_part", "_off"))
+    out._cached = part  # noqa: SLF001 — lifecycle handle for the caller
+    return out
+
+
+def clustering_stats(manifest: DataFrame, col: str) -> DataFrame:
+    """Per-file clustering-overlap flags from the manifest's
+    ``[min_col, max_col]`` bounds: files ordered by (lo, hi, path); a
+    file OVERLAPS when its lo is <= the running max of every earlier
+    file's hi — the standard interval-sweep disorder measure.  A
+    perfectly Z-ordered layout has disjoint (or touching-only) ranges
+    per file, so ``overlaps`` ≈ 0; CDC merges degrade it over time.
+    Returns ``(path, lo, hi, overlaps int)``.
+
+    Spark itself has no clustering-health surface and moonlink never
+    reclusters (compaction preserves input order,
+    ``compactor.rs:333-344``); this metric is what lets ``maintain``
+    decide when the north rule's Z-order layout has decayed enough to
+    re-cluster.  O(manifest) with no single-task sort (the same
+    two-phase shape as binning)."""
+    lo, hi = f"min_{col}", f"max_{col}"
+    m = manifest.select("path", F.col(lo).alias("lo"),
+                        F.col(hi).alias("hi"))
+    out = ordered_running_max(m, ["lo", "hi", "path"], "hi", "_pmax")
+    flagged = out.select(
+        "path", "lo", "hi",
+        F.when(F.col("_pmax").isNotNull()
+               & (F.col("lo") <= F.col("_pmax")), 1)
+        .otherwise(0).alias("overlaps"))
+    flagged._cached = out._cached  # noqa: SLF001
+    return flagged
+
+
+def clustering_health(manifest: DataFrame, col: str) -> dict:
+    """Aggregate of :func:`clustering_stats`: ``{n_files,
+    n_overlapping, overlap_fraction}``.  Files with NULL bounds are
+    excluded (unknown, conservatively not counted as overlap)."""
+    stats = clustering_stats(
+        manifest.filter(F.col(f"min_{col}").isNotNull()
+                        & F.col(f"max_{col}").isNotNull()), col)
+    row = stats.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("overlaps").alias("o")).first()
+    cached = getattr(stats, "_cached", None)
+    if cached is not None:
+        cached.unpersist()
+    n, o = int(row["n"] or 0), int(row["o"] or 0)
+    return {"n_files": n, "n_overlapping": o,
+            "overlap_fraction": round(o / n, 6) if n else 0.0}

@@ -1430,6 +1430,46 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.gopher_rules(d).drop("text")
 
 
+@_register("clustering_overlap", """
+WITH manifest AS (
+  SELECT 'f' || lpad((o_orderkey % 97)::VARCHAR, 3, '0') AS path,
+         MIN(o_orderkey % 499) AS lo,
+         MIN(o_orderkey % 499) + COUNT(*) % 37 AS hi
+  FROM orders GROUP BY 1
+), sweep AS (
+  SELECT path, lo, hi,
+         MAX(hi) OVER (ORDER BY lo, hi, path
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+  FROM manifest
+)
+SELECT path, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       CAST(CASE WHEN pmax IS NOT NULL AND lo <= pmax
+            THEN 1 ELSE 0 END AS INTEGER) AS overlaps
+FROM sweep
+""")
+def clustering_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-health interval sweep (planner.clustering_stats): a
+    file overlaps when its lo bound is <= the running max of every
+    earlier file's hi in (lo, hi, path) order — restated over a
+    deterministic synthetic manifest so DuckDB can replay it with a
+    plain window.  The Spark side runs the production two-phase
+    range-partitioned running max (no single-task global sort)."""
+    from moonlink_spark.operators import planner as pl
+
+    o = _t(spark, sf_dir, "orders")
+    lo = F.min(F.col("o_orderkey") % 499)
+    m = (o.groupBy(F.concat(
+            F.lit("f"), F.lpad((F.col("o_orderkey") % 97).cast("string"),
+                               3, "0")).alias("path"))
+         .agg(lo.alias("lo"), (lo + F.count(F.lit(1)) % 37).alias("hi"))
+         .select("path", F.col("lo").cast("long").alias("min_k"),
+                 F.col("hi").cast("long").alias("max_k")))
+    st = pl.clustering_stats(m, "k")
+    return st.select("path", F.col("lo").cast("long").alias("lo"),
+                     F.col("hi").cast("long").alias("hi"), "overlaps")
+
+
 _FT_DIM = 1 << 16  # classifier hash buckets in the registered query
 
 

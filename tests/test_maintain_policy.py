@@ -113,3 +113,58 @@ def test_ingest_auto_maintain_hook(spark, tmp_path):
     s.last_maintenance = None
     assert s.flush() is None
     assert s.last_maintenance is None
+
+
+def test_clustering_health_and_recluster_trigger(spark, tmp_path):
+    """Z-order decay loop: right after a full rewrite the overlap
+    fraction is ~0; appending unclustered files that straddle the
+    key space raises it; maintain(recluster_overlap_threshold=...)
+    then re-clusters (when no cheaper trigger fires first) and the
+    record is auditable."""
+    t = _mk(spark, tmp_path, min_files=64)  # data-compaction never fires
+    _append_files(spark, t, 6)
+    t.optimize("full")
+    h0 = t.clustering_health()
+    assert h0["n_files"] >= 1
+    assert h0["overlap_fraction"] == 0.0
+
+    # wide unclustered ingest: each appended file spans the whole repo
+    # range, so every one overlaps the clustered layout
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [("org0/a", f"w{i}.rs", f"c{i}", "rust", "x"),
+             ("org9/z", f"w{i}.rs", f"c{i}", "rust", "y")], ROW_DDL))
+    h1 = t.clustering_health()
+    assert h1["overlap_fraction"] > 0.3
+
+    rec = t.maintain("best_effort", recluster_overlap_threshold=0.2)
+    assert rec["decision"] == "recluster"
+    assert rec["reasons"]["clustering_overlap_fraction"] \
+        == h1["overlap_fraction"]
+    assert t.clustering_health()["overlap_fraction"] == 0.0
+    assert t.scan().count() == 12
+
+    # evaluate mode reports the metric without acting
+    rec2 = t.maintain("evaluate", recluster_overlap_threshold=0.2)
+    assert rec2["decision"] == "none"
+    assert "clustering_overlap_fraction" in rec2["reasons"]
+
+
+def test_clustering_stats_matches_naive_sweep(spark):
+    """planner.clustering_stats equals a pure-Python interval sweep on
+    a handcrafted manifest (ties, nesting, disjoint runs)."""
+    from moonlink_spark.operators import planner as pl
+
+    ivals = [("a", 0, 10), ("b", 5, 7), ("c", 10, 12), ("d", 13, 20),
+             ("e", 14, 15), ("f", 21, 30), ("g", 21, 22), ("h", 31, 40)]
+    m = spark.createDataFrame(
+        ivals, "path string, min_k long, max_k long")
+    got = {r["path"]: r["overlaps"]
+           for r in pl.clustering_stats(m, "k").collect()}
+
+    order = sorted(ivals, key=lambda x: (x[1], x[2], x[0]))
+    run_max, want = None, {}
+    for p, lo, hi in order:
+        want[p] = int(run_max is not None and lo <= run_max)
+        run_max = hi if run_max is None else max(run_max, hi)
+    assert got == want

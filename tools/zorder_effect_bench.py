@@ -1,0 +1,109 @@
+"""Measured effect of Z-order clustering on predicate-pruned scans.
+
+The north rule mandates Z-order/Hilbert clustering on (repo, path) on
+top of moonlink-style compaction.  This records WHY: the same
+maintenance pass run with clustering on vs off (``zorder_columns=()``
+preserves input (file, pos) order — the reference's own compaction
+order, ``compactor.rs:333-344``), then the same repo-equality scan
+against both layouts.  With clustering, each output file covers a
+narrow (repo, path) range, so the manifest's min/max bounds prune the
+scan to ~1 file; without it every output file spans the whole repo
+range (tiny CDC commit files interleave repos) and NOTHING prunes.
+
+Output: one JSON blob (committed as ZORDER_EFFECT.json) with per-layout
+file counts, pruned bytes, and scan wall times.
+
+Run: python tools/zorder_effect_bench.py [n_files]
+"""
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.operators.scan import prune_manifest
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+MIB = 1024 * 1024
+SCAN_RUNS = 3
+
+
+def build(spark, root: str, tag: str, n_files: int,
+          zorder: tuple[str, ...]) -> MoonTable:
+    wh = os.path.join(root, f"ze-{tag}")
+    synthesize_cdc_aftermath(wh, seed=71, n_files=n_files, n_repos=24,
+                             rows_per_file=(200, 600),
+                             content_bytes=(256, 1024))
+    cfg = TableConfig(
+        zorder_columns=zorder,
+        compaction=CompactionConfig(target_file_bytes=4 * MIB))
+    t = MoonTable(spark, wh, cfg)
+    t.optimize("full")
+    return t
+
+
+def probe(spark, t: MoonTable, repo: str) -> dict:
+    man = t.manifest()
+    total = man.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("bytes").alias("b")).first()
+    pruned = prune_manifest(man, {"repo": repo}).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("b")).first()
+    walls, rows = [], None
+    for _ in range(SCAN_RUNS):
+        t0 = time.monotonic()
+        rows = t.scan(predicates={"repo": repo}) \
+            .filter(F.col("repo") == repo).count()
+        walls.append(round(time.monotonic() - t0, 3))
+    return {
+        "files_total": total["n"], "bytes_total": int(total["b"]),
+        "files_after_prune": pruned["n"],
+        "bytes_after_prune": int(pruned["b"]),
+        "prune_fraction": round(1 - pruned["b"] / total["b"], 4),
+        "scan_rows": rows,
+        "scan_secs_median": statistics.median(walls),
+        "scan_secs_all": walls,
+    }
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    spark = (SparkSession.builder.master("local[16]")
+             .appName("zorder-effect")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    out = {"n_input_files": n_files, "predicate_repo": None,
+           "layouts": {}}
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as root:
+        clustered = build(spark, root, "zorder", n_files,
+                          ("repo", "path"))
+        plain = build(spark, root, "plain", n_files, ())
+        # a mid-popularity repo (neither the hot head nor a one-row tail)
+        repo = (clustered.scan().groupBy("repo").count()
+                .orderBy("count").collect()[12]["repo"])
+        out["predicate_repo"] = repo
+        out["layouts"]["zorder_repo_path"] = probe(spark, clustered, repo)
+        out["layouts"]["unclustered"] = probe(spark, plain, repo)
+        zc, pl = (out["layouts"]["zorder_repo_path"],
+                  out["layouts"]["unclustered"])
+        assert zc["scan_rows"] == pl["scan_rows"], "layouts must agree"
+        out["bytes_scanned_ratio"] = round(
+            pl["bytes_after_prune"] / max(zc["bytes_after_prune"], 1), 2)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
