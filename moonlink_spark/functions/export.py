@@ -1,0 +1,100 @@
+"""Deterministic shard export — the training-data pipeline's last mile.
+
+After curation (dedup, quality gates, mixture weighting) the corpus is
+materialized as N fixed shards that the training job streams.  Two
+properties are non-negotiable at 100 TB:
+
+- **Layout-independent assignment.**  A row's shard must be a pure
+  function of (row key, seed) — never of partition layout, task
+  scheduling, or cluster size — so re-running the export after adding
+  executors (or resuming after a failure) produces byte-identical
+  shards.  Spark's ``repartition(n)`` round-robin fails that bar; the
+  assignment here is ``pmod(h60(seed:key), n_shards)`` on the
+  cross-engine ``h60`` (texthash.py), which also makes it checkable by
+  the DuckDB oracle.
+- **No skewed writer.**  h60 is uniform, so shards are balanced within
+  sampling noise; each shard is written by its own task(s) via one hash
+  shuffle (``files_per_shard`` sub-splits a shard across several tasks
+  when a single writer would be the straggler).
+
+The reference engine ships no export surface (its sink is the Iceberg
+commit itself); this serves the training-data suite the north rule adds
+on top of the reference's operator inventory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.sampling import _key_str
+from moonlink_spark.functions.texthash import h60_seeded
+
+
+def shard_assign(df: DataFrame, key_cols: Sequence[str],
+                 n_shards: int, *, seed: int = 0) -> DataFrame:
+    """Add a ``shard`` column: ``pmod(h60(seed:key), n_shards)``.
+
+    Pure codegen projection — no shuffle, no UDF; the assignment
+    commutes with any filter and is identical on any cluster size.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        "shard",
+        F.pmod(h60_seeded(seed, _key_str(key_cols)),
+               F.lit(n_shards)).cast("int"))
+
+
+def write_shards(df: DataFrame, out_dir: str, key_cols: Sequence[str],
+                 n_shards: int, *, seed: int = 0,
+                 files_per_shard: int = 1,
+                 compression: str = "zstd") -> dict:
+    """Materialize ``df`` as ``out_dir/shard=K/`` parquet directories
+    with deterministic membership, plus a shard manifest.
+
+    One job: assign (codegen) → one hash shuffle on
+    ``(shard, sub-writer)`` → ``partitionBy("shard")`` write.  With
+    ``files_per_shard > 1`` each shard's rows spread across that many
+    writer tasks (h60 sub-bucket, still deterministic), bounding the
+    biggest writer at scale.  The manifest
+    (``out_dir/_shard_manifest.parquet``: shard, rows, files, bytes) is
+    computed from one pre-write aggregate plus a per-shard directory
+    listing — O(n_shards) driver work, not O(rows).
+
+    Returns ``{"n_shards", "rows", "bytes", "manifest_path"}``.
+    """
+    if files_per_shard <= 0:
+        raise ValueError(
+            f"files_per_shard must be positive, got {files_per_shard}")
+    assigned = shard_assign(df, key_cols, n_shards, seed=seed)
+    sub = F.pmod(h60_seeded(seed + 1, _key_str(key_cols)),
+                 F.lit(files_per_shard))
+    (assigned
+     .repartition(n_shards * files_per_shard, F.col("shard"), sub)
+     .write.mode("error").option("compression", compression)
+     .partitionBy("shard").parquet(out_dir))
+
+    rows = {int(r["shard"]): int(r["n"])
+            for r in assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    records = []
+    for s in range(n_shards):
+        d = os.path.join(out_dir, f"shard={s}")
+        files = sorted(
+            f for f in (os.listdir(d) if os.path.isdir(d) else [])
+            if f.endswith(".parquet"))
+        nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        records.append((s, rows.get(s, 0), len(files), nbytes))
+    spark = df.sparkSession
+    manifest = spark.createDataFrame(
+        records, "shard int, rows long, files int, bytes long")
+    manifest_path = os.path.join(out_dir, "_shard_manifest.parquet")
+    manifest.toPandas().to_parquet(manifest_path, index=False)
+    return {"n_shards": n_shards,
+            "rows": sum(rows.values()),
+            "bytes": sum(r[3] for r in records),
+            "manifest_path": manifest_path}

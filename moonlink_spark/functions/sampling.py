@@ -258,3 +258,51 @@ def select_by_token_budget(df: DataFrame, score_col: str, token_col: str,
     if cached is not None:
         cached.unpersist()
     return res
+
+
+def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_col: str, k: int, key_cols: Sequence[str], *,
+                    descending: bool = True,
+                    salt_buckets: int = 64) -> DataFrame:
+    """Keep the best ``k`` rows per group, ranked by ``order_col``
+    (descending by default), ties broken by ``key_cols`` ascending —
+    the per-domain / per-source quality cap every curation recipe
+    applies (cap a hot domain at its K highest-quality documents so it
+    cannot dominate the training mix).
+
+    Returns the surviving rows with a ``rank`` column (1-based position
+    within the group under the same ordering) for auditability.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY group)``
+    sorts each whole group in ONE reducer — at 100 TB a hot domain is
+    billions of rows and that task never finishes.  Phase 1 here ranks
+    within ``(group, bucket)`` where ``bucket = h60(key) % salt_buckets``
+    deterministically splits every group ~uniformly: any row in the
+    group's global top-k is necessarily in the top-k of its own bucket,
+    so keeping k per bucket is a provable superset.  Phase 2 runs the
+    exact window on the survivors only — at most ``salt_buckets * k``
+    rows per group reach the final sort, independent of group size.
+    Both windows shuffle by high-cardinality keys; neither has a skewed
+    reducer.  The output is IDENTICAL to the naive window (the oracle
+    states exactly that).
+
+    The reference engine has no per-group cap; this serves the
+    training-data suite the north rule adds (RefinedWeb/Gopher-style
+    domain capping).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if salt_buckets <= 0:
+        raise ValueError(f"salt_buckets must be positive, got {salt_buckets}")
+    ocol = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ties = [F.col(c) for c in key_cols]
+    bucket = F.pmod(h60_seeded(0, _key_str(key_cols)),
+                    F.lit(salt_buckets))
+    w1 = Window.partitionBy(*list(group_cols), "_b").orderBy(ocol, *ties)
+    w2 = Window.partitionBy(*list(group_cols)).orderBy(ocol, *ties)
+    pre = (df.withColumn("_b", bucket)
+           .withColumn("_rn1", F.row_number().over(w1))
+           .filter(F.col("_rn1") <= k)
+           .drop("_b", "_rn1"))
+    return (pre.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))

@@ -2034,3 +2034,56 @@ def changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.sha2(F.concat_ws("|", "repo", "path", "commit"),
                               256)).alias("min_key_sha"))
             .orderBy("_commit_version", "_change_type"))
+
+
+@_register("sample_domain_cap", """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 25
+""")
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap (sampling.top_k_per_group): keep each
+    source's 25 longest documents — the RefinedWeb-style hot-domain cap.
+    The production path is the salted two-phase rank (no reducer ever
+    sorts a whole source); the oracle states the exact naive-window
+    semantics the two-phase form provably equals."""
+    from moonlink_spark.functions.sampling import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                              "n_chars")
+    return top_k_per_group(d, ["source"], "n_chars", 25, ["doc_id"])
+
+
+_EXPORT_SHARDS = 16
+
+
+@_register("export_shard_stats", f"""
+SELECT CAST({h60_seeded_sql(0, "doc_id::VARCHAR")} % {_EXPORT_SHARDS}
+            AS INT) AS shard,
+       COUNT(*) AS n_rows,
+       SUM(n_chars) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+""")
+def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export shard assignment (export.shard_assign):
+    shard = pmod(h60(seed:doc_id), 16), a pure-codegen projection whose
+    membership is layout-independent — re-running the export on any
+    cluster size yields byte-identical shards.  The aggregate audits
+    balance (row/byte counts per shard)."""
+    from moonlink_spark.functions.export import shard_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return (shard_assign(d, ["doc_id"], _EXPORT_SHARDS)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))

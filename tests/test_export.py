@@ -1,0 +1,75 @@
+"""Deterministic shard export (functions/export.py): assignment is a
+pure function of (key, seed); written shards are a disjoint exhaustive
+partition; the manifest audits what landed."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions import export as ex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"doc body {i}", i % 5) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "grp int")
+
+
+def test_shard_assign_layout_invariant(corpus):
+    a = {r["doc_id"]: r["shard"]
+         for r in ex.shard_assign(corpus, ["doc_id"], 8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in ex.shard_assign(corpus.repartition(13), ["doc_id"],
+                                  8).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(8))  # 400 uniform keys hit all 8
+
+
+def test_shard_assign_seed_independence(corpus):
+    a = {r["doc_id"]: r["shard"]
+         for r in ex.shard_assign(corpus, ["doc_id"], 8, seed=1).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in ex.shard_assign(corpus, ["doc_id"], 8, seed=2).collect()}
+    assert a != b  # different seed -> different (independent) family
+    with pytest.raises(ValueError):
+        ex.shard_assign(corpus, ["doc_id"], 0)
+
+
+def test_write_shards_roundtrip(corpus, spark, tmp_path):
+    out = str(tmp_path / "shards")
+    res = ex.write_shards(corpus, out, ["doc_id"], 8, files_per_shard=2)
+    assert res["rows"] == 400 and res["n_shards"] == 8
+
+    back = spark.read.parquet(out)
+    # disjoint exhaustive union with intact payloads
+    assert back.count() == 400
+    assert back.select("doc_id").distinct().count() == 400
+    # physical placement equals the pure-function assignment
+    want = {r["doc_id"]: r["shard"]
+            for r in ex.shard_assign(corpus, ["doc_id"], 8).collect()}
+    got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+    assert got == want
+
+    # manifest audits per-shard rows and bytes (underscore-prefixed so
+    # Spark dataset reads of out/ skip it; read it directly via pandas)
+    import pandas as pd
+    man = pd.read_parquet(res["manifest_path"])
+    from collections import Counter
+    assert dict(zip(man["shard"], man["rows"])) \
+        == dict(Counter(want.values()))
+    assert int(man["bytes"].sum()) == res["bytes"]
+    # files_per_shard=2 sub-splits writers (uniform keys: every shard
+    # gets both sub-buckets at n=400)
+    assert (man["files"] == 2).all()
+
+
+def test_write_shards_refuses_overwrite(corpus, tmp_path):
+    out = str(tmp_path / "s2")
+    ex.write_shards(corpus, out, ["doc_id"], 4)
+    with pytest.raises(Exception):
+        ex.write_shards(corpus, out, ["doc_id"], 4)  # mode=error
+    with pytest.raises(ValueError):
+        ex.write_shards(corpus, str(tmp_path / "s3"), ["doc_id"], 4,
+                        files_per_shard=0)

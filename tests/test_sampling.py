@@ -212,3 +212,50 @@ def test_select_by_token_budget_ties_and_clamp(spark):
     out = smp.select_by_token_budget(df, "score", "n_tok", 30, ["doc_id"])
     assert [r["doc_id"] for r in out.orderBy("cum_tokens").collect()] \
         == [11, 2, 7]
+
+
+def test_top_k_per_group_equals_naive_window(spark):
+    """The salted two-phase rank returns exactly the naive
+    row_number-over-group answer, on a skewed corpus (one hot group
+    10x the others) and with ties in the order column."""
+    rows = [(i, "hot" if i % 4 != 3 else f"g{i % 7}", (i * 37) % 50)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score int")
+
+    got = smp.top_k_per_group(df, ["grp"], "score", 5, ["doc_id"],
+                              salt_buckets=8)
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), "doc_id")
+    want = (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+    key = lambda r: (r["grp"], r["rank"])  # noqa: E731
+    g = {key(r): r["doc_id"] for r in got.collect()}
+    x = {key(r): r["doc_id"] for r in want.collect()}
+    assert g == x and len(g) > 0
+
+
+def test_top_k_per_group_partition_invariant_and_small_groups(spark):
+    rows = [(i, f"g{i % 11}", float(i % 13)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    a = sorted((r["grp"], r["rank"], r["doc_id"]) for r in
+               smp.top_k_per_group(df, ["grp"], "score", 3,
+                                   ["doc_id"]).collect())
+    b = sorted((r["grp"], r["rank"], r["doc_id"]) for r in
+               smp.top_k_per_group(df.repartition(17), ["grp"], "score", 3,
+                                   ["doc_id"], salt_buckets=3).collect())
+    assert a == b
+    # a group smaller than k keeps all its rows
+    tiny = spark.createDataFrame([(1, "g", 1.0), (2, "g", 2.0)],
+                                 "doc_id long, grp string, score double")
+    assert smp.top_k_per_group(tiny, ["grp"], "score", 10,
+                               ["doc_id"]).count() == 2
+    with pytest.raises(ValueError):
+        smp.top_k_per_group(df, ["grp"], "score", 0, ["doc_id"])
+
+
+def test_top_k_per_group_ascending(spark):
+    df = spark.createDataFrame([(i, "g", i) for i in range(20)],
+                               "doc_id long, grp string, score long")
+    got = sorted(r["doc_id"] for r in
+                 smp.top_k_per_group(df, ["grp"], "score", 4, ["doc_id"],
+                                     descending=False).collect())
+    assert got == [0, 1, 2, 3]

@@ -41,14 +41,15 @@ SCAN_RUNS = 3
 
 
 def build(spark, root: str, tag: str, n_files: int,
-          zorder: tuple[str, ...]) -> MoonTable:
+          zorder: tuple[str, ...],
+          content_bytes: tuple[int, int]) -> MoonTable:
     wh = os.path.join(root, f"ze-{tag}")
     synthesize_cdc_aftermath(wh, seed=71, n_files=n_files, n_repos=24,
                              rows_per_file=(200, 600),
-                             content_bytes=(256, 1024))
+                             content_bytes=content_bytes)
     cfg = TableConfig(
         zorder_columns=zorder,
-        compaction=CompactionConfig(target_file_bytes=4 * MIB))
+        compaction=CompactionConfig(target_file_bytes=16 * MIB))
     t = MoonTable(spark, wh, cfg)
     t.optimize("full")
     return t
@@ -63,8 +64,14 @@ def probe(spark, t: MoonTable, repo: str) -> dict:
     walls, rows = [], None
     for _ in range(SCAN_RUNS):
         t0 = time.monotonic()
-        rows = t.scan(predicates={"repo": repo}) \
-            .filter(F.col("repo") == repo).count()
+        # aggregate over `content` so the probe actually reads the heavy
+        # column: a bare count() lets Catalyst prune it and both layouts
+        # degenerate to footer-sized reads
+        r = (t.scan(predicates={"repo": repo})
+             .filter(F.col("repo") == repo)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.crc32(F.col("content"))).alias("c")).first())
+        rows = r["n"]
         walls.append(round(time.monotonic() - t0, 3))
     return {
         "files_total": total["n"], "bytes_total": int(total["b"]),
@@ -79,18 +86,25 @@ def probe(spark, t: MoonTable, repo: str) -> dict:
 
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    # per-row content size; the default (~8-32 KiB) makes the table
+    # big enough (~GBs) that scan wall tracks bytes read instead of
+    # per-file fixed costs — the regime the prune fraction predicts
+    cb_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    cb_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
     spark = (SparkSession.builder.master("local[16]")
              .appName("zorder-effect")
              .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "12g")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
-    out = {"n_input_files": n_files, "predicate_repo": None,
-           "layouts": {}}
+    out = {"n_input_files": n_files, "content_bytes": [cb_lo, cb_hi],
+           "predicate_repo": None, "layouts": {}}
     with tempfile.TemporaryDirectory(dir="/dev/shm") as root:
         clustered = build(spark, root, "zorder", n_files,
-                          ("repo", "path"))
-        plain = build(spark, root, "plain", n_files, ())
+                          ("repo", "path"), (cb_lo, cb_hi))
+        plain = build(spark, root, "plain", n_files, (),
+                      (cb_lo, cb_hi))
         # a mid-popularity repo (neither the hot head nor a one-row tail)
         repo = (clustered.scan().groupBy("repo").count()
                 .orderBy("count").collect()[12]["repo"])
