@@ -102,7 +102,8 @@ def _version_changes(spark: SparkSession, store: SnapshotStore,
             sorted({r["dv_path"] for r in added if r["dv_path"]}),
             sum(r["dv_cardinality"] for r in added),
             schema_ddl=ddl, project=snap_b.schema,
-            column_defaults=snap_b.properties.get("column_defaults"))
+            column_defaults=snap_b.properties.get("column_defaults"),
+            dv_files=[r["path"] for r in added if r["dv_path"]])
         out.append(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
 
     # -- deletes: DV growth on files common to A and B ------------------

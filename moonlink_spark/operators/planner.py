@@ -41,6 +41,9 @@ class CompactionBin:
     bin_id: int
     files: list[str] = field(default_factory=list)
     dv_paths: list[str] = field(default_factory=list)
+    # files (subset of ``files``) that have any delete rows — the scan
+    # routes only these through the DV anti-join; clean files bypass it
+    dv_files: list[str] = field(default_factory=list)
     rows: int = 0
     bytes: int = 0
     deleted_rows: int = 0
@@ -148,8 +151,10 @@ def _bins_from_rows(rows: list[dict],
         b.rows += row["rows"]
         b.bytes += row["bytes"]
         b.deleted_rows += row["dv_cardinality"]
-        if row["dv_path"] and row["dv_path"] not in b.dv_paths:
-            b.dv_paths.append(row["dv_path"])
+        if row["dv_path"]:
+            b.dv_files.append(row["path"])
+            if row["dv_path"] not in b.dv_paths:
+                b.dv_paths.append(row["dv_path"])
     return [bins[k] for k in sorted(bins)]
 
 

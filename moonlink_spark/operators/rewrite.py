@@ -248,7 +248,8 @@ def rewrite_bin(
     live = scan_files(spark, store, bin.files, bin.dv_paths,
                       bin.deleted_rows, with_location=True,
                       schema_ddl=schema_ddl, project=project,
-                      column_defaults=column_defaults, deletes=deletes)
+                      column_defaults=column_defaults, deletes=deletes,
+                      dv_files=bin.dv_files)
     live = live.withColumnRenamed(POS_COL, OLDPOS_COL)
 
     zcols = [c for c in config.zorder_columns]

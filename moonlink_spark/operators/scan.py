@@ -218,6 +218,7 @@ def scan_files(
     project: list[str] | None = None,
     column_defaults: Mapping[str, object] | None = None,
     deletes: DataFrame | None = None,
+    dv_files: list[str] | None = None,
 ) -> DataFrame:
     """Read an explicit file set applying its delete vectors.
 
@@ -225,6 +226,17 @@ def scan_files(
     DataFrame — callers running many scans over one snapshot (the
     compaction fan-out) build and persist it once instead of re-reading
     the DV sidecars per scan.
+
+    ``dv_files`` (when the caller knows it from the manifest: the
+    subset of ``data_files`` whose ``dv_path`` is non-null) routes ONLY
+    those files through the anti-join; clean files are read plainly and
+    unioned in.  This matters at scale: after maintenance most files
+    carry no DVs, and above ``BROADCAST_DV_ROWS`` the anti-join is a
+    shuffle — without the split every row of every clean file would
+    shuffle on (file, pos) just to survive a join that cannot touch it
+    (the per-file routing mirrors the reference attaching a
+    ``RowSelection`` only to files that have one,
+    ``moonlink_datafusion/src/table_provider.rs:96-130``).
 
     ``schema_ddl`` pins the read schema (schema evolution: files written
     before an added column came along simply yield nulls for it — no
@@ -235,27 +247,42 @@ def scan_files(
     for pre-existing rows (coalesce semantics: genuine nulls in new data
     are filled too — the documented approximation of Iceberg's
     initial-default)."""
-    reader = spark.read
-    if schema_ddl:
-        reader = reader.schema(schema_ddl)
-    df = reader.parquet(*[store.abs(p) for p in data_files])
-    df = _with_relative_file(df, store)
-    if project:
-        df = df.select(*project, FILE_COL)
-    if column_defaults:
-        for col, default in column_defaults.items():
-            if default is not None and col in df.columns:
-                df = df.withColumn(col, F.coalesce(F.col(col),
-                                                   F.lit(default)))
-    if deletes is not None:
-        dels = deletes.join(
-            F.broadcast(file_list_df(spark, data_files)),
-            on=FILE_COL, how="left_semi")
+    def _read(paths: list[str]) -> DataFrame:
+        reader = spark.read
+        if schema_ddl:
+            reader = reader.schema(schema_ddl)
+        d = reader.parquet(*[store.abs(p) for p in paths])
+        d = _with_relative_file(d, store)
+        if project:
+            d = d.select(*project, FILE_COL)
+        if column_defaults:
+            for col, default in column_defaults.items():
+                if default is not None and col in d.columns:
+                    d = d.withColumn(col, F.coalesce(F.col(col),
+                                                     F.lit(default)))
+        return d
+
+    if dv_files is not None:
+        dvset = set(dv_files)
+        dirty = [f for f in data_files if f in dvset]
+        clean = [f for f in data_files if f not in dvset]
     else:
-        dels = deletes_df(spark, store, dv_paths, data_files)
-    if dv_cardinality <= BROADCAST_DV_ROWS:
-        dels = F.broadcast(dels)
-    live = df.join(dels, on=[FILE_COL, POS_COL], how="left_anti")
+        dirty, clean = list(data_files), []
+    if not dirty or (deletes is None and not dv_paths):
+        live = _read(data_files)  # no delete row can touch any file
+    else:
+        if deletes is not None:
+            dels = deletes.join(
+                F.broadcast(file_list_df(spark, dirty)),
+                on=FILE_COL, how="left_semi")
+        else:
+            dels = deletes_df(spark, store, dv_paths, dirty)
+        if dv_cardinality <= BROADCAST_DV_ROWS:
+            dels = F.broadcast(dels)
+        live = _read(dirty).join(dels, on=[FILE_COL, POS_COL],
+                                 how="left_anti")
+        if clean:
+            live = live.unionByName(_read(clean))
     if not with_location:
         live = live.drop(FILE_COL)
     return live
@@ -317,4 +344,5 @@ def scan(
         with_location=with_location,
         schema_ddl=snapshot.properties.get("schema_ddl"),
         project=snapshot.schema,
-        column_defaults=snapshot.properties.get("column_defaults"))
+        column_defaults=snapshot.properties.get("column_defaults"),
+        dv_files=[r["path"] for r in plan_rows if r["dv_path"]])

@@ -101,3 +101,36 @@ def test_huge_plan_collect_warns(spark, aftermath, monkeypatch):
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")
         table.scan(0).count()
+
+
+def test_dv_split_scan_equals_legacy_single_antijoin(spark, aftermath):
+    """scan_files routes only DV-bearing files through the anti-join
+    (clean files are read plainly and unioned in); the result is
+    identical to the legacy everything-through-the-join shape, and a
+    scan declared all-clean plans no join at all."""
+    from moonlink_spark.operators import scan as scan_op
+
+    w, _ = aftermath
+    store = SnapshotStore(w)
+    entries = store.manifest_entries(0)
+    dirty = [e for e in entries if e["dv_path"]]
+    clean = [e for e in entries if not e["dv_path"]]
+    assert dirty and clean  # fixture must exercise both branches
+
+    snap = store.read_snapshot(0)
+    kw = dict(schema_ddl=snap.properties.get("schema_ddl"),
+              project=snap.schema)
+    args = ([e["path"] for e in entries],
+            sorted({e["dv_path"] for e in dirty}),
+            sum(e["dv_cardinality"] for e in entries))
+    split = scan_op.scan_files(
+        spark, store, *args,
+        dv_files=[e["path"] for e in dirty], **kw)
+    legacy = scan_op.scan_files(spark, store, *args, dv_files=None, **kw)
+    assert spark_sha_multiset(split) == spark_sha_multiset(legacy)
+
+    clean_only = scan_op.scan_files(
+        spark, store, [clean[0]["path"]], [], 0, dv_files=[], **kw)
+    plan = clean_only._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert clean_only.count() == clean[0]["rows"]
