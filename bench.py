@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "code_line_dedup",
     "multimodal_features",
     "multimodal_frame_plan",
+    "sample_domain_cap",
+    "export_shard_stats",
+    "clustering_overlap",
+    "meta_stats",
 ]
 
 # CDC-aftermath size per SF.  sf0.1 yields ~0.6 GB on disk across 800

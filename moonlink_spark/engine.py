@@ -628,6 +628,68 @@ class MoonTable:
             expected_parent=base.version)
 
     # -- retention -------------------------------------------------------
+    def count(self, version: int | None = None) -> int:
+        """Metadata-only live row count: Σ manifest ``rows`` − Σ
+        ``dv_cardinality`` — EXACT, because delete vectors are exact
+        positional deletes and the manifest's per-file cardinality is
+        the distinct deleted-position count (newer sidecars supersede
+        as supersets).  O(manifest); zero data files are opened — the
+        Iceberg metadata-aggregate pushdown shape (cf. the reference
+        keeping per-file row counts in its file metadata,
+        ``storage/storage_utils.rs`` DiskFileEntry)."""
+        r = self.manifest(version).agg(
+            F.sum("rows").alias("r"),
+            F.sum("dv_cardinality").alias("d")).first()
+        return int((r["r"] or 0) - (r["d"] or 0))
+
+    def column_bounds(self, column: str,
+                      version: int | None = None) -> dict:
+        """Metadata-only ``{lower, upper, lower_exact, upper_exact}``
+        for a stats column, from the manifest's typed per-file bounds.
+
+        ``lower``/``upper`` are always valid BOUNDS over live rows
+        (every live row is ≥ lower and ≤ upper).  A bound is flagged
+        exact when some file attaining it has no delete vector — then
+        a live row certainly achieves the value.  A non-exact flag
+        means the extremal row(s) might all be deleted (the same caveat
+        Iceberg's lower_bounds/upper_bounds carry); callers needing the
+        exact extremum fall back to one pruned scan."""
+        m = self.manifest(version)
+        lo_c, hi_c = f"min_{column}", f"max_{column}"
+        if lo_c not in m.columns:
+            raise ValueError(
+                f"no manifest bounds for {column!r}; stats_columns are "
+                f"{self.config.stats_columns}")
+        m = m.filter(F.col(lo_c).isNotNull())
+        r = m.agg(F.min(lo_c).alias("lo"), F.max(hi_c).alias("hi")).first()
+        if r is None or r["lo"] is None:
+            return {"lower": None, "upper": None,
+                    "lower_exact": True, "upper_exact": True}
+        clean = F.col("dv_cardinality") == 0
+        ex = m.agg(
+            F.max(F.when((F.col(lo_c) == F.lit(r["lo"])) & clean,
+                         True).otherwise(False)).alias("le"),
+            F.max(F.when((F.col(hi_c) == F.lit(r["hi"])) & clean,
+                         True).otherwise(False)).alias("ue")).first()
+        return {"lower": r["lo"], "upper": r["hi"],
+                "lower_exact": bool(ex["le"]), "upper_exact": bool(ex["ue"])}
+
+    def stats(self, version: int | None = None) -> dict:
+        """One-pass metadata-only table profile: files, bytes, total /
+        deleted / live rows, DV sidecar count.  O(manifest)."""
+        r = self.manifest(version).agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("rows").alias("rows"),
+            F.sum("dv_cardinality").alias("deleted"),
+            F.count("dv_path").alias("dv_files")).first()
+        rows = int(r["rows"] or 0)
+        deleted = int(r["deleted"] or 0)
+        return {"files": int(r["files"]), "bytes": int(r["bytes"] or 0),
+                "rows_total": rows, "rows_deleted": deleted,
+                "rows_live": rows - deleted,
+                "files_with_dv": int(r["dv_files"])}
+
     def clustering_health(self, col: str | None = None) -> dict:
         """Interval-sweep clustering disorder of the current layout:
         the fraction of data files whose ``[min,max]`` range on the

@@ -2087,3 +2087,42 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("sum_chars"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc")))
+
+
+@_register("meta_stats", """
+SELECT CAST(SUM(CASE WHEN doc_id % 7 <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_live,
+       CAST(COUNT(*) AS BIGINT) AS rows_total,
+       MIN('org' || CAST(doc_id % 8 AS VARCHAR)) AS min_repo,
+       MAX('org' || CAST(doc_id % 8 AS VARCHAR)) AS max_repo,
+       MIN('f' || CAST(doc_id AS VARCHAR) || '.txt') AS min_path,
+       MAX('f' || CAST(doc_id AS VARCHAR) || '.txt') AS max_path
+FROM documents
+""")
+def meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (``MoonTable.count`` /
+    ``column_bounds`` / ``stats``): build the table from ``documents``
+    (append), MERGE a deterministic delete set (DV sidecars only — data
+    files untouched), then answer COUNT and column MIN/MAX purely from
+    the manifest: live count = Σ rows − Σ dv_cardinality (exact),
+    bounds = min/max of the typed per-file stats.  Zero data files are
+    opened after the build — the Iceberg metadata-aggregate-pushdown
+    shape, O(manifest) at any table size."""
+    import tempfile
+
+    table = _empty_north_table(
+        spark, tempfile.mkdtemp(prefix="moonlink-meta-"))
+    rows = _docs_as_table_rows(spark, sf_dir)
+    table.append(rows.drop("doc_id"))
+    dels = (rows.filter(F.col("doc_id") % 7 == 2).drop("doc_id")
+            .withColumn("_op", F.lit("delete")))
+    table.merge(dels, key_columns=["repo", "path", "commit"],
+                job_tag="meta")
+    st = table.stats()
+    rb = table.column_bounds("repo")
+    pb = table.column_bounds("path")
+    return spark.createDataFrame(
+        [(table.count(), st["rows_total"], rb["lower"], rb["upper"],
+          pb["lower"], pb["upper"])],
+        "n_live long, rows_total long, min_repo string, "
+        "max_repo string, min_path string, max_path string")

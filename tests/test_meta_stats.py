@@ -1,0 +1,63 @@
+"""Metadata-only aggregates (engine.count / column_bounds / stats):
+exactness of the live count, bounds containment + exactness flags, and
+the one-pass table profile — all answered from the manifest alone."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark import MoonTable
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    w = str(tmp_path_factory.mktemp("wh"))
+    synthesize_cdc_aftermath(w, seed=23, n_files=16,
+                             rows_per_file=(40, 120), n_repos=6,
+                             content_bytes=(64, 256))
+    return MoonTable(spark, w)
+
+
+def test_count_is_exact(spark, table):
+    assert table.count() == table.scan().count()
+    assert table.count(0) == table.scan(0).count()
+
+
+def test_stats_arithmetic(table):
+    st = table.stats()
+    assert st["rows_live"] == st["rows_total"] - st["rows_deleted"]
+    assert st["rows_live"] == table.count()
+    assert st["files"] > 0 and st["bytes"] > 0
+    assert st["files_with_dv"] > 0  # the aftermath fixture has DVs
+
+
+def test_column_bounds_contain_scan_extrema(table):
+    got = table.scan().agg(F.min("repo").alias("lo"),
+                           F.max("repo").alias("hi")).first()
+    b = table.column_bounds("repo")
+    assert b["lower"] <= got["lo"] and b["upper"] >= got["hi"]
+    if b["lower_exact"]:
+        assert b["lower"] == got["lo"]
+    if b["upper_exact"]:
+        assert b["upper"] == got["hi"]
+
+
+def test_column_bounds_exact_after_full_rewrite(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=29, n_files=10,
+                             rows_per_file=(30, 80), n_repos=4,
+                             content_bytes=(64, 256))
+    t = MoonTable(spark, w)
+    t.optimize("full")  # folds every DV -> all files clean
+    for col in ("repo", "path"):
+        b = t.column_bounds(col)
+        assert b["lower_exact"] and b["upper_exact"]
+        got = t.scan().agg(F.min(col).alias("lo"),
+                           F.max(col).alias("hi")).first()
+        assert (b["lower"], b["upper"]) == (got["lo"], got["hi"])
+    assert t.count() == t.scan().count()
+
+
+def test_column_bounds_unknown_column_raises(table):
+    with pytest.raises(ValueError):
+        table.column_bounds("content")  # not a stats column
