@@ -2126,3 +2126,78 @@ def meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           pb["lower"], pb["upper"])],
         "n_live long, rows_total long, min_repo string, "
         "max_repo string, min_path string, max_path string")
+
+
+@_register("curation_pipeline", f"""
+WITH ts0 AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS n_ws,
+         len(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')))
+             AS n_distinct,
+         md5(text) AS h
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) >= 10
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM ts0 GROUP BY h
+), surv AS (
+  SELECT ts0.* FROM ts0 JOIN keep USING (doc_id)
+), capped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_ws DESC, doc_id) AS rnk
+  FROM surv
+), sel0 AS (
+  SELECT doc_id, source, n_ws,
+         n_distinct * 1.0 / greatest(n_ws, 1) AS score
+  FROM capped WHERE rnk <= 50
+), o AS (
+  SELECT *, lpad(CAST(1000000 - CAST(floor(
+                least(greatest(score, 0.0), 1.0) * 1000000) AS BIGINT)
+              AS VARCHAR), 7, '0')
+           || ':' || lpad(doc_id::VARCHAR, 40, '0') AS ord
+  FROM sel0
+), c AS (
+  SELECT *, SUM(n_ws) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+  FROM o
+)
+SELECT doc_id, source, CAST(n_ws AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST({h60_seeded_sql(0, "doc_id::VARCHAR")} % 8 AS INT) AS shard
+FROM c WHERE cum <= 20000
+""")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship END-TO-END curation pipeline — the library operators
+    CHAINED exactly the way a training-data run uses them: quality
+    floor (token_stats, ≥10 whitespace tokens) → exact dedup keep-list
+    (md5 groupBy, min-id survivor) → per-source domain cap
+    (top_k_per_group, 50 longest per source — salted two-phase rank)
+    → token-budget selection (select_by_token_budget, best 20 000
+    tokens by distinct-token ratio via the two-phase distributed
+    cumsum) → deterministic shard assignment (export.shard_assign).
+    Every stage keeps its individual scale shape (no new shuffles are
+    introduced by the composition); DuckDB replays the whole chain in
+    one SQL statement, so the composition itself — not just each
+    operator — is oracle-checked."""
+    from moonlink_spark.functions import dedup as dd
+    from moonlink_spark.functions import textstats as ts
+    from moonlink_spark.functions.export import shard_assign
+    from moonlink_spark.functions.sampling import (select_by_token_budget,
+                                                   top_k_per_group)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ok = (ts.token_stats(d)
+          .filter(F.col("n_ws_tokens") >= 10))
+    keep = dd.exact_dedup(ok, "doc_id", "text").select("doc_id")
+    surv = ok.join(keep, on="doc_id")
+    capped = top_k_per_group(surv, ["source"], "n_ws_tokens", 50,
+                             ["doc_id"])
+    scored = capped.select(
+        "doc_id", "source", "n_ws_tokens",
+        (F.col("n_distinct_tokens").cast("double")
+         / F.greatest(F.col("n_ws_tokens"), F.lit(1)).cast("double"))
+        .alias("score"))
+    sel = select_by_token_budget(scored, "score", "n_ws_tokens",
+                                 20_000, ["doc_id"])
+    return (shard_assign(sel, ["doc_id"], 8)
+            .select("doc_id", "source",
+                    F.col("n_ws_tokens").alias("n_tokens"),
+                    "cum_tokens", "shard"))
