@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "export_shard_stats",
     "clustering_overlap",
     "meta_stats",
+    "curation_pipeline",
 ]
 
 # CDC-aftermath size per SF.  sf0.1 yields ~0.6 GB on disk across 800
