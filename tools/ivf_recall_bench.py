@@ -1,0 +1,108 @@
+"""Record recall + cost of the IVF ANN path vs exact brute force.
+
+``similarity_topk_ivf`` is the one registry query without a SQL oracle
+(approximate by nature), so its quality claim needs a recorded artifact
+instead: recall@k against the exact `cosine_topk` on a corpus large
+enough that the IVF pruning matters, plus the measured scanned-pair
+fraction and wall times.
+
+The corpus is synthesized deterministically (seeded Gaussian mixture —
+clustered, like real embedding spaces; an isotropic cloud would make
+ANY partitioning look bad) — no external data.  Queries are corpus
+rows, so every query has true in-cluster neighbors.
+
+Usage: python tools/ivf_recall_bench.py [n_corpus] [n_queries]
+Prints one JSON document (commit as IVF_RECALL.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("PYTHONPATH", "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from moonlink_spark.functions.similarity import (cosine_topk,  # noqa: E402
+                                                 ivf_topk)
+
+DIM = 64
+K = 10
+
+
+def synth_corpus(spark, n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    n_clusters = 64
+    # separation 0.5: clusters overlap enough that nearest neighbors
+    # regularly sit near cell boundaries — low nprobe must lose recall,
+    # exposing the real recall/cost curve (in 64 dims even 1.3 scores
+    # ~1.0 everywhere; 0.5 puts between-center distance at the
+    # within-cluster spread — hard but not degenerate)
+    centers = rng.normal(size=(n_clusters, DIM)) * 0.5
+    labels = rng.integers(0, n_clusters, size=n)
+    x = centers[labels] + rng.normal(size=(n, DIM))
+    pdf = [(int(i), row.astype("float32").tolist())
+           for i, row in enumerate(x)]
+    return spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>").repartition(32)
+
+
+def recall(exact, approx) -> float:
+    e = exact.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("t"))
+    a = approx.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("p"))
+    row = (e.join(a, "query_id")
+           .select(F.avg(F.size(F.array_intersect("t", "p")) / F.size("t"))
+                   .alias("r")).first())
+    return round(float(row["r"]), 4)
+
+
+def main() -> None:
+    n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = (SparkSession.builder.master("local[16]")
+             .appName("ivf-recall")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    corpus = synth_corpus(spark, n_corpus).persist()
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") % (n_corpus // n_queries) == 0)
+
+    t0 = time.monotonic()
+    exact = cosine_topk(corpus, queries, k=K).persist()
+    exact.count()
+    brute_secs = round(time.monotonic() - t0, 2)
+
+    out = {"n_corpus": n_corpus, "n_queries": n_queries, "dim": DIM,
+           "k": K, "brute_force_secs": brute_secs,
+           "corpus": "seeded Gaussian mixture, 64 clusters (synthetic)",
+           "configs": []}
+    n_cent = 64
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.monotonic()
+        approx = ivf_topk(corpus, queries, k=K,
+                          n_centroids=n_cent, nprobe=nprobe).persist()
+        approx.count()
+        secs = round(time.monotonic() - t0, 2)
+        out["configs"].append({
+            "n_centroids": n_cent, "nprobe": nprobe,
+            "scanned_fraction_expected": round(nprobe / n_cent, 3),
+            "recall_at_10": recall(exact, approx),
+            "ivf_secs": secs,
+        })
+        approx.unpersist()
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
