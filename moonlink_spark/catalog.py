@@ -249,6 +249,22 @@ class Catalog:
             os.path.join(self.base_path, entry["warehouse"]), self.fs)
         return store.read_snapshot().schema
 
+    def scan_table_begin(self, database: str, table: str,
+                         version: int | None = None, *,
+                         ttl_seconds: float | None = None) -> dict:
+        """Pin a version for an external reader
+        (``scan_table_begin``, ``moonlink_rpc/src/lib.rs:37``): while
+        the returned lease is live, snapshot expiry retains the pinned
+        version.  Returns ``{"lease_id", "version"}``."""
+        return self.get_table(database, table).scan_begin(
+            version, ttl_seconds=ttl_seconds)
+
+    def scan_table_end(self, database: str, table: str,
+                       lease_id: str) -> bool:
+        """Release a reader lease (``scan_table_end``,
+        ``moonlink_rpc/src/lib.rs:38``)."""
+        return self.get_table(database, table).scan_end(lease_id)
+
     def maintain_all(self, option: str = "best_effort",
                      max_actions: int | None = None) -> list[dict]:
         """Evaluate the maintenance policy across every registered

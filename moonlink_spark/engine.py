@@ -814,6 +814,45 @@ class MoonTable:
             self.spark, self.store, retain_last=retain_last,
             clean_tmp_older_than_seconds=clean_tmp_older_than_seconds)
 
+    # -- reader leases / tags (refs expiry honors) -------------------------
+    def scan_begin(self, version: int | None = None, *,
+                   ttl_seconds: float | None = None) -> dict:
+        """Pin a version for an external reader until :meth:`scan_end` —
+        the ``scan_table_begin`` RPC analogue
+        (``moonlink_rpc/src/lib.rs:37``): while the lease is live,
+        ``expire_snapshots`` retains the pinned version regardless of
+        ``retain_last``.  TTL-guarded so a crashed reader delays cleanup
+        by at most one TTL.  Returns ``{"lease_id", "version"}``; read
+        with ``scan(version=...)``."""
+        from moonlink_spark import refs
+        v = self.current_version() if version is None else version
+        kw = {} if ttl_seconds is None else {"ttl_seconds": ttl_seconds}
+        return {"lease_id": refs.begin_scan(self.store, v, **kw),
+                "version": v}
+
+    def scan_end(self, lease_id: str) -> bool:
+        """Release a reader lease (``scan_table_end``,
+        ``moonlink_rpc/src/lib.rs:38``)."""
+        from moonlink_spark import refs
+        return refs.end_scan(self.store, lease_id)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Durable named ref (Iceberg tag analogue): ``expire_snapshots``
+        retains the tagged version until :meth:`untag`.  Returns the
+        tagged version."""
+        from moonlink_spark import refs
+        v = self.current_version() if version is None else version
+        refs.create_tag(self.store, name, v)
+        return v
+
+    def untag(self, name: str) -> bool:
+        from moonlink_spark import refs
+        return refs.drop_tag(self.store, name)
+
+    def tags(self) -> dict[str, int]:
+        from moonlink_spark import refs
+        return refs.list_tags(self.store)
+
     # -- external-reader support ------------------------------------------
     def get_parquet_metadatas(self, data_files: list[str]) -> list[bytes]:
         """Serialized parquet footer metadata for committed data files —

@@ -37,6 +37,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from moonlink_spark import refs
 from moonlink_spark.fs import remove_many
 from moonlink_spark.snapshotstore import DATA_DIR, DV_DIR, SnapshotStore
 
@@ -130,7 +131,12 @@ def expire_snapshots(
     the first batch as a sample)."""
     retain_last = max(1, retain_last)
     versions = store.versions()
-    keep = versions[-retain_last:]
+    # Live refs (unexpired scan leases + tags, moonlink_spark/refs.py)
+    # pin their versions beyond retain_last — the retention half of the
+    # reference's reader-pinning contract (union_read/read_state.rs:20-50:
+    # compacted-away files stay alive until every reader releases).
+    pinned = sorted(refs.pinned_versions(store) & set(versions))
+    keep = sorted(set(versions[-retain_last:]) | set(pinned))
     drop = [v for v in versions if v not in keep]
 
     reachable = None
@@ -189,5 +195,8 @@ def expire_snapshots(
         getattr(store, "_seg_cache", {}).pop(v, None)
     tmp_removed = _clean_stale_tmp(store, clean_tmp_older_than_seconds,
                                    now=time.time())
+    reaped = refs.reap_stale_leases(store)  # hygiene; correctness never
+    # depends on it (pinned_versions already ignored stale leases above)
     return {"expired_versions": drop, "deleted_files": sorted(deleted),
-            "deleted_count": n_deleted, "deleted_tmp_dirs": tmp_removed}
+            "deleted_count": n_deleted, "deleted_tmp_dirs": tmp_removed,
+            "pinned_versions": pinned, "reaped_leases": sorted(reaped)}

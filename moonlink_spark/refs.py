@@ -1,0 +1,190 @@
+"""Named snapshot refs: reader leases + tags — what stops expiry.
+
+Reference parity: the service RPC surface pins a table state for an
+external reader with ``scan_table_begin`` / ``scan_table_end``
+(``moonlink_rpc/src/lib.rs:28-39``), and the read-state layer keeps
+compacted-away files alive until every reader releases them
+(``union_read/read_state.rs:20-50``).  In this engine snapshot
+isolation is by construction (manifests are immutable and scans pin a
+version), so the only thing a reader lease has to do is stop
+``expire_snapshots`` from dropping the pinned version's files while
+the lease is live.
+
+Two ref kinds, same retention contract (a version named by a live ref
+is retained by expiry regardless of ``retain_last``):
+
+- **Scan lease** — ephemeral, TTL-guarded.  ``begin_scan`` writes
+  ``leases/{id}.json``; ``end_scan`` removes it.  A lease older than
+  its TTL is presumed crashed and ignored (the same takeover policy as
+  the commit lock, ``snapshotstore.py``), so a reader that dies
+  without calling ``end_scan`` delays cleanup by at most one TTL —
+  cf. the reference unpinning cache entries when a reader drops
+  (``union_read/read_state.rs``).
+- **Tag** — durable named pointer (Iceberg tag analogue): survives
+  until ``drop_tag``.  Use for "keep the snapshot the last training
+  run read" retention holds.
+
+Ref files are tiny driver-side JSON through the fs seam —
+``write_atomic`` so a half-written lease is never visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from moonlink_spark.snapshotstore import SnapshotStore
+
+LEASES_DIR = "leases"
+TAGS_DIR = "refs"
+
+DEFAULT_LEASE_TTL_SECONDS = 3600.0
+
+_TAG_BAD = set('/\\:*?"<>|')
+
+
+def _lease_path(store: SnapshotStore, lease_id: str) -> str:
+    return os.path.join(store.warehouse, LEASES_DIR, f"{lease_id}.json")
+
+
+def _tag_path(store: SnapshotStore, name: str) -> str:
+    return os.path.join(store.warehouse, TAGS_DIR, f"{name}.json")
+
+
+def _check_tag_name(name: str) -> None:
+    if not name or any(c in _TAG_BAD for c in name) or name != name.strip():
+        raise ValueError(f"invalid tag name: {name!r}")
+
+
+# -- scan leases ---------------------------------------------------------
+
+def begin_scan(store: SnapshotStore, version: int, *,
+               ttl_seconds: float = DEFAULT_LEASE_TTL_SECONDS,
+               now: float | None = None) -> str:
+    """Pin ``version`` against expiry; returns the lease id.
+
+    The version must currently exist — leasing an already-expired
+    version cannot resurrect its files."""
+    if version not in store.versions():
+        raise ValueError(f"version {version} does not exist")
+    lease_id = uuid.uuid4().hex
+    store.fs.makedirs(os.path.join(store.warehouse, LEASES_DIR))
+    payload = json.dumps({
+        "version": int(version),
+        "created_at": float(time.time() if now is None else now),
+        "ttl_seconds": float(ttl_seconds),
+    }).encode()
+    store.fs.write_atomic(_lease_path(store, lease_id), payload)
+    return lease_id
+
+
+def end_scan(store: SnapshotStore, lease_id: str) -> bool:
+    """Release a lease.  Returns False when it no longer exists (already
+    released, or reaped as stale by an expiry run)."""
+    path = _lease_path(store, lease_id)
+    if not store.fs.is_file(path):
+        return False
+    store.fs.remove(path)
+    return True
+
+
+def _read_json(store: SnapshotStore, path: str) -> dict | None:
+    try:
+        return json.loads(store.fs.read_bytes(path).decode())
+    except (OSError, ValueError):
+        return None  # vanished concurrently or torn (write_atomic makes
+        # torn impossible for our own writes; stay defensive anyway)
+
+
+def live_leases(store: SnapshotStore, *,
+                now: float | None = None) -> dict[str, dict]:
+    """Unexpired leases as ``{lease_id: payload}``.  Stale leases
+    (``now - created_at > ttl_seconds``) are excluded — their holders
+    are presumed crashed."""
+    root = os.path.join(store.warehouse, LEASES_DIR)
+    if not store.fs.is_dir(root):
+        return {}
+    now = time.time() if now is None else now
+    out: dict[str, dict] = {}
+    for name in store.fs.list(root):
+        if not name.endswith(".json"):
+            continue
+        payload = _read_json(store, os.path.join(root, name))
+        if payload is None:
+            continue
+        if now - payload["created_at"] <= payload["ttl_seconds"]:
+            out[name[:-len(".json")]] = payload
+    return out
+
+
+def reap_stale_leases(store: SnapshotStore, *,
+                      now: float | None = None) -> list[str]:
+    """Delete lease files past their TTL; returns the reaped ids.
+    Called by expiry as hygiene — correctness never depends on it
+    (``live_leases`` already ignores stale ones)."""
+    root = os.path.join(store.warehouse, LEASES_DIR)
+    if not store.fs.is_dir(root):
+        return []
+    now = time.time() if now is None else now
+    reaped: list[str] = []
+    for name in store.fs.list(root):
+        if not name.endswith(".json"):
+            continue
+        path = os.path.join(root, name)
+        payload = _read_json(store, path)
+        if payload is None:
+            continue
+        if now - payload["created_at"] > payload["ttl_seconds"]:
+            store.fs.remove(path)
+            reaped.append(name[:-len(".json")])
+    return reaped
+
+
+# -- tags ----------------------------------------------------------------
+
+def create_tag(store: SnapshotStore, name: str, version: int) -> None:
+    """Durable named pointer to ``version`` (Iceberg tag analogue).
+    Re-tagging an existing name moves it."""
+    _check_tag_name(name)
+    if version not in store.versions():
+        raise ValueError(f"version {version} does not exist")
+    store.fs.makedirs(os.path.join(store.warehouse, TAGS_DIR))
+    payload = json.dumps({"version": int(version),
+                          "created_at": time.time()}).encode()
+    store.fs.write_atomic(_tag_path(store, name), payload)
+
+
+def drop_tag(store: SnapshotStore, name: str) -> bool:
+    _check_tag_name(name)
+    path = _tag_path(store, name)
+    if not store.fs.is_file(path):
+        return False
+    store.fs.remove(path)
+    return True
+
+
+def list_tags(store: SnapshotStore) -> dict[str, int]:
+    root = os.path.join(store.warehouse, TAGS_DIR)
+    if not store.fs.is_dir(root):
+        return {}
+    out: dict[str, int] = {}
+    for name in store.fs.list(root):
+        if not name.endswith(".json"):
+            continue
+        payload = _read_json(store, os.path.join(root, name))
+        if payload is not None:
+            out[name[:-len(".json")]] = int(payload["version"])
+    return out
+
+
+# -- the retention hook --------------------------------------------------
+
+def pinned_versions(store: SnapshotStore, *,
+                    now: float | None = None) -> set[int]:
+    """Versions a live ref (unexpired lease or tag) names.  Expiry must
+    retain these beyond ``retain_last``."""
+    pinned = {p["version"] for p in live_leases(store, now=now).values()}
+    pinned.update(list_tags(store).values())
+    return pinned

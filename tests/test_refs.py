@@ -1,0 +1,113 @@
+"""Reader leases + tags (moonlink_spark/refs.py) — the retention half of
+the reference's reader-pinning contract.
+
+Reference: ``scan_table_begin`` / ``scan_table_end`` pin a table state
+for an external reader until released (``moonlink_rpc/src/lib.rs:37-38``);
+``union_read/read_state.rs:20-50`` keeps compacted-away files alive while
+a reader holds them.  Here the pin is a version-level lease that
+``expire_snapshots`` honors.
+"""
+
+import time
+
+import pytest
+
+from moonlink_spark import refs
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=96 << 10, bin_target_bytes=256 << 10,
+    bin_concurrency=2))
+
+
+def _mk(spark, root, seed=47):
+    synthesize_cdc_aftermath(root, seed=seed, n_files=16,
+                             rows_per_file=(40, 100), n_repos=4,
+                             content_bytes=(64, 160))
+    return MoonTable(spark, root, CFG)
+
+
+def test_lease_pins_version_through_expire(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "w"))
+    rows_v0 = t.scan().count()
+    t.optimize("full")  # v1: fresh files; v0's become expire-able
+    lease = t.scan_begin(0)
+    assert lease["version"] == 0
+
+    rep = t.expire_snapshots(retain_last=1)
+    assert 0 in rep["pinned_versions"]
+    assert 0 not in rep["expired_versions"]
+    # the pinned snapshot is still fully readable
+    assert t.scan(version=0).count() == rows_v0
+
+    assert t.scan_end(lease["lease_id"]) is True
+    rep2 = t.expire_snapshots(retain_last=1)
+    assert rep2["expired_versions"] == [0]
+    assert rep2["deleted_count"] > 0  # v0-only files were orphaned
+    with pytest.raises(Exception):
+        t.scan(version=0).count()
+
+
+def test_stale_lease_is_ignored_and_reaped(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "w"))
+    t.optimize("full")
+    # lease created 100 s in the past with a 10 s TTL: holder presumed
+    # crashed — exactly the commit lock's TTL-takeover policy
+    stale = refs.begin_scan(t.store, 0, ttl_seconds=10.0,
+                            now=time.time() - 100.0)
+    rep = t.expire_snapshots(retain_last=1)
+    assert rep["expired_versions"] == [0]
+    assert rep["pinned_versions"] == []
+    assert stale in rep["reaped_leases"]
+    assert t.scan_end(stale) is False  # already reaped
+
+
+def test_tag_pins_until_untag(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "w"))
+    rows_v0 = t.scan().count()
+    t.optimize("full")
+    assert t.tag("golden", 0) == 0
+    assert t.tags() == {"golden": 0}
+
+    rep = t.expire_snapshots(retain_last=1)
+    assert 0 in rep["pinned_versions"]
+    assert t.scan(version=0).count() == rows_v0
+
+    assert t.untag("golden") is True
+    assert t.tags() == {}
+    rep2 = t.expire_snapshots(retain_last=1)
+    assert rep2["expired_versions"] == [0]
+    assert t.untag("golden") is False
+
+
+def test_refs_validate_inputs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "w"))
+    with pytest.raises(ValueError):
+        t.scan_begin(99)  # version does not exist
+    with pytest.raises(ValueError):
+        t.tag("bad/name", 0)
+    with pytest.raises(ValueError):
+        refs.create_tag(t.store, "x", 99)
+    assert t.scan_end("deadbeef") is False
+
+
+def test_catalog_scan_lease_roundtrip(spark, tmp_path):
+    from moonlink_spark.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path / "base"))
+    cat.create_table("db", "t", schema=["repo", "path", "commit",
+                                        "lang", "content", "_pos"])
+    wh = cat.warehouse_path("db", "t")
+    tbl = cat.get_table("db", "t")
+    df = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", "x", i) for i in range(5)],
+        "repo string, path string, commit string, lang string, "
+        "content string, _pos bigint")
+    tbl.append(df)
+    lease = cat.scan_table_begin("db", "t")
+    assert lease["version"] == tbl.current_version()
+    assert refs.live_leases(tbl.store)  # durable on disk under leases/
+    assert wh  # warehouse registered
+    assert cat.scan_table_end("db", "t", lease["lease_id"]) is True
+    assert cat.scan_table_end("db", "t", lease["lease_id"]) is False
