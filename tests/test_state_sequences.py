@@ -358,3 +358,141 @@ def test_2_full_row_cycle_bounds_tighten(spark, tmp_path):
     edited = scan.filter(F.col("content").startswith("edited")).count()
     assert edited == 3
     assert scan.count() == len(ROWS)
+
+
+# ---------------------------------------------------------------------------
+# File-index state family (``file_index_state_tests.rs``), portable subset.
+#
+# The reference's family is a state machine over (no index / local /
+# remote+local) with an object-storage cache on the local axis — the
+# cache axis is Spark-executor-owned, declared non-goal.  The portable
+# axes asserted here:
+#   - no file index + recover => index present and identical via a
+#     FRESH manager (``test_1_recover_3``, file_index_state_tests.rs:93);
+#   - index blocks are born with their data files at persist
+#     (write_index at file birth — the flush-time index build);
+#   - remote,local + use (index merge) => merged; use over + request
+#     delete => superseded blocks physically gone
+#     (``test_3_index_merge``, file_index_state_tests.rs:282: after the
+#     merge the old index block files are requested-to-delete).
+# ---------------------------------------------------------------------------
+
+from moonlink_spark.operators import keyindex  # noqa: E402
+
+ICFG = TableConfig(
+    compaction=CompactionConfig(
+        min_files_to_compact=2, target_file_bytes=64 << 10,
+        bin_target_bytes=1 << 20, bin_concurrency=1),
+    index_key_columns=("repo", "path", "commit"), index_buckets=8)
+
+
+def _mk_indexed(spark, tmp_path, name="whidx"):
+    wh = str(tmp_path / name)
+    store = SnapshotStore(wh)
+    store.init_warehouse()
+    store.commit([], schema=SCHEMA, stats_columns=ICFG.stats_columns,
+                 properties={"flush_lsn": 0, "operation": "create-table"})
+    t = MoonTable(spark, wh, ICFG)
+    t.append(spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, lang string, "
+              "content string"))
+    return t
+
+
+def _idx_block_files(store):
+    """Every persisted index block (bucket parts + coverage parts),
+    warehouse-relative — the ``get_index_block_files`` analogue."""
+    out = []
+    for b in range(ICFG.index_buckets):
+        out.extend(os.path.relpath(p, store.warehouse)
+                   for p in keyindex._bucket_parts(store, b))
+    out.extend(os.path.relpath(p, store.warehouse)
+               for p in keyindex.coverage_parts(store))
+    return sorted(out)
+
+
+def _candidates(spark, t, probe_rows):
+    probe = t.spark.createDataFrame(
+        probe_rows, "repo string, path string, commit string")
+    cand = keyindex.candidate_files(
+        spark, t.store, t.manifest(), probe,
+        list(ICFG.index_key_columns), n_buckets=ICFG.index_buckets)
+    assert cand is not None
+    return {r["path"] for r in cand.collect()}
+
+
+def test_1_recover_3_index_state(spark, tmp_path):
+    """no file index + recover => remote,local: a FRESH manager loading
+    the persisted warehouse sees the identical index — same addressing
+    meta, same block files, same candidate sets."""
+    t = _mk_indexed(spark, tmp_path)
+    wh = t.store.warehouse
+    probe = [(ROWS[3][0], ROWS[3][1], ROWS[3][2])]
+    meta_before = keyindex.read_meta(t.store)
+    blocks_before = _idx_block_files(t.store)
+    cand_before = _candidates(spark, t, probe)
+    assert meta_before is not None and blocks_before
+
+    # recovery: brand-new store + table objects, no in-memory carryover
+    t2 = MoonTable(spark, wh, ICFG)
+    assert keyindex.read_meta(t2.store) == meta_before
+    assert _idx_block_files(t2.store) == blocks_before
+    assert _candidates(spark, t2, probe) == cand_before
+
+
+def test_2_persist_3_blocks_born_with_files(spark, tmp_path):
+    """Index blocks are written when their data files are persisted
+    (flush-time index build): every live file written by an indexed op
+    is covered, and a probe for a known key narrows the scan to files
+    that really contain it."""
+    t = _mk_indexed(spark, tmp_path)
+    live = {e["path"] for e in t.store.manifest_entries()}
+    cov = set()
+    for p in keyindex.coverage_parts(t.store):
+        cov.update(r["path"] for r in pq.read_table(p).to_pylist())
+    assert live <= cov  # every persisted file was born with coverage
+
+    probe = [(ROWS[0][0], ROWS[0][1], ROWS[0][2])]
+    cand = _candidates(spark, t, probe)
+    assert cand < live or cand == live  # never invents files
+    # the file that truly holds the key is in the candidate set
+    holders = {r[0] for r in
+               t.scan(with_location=True)
+               .filter((F.col("repo") == ROWS[0][0])
+                       & (F.col("path") == ROWS[0][1]))
+               .select("_mlfile").collect()}
+    assert holders and holders <= cand
+
+
+def test_3_index_merge_use_over_deletes_old_blocks(spark, tmp_path):
+    """remote,local + use => remote,local; use over + request delete =>
+    old blocks gone: ``optimize("index")`` consolidates the bucket
+    parts, the superseded block files are physically deleted, and
+    lookups still resolve."""
+    t = _mk_indexed(spark, tmp_path)
+    # second entry generation: a merge writes fresh ingest files + index
+    ups = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], f"v2 {r[1]}", "upsert")
+         for r in ROWS[0:3]], DDL)
+    t.merge(ups, key_columns=KEYS)
+    blocks_before = _idx_block_files(t.store)
+
+    t.optimize("index")
+
+    blocks_after = _idx_block_files(t.store)
+    assert blocks_after != blocks_before
+    # superseded blocks are requested-to-delete and actually gone
+    for old in set(blocks_before) - set(blocks_after):
+        assert not t.store.fs.exists(t.store.abs(old))
+    # consolidated: at most one block file per bucket
+    for b in range(ICFG.index_buckets):
+        assert len(keyindex._bucket_parts(t.store, b)) <= 1
+    # lookups still narrow correctly after the merge-and-delete cycle
+    probe = [(ROWS[1][0], ROWS[1][1], ROWS[1][2])]
+    live = {e["path"] for e in t.store.manifest_entries()}
+    cand = _candidates(spark, t, probe)
+    assert cand and cand <= live
+    got = (t.scan().filter((F.col("repo") == ROWS[1][0])
+                           & (F.col("path") == ROWS[1][1]))
+           .select("content").collect())
+    assert [r[0] for r in got] == [f"v2 {ROWS[1][1]}"]
