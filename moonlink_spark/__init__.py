@@ -11,6 +11,8 @@ Layout
 ------
 - ``config``        thresholds mirroring moonlink's production defaults
 - ``snapshotstore`` versioned snapshot manifests + atomic commit
+- ``deltastore``    second format backend: Delta-style action log
+                    (put-if-absent commit protocol, replayable log)
 - ``synth``         deterministic CDC-aftermath generator (test/bench input)
 - ``operators``     scan, planner, rewrite, merge, expire, skew, keyindex
 - ``functions``     zorder / sha256 / text / code / dedup / similarity
@@ -21,10 +23,11 @@ Layout
 """
 
 from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.deltastore import DeltaLogStore
 from moonlink_spark.engine import MoonTable
 from moonlink_spark.ingest import IngestSession
 from moonlink_spark.wal import WriteAheadLog
 
 __all__ = ["CompactionConfig", "TableConfig", "MoonTable",
-           "WriteAheadLog", "IngestSession"]
+           "WriteAheadLog", "IngestSession", "DeltaLogStore"]
 __version__ = "0.1.0"

@@ -1,0 +1,237 @@
+"""Delta-log snapshot backend — the second table format.
+
+The reference persists the same table state through TWO format
+backends behind one trait: Iceberg
+(``storage/table/iceberg/iceberg_table_manager.rs``) and Delta Lake
+(``storage/table/deltalake/deltalake_table_manager.rs``), both
+implementing ``TableManager``
+(``storage/table/common/table_manager.rs``) — proof that the
+snapshot-sync contract is format-agnostic.  This module is our second
+backend: :class:`DeltaLogStore` persists every commit as a Delta-style
+action file under ``_delta_log/`` while sharing the whole manifest
+machinery (segments, delta commits, typed bounds) with the
+Iceberg-shaped base :class:`~moonlink_spark.snapshotstore.SnapshotStore`.
+
+What actually differs — the two things that make Delta a different
+*protocol*, not just a different file layout:
+
+1. **Commit point = put-if-absent on the next log file.**  The base
+   store publishes by CAS on a version-hint pointer (Iceberg's
+   conditional-write version hint, ``file_catalog.rs:640-665``).  Delta
+   has no pointer: writer N wins by being the one who successfully
+   creates ``_delta_log/{N:020d}.json`` (object stores: conditional PUT
+   ``If-None-Match: *``).  ``current_version`` is *discovered* by
+   listing the log, not read from a pointer.
+
+2. **The log is a replayable record of state transitions.**  Each
+   commit file holds newline-delimited JSON actions: ``commitInfo``,
+   ``metaData``, a ``checkpoint`` reference (our per-version manifest
+   list doubles as a Delta checkpoint — written every commit, so
+   ``_last_checkpoint``-style discovery is trivial), and the data
+   actions — ``add`` / ``remove`` / ``dv`` for delta commits, ``reset``
+   for full rewrites, ``reuse`` for metadata-only commits.  An external
+   reader reconstructs any version's live file set from the log alone
+   (:func:`reconstruct_state`), exactly like a Delta reader:
+   checkpoint + tail of actions.
+
+Scale shape: a delta commit's action file carries only the delta
+(small); commits whose action count exceeds ``ACTION_CAP`` degrade to a
+``reset`` pointing at the checkpoint — the log never becomes the
+bottleneck a 10^5-file optimize would otherwise make it.  Readers of
+10^12-entry tables read the checkpoint (parquet manifest segments) with
+Spark; :func:`reconstruct_state` is the driver-side/external-reader
+path for the log tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Iterable
+
+import pyarrow.parquet as pq
+
+from moonlink_spark.snapshotstore import CommitConflict, SnapshotStore
+
+LOG_DIR = "_delta_log"
+
+# Above this many per-file actions a commit logs ``reset`` + checkpoint
+# instead of enumerating files — bounds action-file size at huge
+# optimize commits (Delta itself leans on checkpoints the same way).
+ACTION_CAP = 100_000
+
+_LOG_RE = re.compile(r"^(\d{20})\.json$")
+
+
+class DeltaLogStore(SnapshotStore):
+    """Snapshot store whose commit protocol is the Delta log.
+
+    Shares all manifest/segment machinery with the base store (the
+    manifest list written per version IS the checkpoint); only the
+    commit point, version discovery, and the action log differ.
+    Everything built on the store — :class:`~moonlink_spark.engine.
+    MoonTable`, MERGE, optimize, expiry, changelog, time travel — runs
+    unchanged on either backend (``MoonTable(spark, wh, cfg,
+    store=DeltaLogStore(wh))``).
+    """
+
+    # -- log paths --------------------------------------------------------
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.warehouse, LOG_DIR)
+
+    def log_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    # -- lifecycle / version discovery ------------------------------------
+    def init_warehouse(self) -> None:
+        super().init_warehouse()
+        self.fs.makedirs(self.log_dir)
+
+    def _log_versions(self) -> list[int]:
+        if not self.fs.is_dir(self.log_dir):
+            return []
+        out = []
+        for name in self.fs.list(self.log_dir):
+            m = _LOG_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def exists(self) -> bool:
+        return bool(self._log_versions())
+
+    def current_version(self) -> int:
+        versions = self._log_versions()
+        if not versions:
+            raise FileNotFoundError(
+                f"no commits in {self.log_dir} (table does not exist)")
+        return versions[-1]
+
+    def versions(self) -> list[int]:
+        # log-derived on purpose: a crash after the header write but
+        # before the log commit must leave the orphan version invisible
+        return self._log_versions()
+
+    # -- commit point ------------------------------------------------------
+    def _commit_pointer(self, version: int, current: int | None, *,
+                        descs: list[dict], header: dict,
+                        actions=None) -> None:
+        acts = list(actions()) if callable(actions) else list(actions or ())
+        if len(acts) > ACTION_CAP:
+            acts = [{"reset": True,
+                     "reason": f"{len(acts)} actions > cap {ACTION_CAP}"}]
+        props = header.get("properties") or {}
+        lines = [
+            {"commitInfo": {
+                "version": version,
+                "parent": current,
+                "timestamp": header.get("committed_at"),
+                "operation": props.get("operation"),
+                "flush_lsn": props.get("flush_lsn")}},
+            {"metaData": {"schema": header.get("schema"),
+                          "format_version": header.get("format_version")}},
+            {"checkpoint": {
+                "manifest_list": os.path.relpath(
+                    self.manifest_list_path(version), self.warehouse),
+                "segments": len(descs),
+                "entries": sum(d["entries"] for d in descs
+                               if d.get("entries") is not None)}},
+        ] + acts
+        payload = "\n".join(
+            json.dumps(line, sort_keys=True) for line in lines
+        ).encode() + b"\n"
+        # THE commit point: put-if-absent on the next log file — exactly
+        # one of N racing writers creates it (posix O_EXCL; object
+        # store: conditional PUT If-None-Match).  No pointer exists.
+        if not self.fs.create_exclusive(self.log_path(version), payload):
+            raise CommitConflict(
+                f"_delta_log/{version:020d}.json already exists "
+                "(concurrent commit won)")
+
+    # -- expiry ------------------------------------------------------------
+    def on_expire_versions(self, versions: list[int]) -> None:
+        """Drop expired versions' action files.  Safe because replay
+        consumers start from a retained version's checkpoint (every
+        commit carries one), never from the beginning of the log."""
+        for v in versions:
+            p = self.log_path(v)
+            if self.fs.is_file(p):
+                self.fs.remove(p)
+
+
+# -- external / log-only reader ------------------------------------------
+
+def log_entries(store: DeltaLogStore,
+                versions: Iterable[int] | None = None
+                ) -> list[tuple[int, list[dict]]]:
+    """Parsed newline-JSON actions per version, ascending."""
+    vs = sorted(versions) if versions is not None else store.versions()
+    out = []
+    for v in vs:
+        raw = store.fs.read_bytes(store.log_path(v)).decode()
+        out.append((v, [json.loads(line)
+                        for line in raw.splitlines() if line.strip()]))
+    return out
+
+
+def _checkpoint_state(store: DeltaLogStore, actions: list[dict]
+                      ) -> dict[str, dict[str, Any]]:
+    """Live file set from one commit's checkpoint reference (parquet
+    manifest segments — the scale path; driver-side pyarrow here because
+    this is the external-reader/verification surface, test-scale)."""
+    ckpt = next(a["checkpoint"] for a in actions if "checkpoint" in a)
+    lst = pq.read_table(store.abs(ckpt["manifest_list"])).to_pylist()
+    state: dict[str, dict[str, Any]] = {}
+    for seg in lst:
+        for e in pq.read_table(
+                store.abs(seg["path"]),
+                columns=["path", "rows", "bytes", "dv_path",
+                         "dv_cardinality"]).to_pylist():
+            state[e["path"]] = e
+    return state
+
+
+def reconstruct_state(store: DeltaLogStore, upto: int | None = None
+                      ) -> dict[str, dict[str, Any]]:
+    """Rebuild the live ``{path: {rows, bytes, dv_path,
+    dv_cardinality}}`` state of version ``upto`` from the action log
+    alone — the Delta external-reader contract: start at the newest
+    ``reset``/``reuse``-resolvable checkpoint at or before ``upto``,
+    then replay ``add``/``remove``/``dv`` actions forward.  Used by
+    tests to prove the log is a faithful, self-sufficient record (the
+    analogue of ``tests/test_external_reader.py`` proving DuckDB can
+    reconstruct scans from the Iceberg-shaped artifacts)."""
+    entries = log_entries(store)
+    if upto is not None:
+        entries = [(v, a) for v, a in entries if v <= upto]
+    if not entries:
+        raise FileNotFoundError("empty delta log")
+    # newest version that does NOT replay incrementally from its parent:
+    # a reset (full rewrite / capped delta) or a reuse (metadata-only
+    # re-point, e.g. rollback — its state comes from an arbitrary BASE
+    # version, not the parent, so incremental replay through it would
+    # be wrong), or the very first entry.  Either way the commit's own
+    # checkpoint is exactly its state.
+    start = 0
+    for i, (_v, acts) in enumerate(entries):
+        if any("reset" in a or "reuse" in a for a in acts):
+            start = i
+    state = _checkpoint_state(store, entries[start][1])
+    for _v, acts in entries[start + 1:]:
+        for a in acts:
+            if "add" in a:
+                state[a["add"]["path"]] = dict(a["add"])
+            elif "remove" in a:
+                if a["remove"]["path"] not in state:
+                    raise RuntimeError(
+                        f"log removes unknown file {a['remove']['path']}")
+                del state[a["remove"]["path"]]
+            elif "dv" in a:
+                e = state[a["dv"]["path"]]
+                e["dv_path"] = a["dv"]["dv_path"]
+                e["dv_cardinality"] = a["dv"]["dv_cardinality"]
+            # commitInfo / metaData / checkpoint: no data change
+            # (reset/reuse never reach here — they restart replay above)
+    return state

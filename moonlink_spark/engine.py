@@ -54,9 +54,15 @@ class MoonTable:
     """Facade over one warehouse directory."""
 
     def __init__(self, spark: SparkSession, warehouse: str,
-                 config: TableConfig | None = None):
+                 config: TableConfig | None = None,
+                 store: SnapshotStore | None = None):
         self.spark = spark
-        self.store = SnapshotStore(warehouse)
+        # ``store`` selects the format backend (the reference's
+        # ``TableManager`` trait seam: Iceberg-shaped SnapshotStore by
+        # default, ``deltastore.DeltaLogStore`` for the Delta-log
+        # protocol — cf. ``storage/table/common/table_manager.rs`` with
+        # its iceberg/deltalake twin implementations)
+        self.store = store or SnapshotStore(warehouse)
         self.config = config or TableConfig()
         # Scans pass the manifest's explicit file list to the reader.
         # Spark's default threshold (32 paths) launches a distributed

@@ -193,6 +193,10 @@ def expire_snapshots(
         if store.fs.is_file(lst):
             store.fs.remove(lst)
         getattr(store, "_seg_cache", {}).pop(v, None)
+    # backend-specific per-version artifacts (Delta backend: action
+    # files) — after header/list/segments so a crash mid-expire leaves
+    # the version merely partially dropped, not inconsistent
+    store.on_expire_versions(drop)
     tmp_removed = _clean_stale_tmp(store, clean_tmp_older_than_seconds,
                                    now=time.time())
     reaped = refs.reap_stale_leases(store)  # hygiene; correctness never

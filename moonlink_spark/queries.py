@@ -1927,19 +1927,19 @@ def _docs_as_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"))
 
 
-def _empty_north_table(spark: SparkSession, wh: str):
+def _empty_north_table(spark: SparkSession, wh: str, store=None):
     from moonlink_spark.config import TableConfig
     from moonlink_spark.engine import MoonTable
     from moonlink_spark.snapshotstore import SnapshotStore
 
     cfg = TableConfig()
-    store = SnapshotStore(wh)
+    store = store or SnapshotStore(wh)
     store.init_warehouse()
     store.commit([], schema=["repo", "path", "commit", "lang",
                              "content", "_pos"],
                  stats_columns=cfg.stats_columns,
                  properties={"flush_lsn": 0, "operation": "create-table"})
-    return MoonTable(spark, wh, cfg)
+    return MoonTable(spark, wh, cfg, store=store)
 
 
 @_register("maintenance_e2e", """
@@ -2034,6 +2034,61 @@ def changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.sha2(F.concat_ws("|", "repo", "path", "commit"),
                               256)).alias("min_key_sha"))
             .orderBy("_commit_version", "_change_type"))
+
+
+@_register("delta_log_protocol", """
+SELECT 'org' || CAST(doc_id % 8 AS VARCHAR) AS repo,
+       COUNT(*) AS n_rows,
+       MIN(sha256(text)) AS min_sha,
+       MAX(sha256(text)) AS max_sha
+FROM documents
+WHERE doc_id % 5 <> 1
+GROUP BY 1
+""")
+def delta_log_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second format backend end-to-end, oracle-checked: run the same
+    engine (append fast path, then MERGE a deterministic delete set as
+    delete vectors) over a table whose commit protocol is the Delta
+    action log (``deltastore.DeltaLogStore`` — put-if-absent on
+    ``_delta_log/N.json``, the analogue of the reference's second
+    ``TableManager`` backend, ``deltalake_table_manager.rs``), then
+    read the final state THROUGH THE LOG ALONE: ``reconstruct_state``
+    replays checkpoint + add/dv actions into the live file set, and the
+    scan reads exactly those files with those DVs applied — the
+    version-hint/manifest authority path is never consulted.  The audit
+    must land on the pure-SQL relation DuckDB computes from
+    ``documents``, proving the log is a faithful, self-sufficient
+    record of the table."""
+    import tempfile
+
+    from moonlink_spark import deltastore as dls
+    from moonlink_spark.operators.scan import scan_files
+
+    wh = tempfile.mkdtemp(prefix="moonlink-delta-")
+    store = dls.DeltaLogStore(wh)
+    table = _empty_north_table(spark, wh, store=store)
+    rows = _docs_as_table_rows(spark, sf_dir)
+    table.append(rows.drop("doc_id"))                         # v1: adds
+    dels = (rows.filter(F.col("doc_id") % 5 == 1).drop("doc_id")
+            .withColumn("_op", F.lit("delete")))
+    table.merge(dels, key_columns=["repo", "path", "commit"],
+                job_tag="delta")                              # v2: dvs
+
+    state = dls.reconstruct_state(store)         # the log IS the input
+    files = sorted(state)
+    dv_files = sorted(p for p, e in state.items() if e.get("dv_path"))
+    dv_paths = sorted({e["dv_path"] for e in state.values()
+                       if e.get("dv_path")})
+    dv_card = sum(int(e.get("dv_cardinality") or 0)
+                  for e in state.values())
+    snap = store.read_snapshot()
+    live = scan_files(spark, store, files, dv_paths, dv_card,
+                      schema_ddl=snap.properties.get("schema_ddl"),
+                      project=snap.schema, dv_files=dv_files)
+    return (live.groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(F.sha2(F.col("content"), 256)).alias("min_sha"),
+                 F.max(F.sha2(F.col("content"), 256)).alias("max_sha")))
 
 
 @_register("sample_domain_cap", """

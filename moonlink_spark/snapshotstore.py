@@ -637,13 +637,28 @@ class SnapshotStore:
             descs = self.write_manifest(version, entries, stats_columns,
                                         stats_types=stats_types,
                                         presorted=presorted)
+            # a full commit REPLACES the table state: log-replay
+            # consumers restart from this version's checkpoint
             return self._publish(version, current, descs, schema,
-                                 properties)
+                                 properties,
+                                 actions=lambda: [{"reset": True}])
 
     def _publish(self, version: int, current: int | None,
                  descs: list[dict], schema: list[str],
-                 properties: dict | None) -> Snapshot:
-        """Write the manifest list + header and CAS-publish."""
+                 properties: dict | None,
+                 actions=None) -> Snapshot:
+        """Write the manifest list + header, then make the version
+        visible through :meth:`_commit_pointer` (the backend-specific
+        commit point).
+
+        ``actions`` is an optional zero-arg callable producing the
+        commit's logical action list (``add``/``remove``/``dv``/
+        ``reset``/``reuse`` dicts).  This backend ignores it (the
+        manifest list IS the state); the Delta-log backend
+        (:class:`moonlink_spark.deltastore.DeltaLogStore`) materializes
+        it into the commit's action file.  Lazy on purpose: building
+        per-file action dicts for a 10^5-file optimize commit is wasted
+        work on a backend that never reads them."""
         self.write_manifest_list(version, descs)
         header = {
             "format_version": 2,
@@ -659,15 +674,31 @@ class SnapshotStore:
         self.fs.write_atomic(
             self.header_path(version),
             json.dumps(header, indent=1, sort_keys=True).encode())
-        # publish: CAS on the version hint — the one operation whose
-        # atomicity the engine's multi-writer correctness rests on
-        # (posix: re-read + atomic rename; object store: etag-CAS
-        # conditional PUT — see fs.publish_cas)
+        self._commit_pointer(version, current, descs=descs,
+                             header=header, actions=actions)
+        return self.read_snapshot(version)
+
+    def _commit_pointer(self, version: int, current: int | None, *,
+                        descs: list[dict], header: dict,
+                        actions=None) -> None:
+        """THE commit point: make ``version`` the table's current
+        version, failing with :class:`CommitConflict` if another
+        committer got there first.  This backend: CAS on the version
+        hint (posix: re-read + atomic rename; object store: etag-CAS
+        conditional PUT — see ``fs.publish_cas``; cf. the reference's
+        conditional-write version hint,
+        ``file_catalog.rs:640-665``).  The Delta-log backend overrides
+        this with put-if-absent on the next log file."""
         hint = os.path.join(self.snapshot_dir, VERSION_HINT)
         expected = None if current is None else str(current).encode()
         if not self.fs.publish_cas(hint, str(version).encode(), expected):
             raise CommitConflict("concurrent commit detected at publish")
-        return self.read_snapshot(version)
+
+    def on_expire_versions(self, versions: list[int]) -> None:
+        """Backend hook: per-version artifacts beyond header/list/
+        segments to drop when ``expire_snapshots`` removes a version.
+        Base backend has none; the Delta-log backend drops the
+        versions' action files."""
 
     def commit_reuse(
         self,
@@ -690,8 +721,9 @@ class SnapshotStore:
                     f"expected parent v{expected_parent}, found v{current}")
             version = 0 if current is None else current + 1
             descs = [dict(d) for d in self.manifest_segments(base_version)]
-            return self._publish(version, current, descs, schema,
-                                 properties)
+            return self._publish(
+                version, current, descs, schema, properties,
+                actions=lambda: [{"reuse": int(base_version)}])
 
     def commit_delta(
         self,
@@ -740,6 +772,7 @@ class SnapshotStore:
                 f"expected parent v{expected_parent}, found v{current}")
         version = 0 if current is None else current + 1
 
+        added = list(added)
         updated = dict(updated or {})
         removed_set = set(removed)
         affected = sorted(removed_set | set(updated))
@@ -851,8 +884,27 @@ class SnapshotStore:
         kept_descs = self._coalesce_segments(
             version, kept_descs, stats_columns, stats_types,
             arrow_schema=base_schema)
+
+        def _delta_actions() -> list[dict]:
+            # per-file add/remove/dv actions (Delta-log vocabulary);
+            # only evaluated by backends that persist an action log
+            acts: list[dict] = []
+            for e in added:
+                acts.append({"add": {
+                    "path": e["path"], "rows": int(e["rows"]),
+                    "bytes": int(e["bytes"]),
+                    "dv_path": e.get("dv_path"),
+                    "dv_cardinality": int(e.get("dv_cardinality") or 0)}})
+            for p in sorted(removed_set):
+                acts.append({"remove": {"path": p}})
+            for p in sorted(updated):
+                dv_path, dv_card = updated[p]
+                acts.append({"dv": {"path": p, "dv_path": dv_path,
+                                    "dv_cardinality": int(dv_card or 0)}})
+            return acts
+
         return self._publish(version, current, kept_descs, schema,
-                             properties)
+                             properties, actions=_delta_actions)
 
     def _coalesce_segments(self, version: int, descs: list[dict],
                            stats_columns, stats_types,

@@ -185,9 +185,16 @@ def synthesize_cdc_aftermath(
     content_bytes: tuple[int, int] = (64, 2048),
     dv_files_per_sidecar: int = 20,
     flush_lsn: int = 1000,
+    store: SnapshotStore | None = None,
 ) -> Snapshot:
-    """Write the aftermath into ``warehouse`` and commit snapshot v0."""
-    store = SnapshotStore(warehouse)
+    """Write the aftermath into ``warehouse`` and commit snapshot v0.
+
+    ``store`` selects the format backend the v0 commit publishes
+    through (default: the Iceberg-shaped :class:`SnapshotStore`; pass a
+    :class:`~moonlink_spark.deltastore.DeltaLogStore` to seed a
+    Delta-log table).  Data/DV bytes are identical either way — only
+    the commit protocol differs."""
+    store = store or SnapshotStore(warehouse)
     store.init_warehouse()
     weights = _zipf_repo_weights(n_repos, hot_fraction)
     rows_lo, rows_hi = rows_per_file

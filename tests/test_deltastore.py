@@ -1,0 +1,213 @@
+"""Second format backend: the Delta-style action log.
+
+The reference persists identical table state through two format
+backends behind one ``TableManager`` trait — Iceberg
+(``storage/table/iceberg/iceberg_table_manager.rs``) and Delta Lake
+(``storage/table/deltalake/deltalake_table_manager.rs``).  These tests
+prove our analogue of that property: the whole engine (synth, scan,
+MERGE, optimize, rollback, expiry) runs unchanged over
+:class:`DeltaLogStore`, whose commit point is put-if-absent on the
+next ``_delta_log/N.json`` file instead of pointer-CAS, and whose log
+is a self-sufficient replayable record (``reconstruct_state``).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import moonlink_spark.deltastore as ds
+from moonlink_spark import DeltaLogStore, MoonTable
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.snapshotstore import CommitConflict
+from moonlink_spark.synth import synthesize_cdc_aftermath
+from tests.oracle import content_sha_multiset, live_rows_pandas
+
+CFG = TableConfig(compaction=CompactionConfig(
+    target_file_bytes=64 << 10, bin_target_bytes=256 << 10,
+    bin_concurrency=2))
+KEYS = ["repo", "path", "commit"]
+
+
+def _spark_sha_multiset(df):
+    return sorted(r["h"] for r in
+                  df.select(F.sha2("content", 256).alias("h")).collect())
+
+
+def _state_from_entries(entries):
+    return {e["path"]: {"rows": e["rows"],
+                        "dv_path": e.get("dv_path"),
+                        "dv_cardinality": int(e.get("dv_cardinality") or 0)}
+            for e in entries}
+
+
+def _state_from_log(store, upto=None):
+    return {p: {"rows": e["rows"], "dv_path": e.get("dv_path"),
+                "dv_cardinality": int(e.get("dv_cardinality") or 0)}
+            for p, e in ds.reconstruct_state(store, upto).items()}
+
+
+@pytest.fixture(scope="module")
+def delta_table(spark, tmp_path_factory):
+    """Synth v0 → MERGE v1 → optimize(full) v2 → rollback(v1) v3, all
+    committed through the Delta-log backend."""
+    w = str(tmp_path_factory.mktemp("delta_wh"))
+    store = DeltaLogStore(w)
+    synthesize_cdc_aftermath(w, seed=53, n_files=16,
+                             rows_per_file=(40, 120), n_repos=5,
+                             content_bytes=(64, 256), store=store)
+    t = MoonTable(spark, w, CFG, store=store)
+
+    live = t.scan(0).select(*KEYS, "lang", "content").cache()
+    dels = live.orderBy(*KEYS).limit(8).withColumn("_op", F.lit("delete"))
+    ups = (live.orderBy(F.col("path").desc(), "repo", "commit").limit(4)
+           .withColumn("content", F.concat(F.lit("UPD:"), F.col("content")))
+           .withColumn("_op", F.lit("upsert")))
+    t.merge(dels.unionByName(ups), key_columns=KEYS)   # v1
+    t.optimize("full")                                  # v2
+    t.rollback_to(1)                                    # v3 (reuse of v1)
+    return w, store, t
+
+
+def test_log_is_the_version_authority(delta_table):
+    w, store, t = delta_table
+    assert store.versions() == [0, 1, 2, 3]
+    assert store.current_version() == 3
+    for v in store.versions():
+        assert os.path.isfile(store.log_path(v))
+
+
+def test_engine_results_match_oracle_on_delta_backend(spark, delta_table):
+    w, store, t = delta_table
+    for v in (0, 1, 2, 3):
+        assert _spark_sha_multiset(t.scan(v)) == content_sha_multiset(
+            live_rows_pandas(store, v)), f"v{v} scan diverged"
+    # rollback restored v1's content exactly
+    assert _spark_sha_multiset(t.scan(3)) == _spark_sha_multiset(t.scan(1))
+
+
+def test_log_reconstructs_every_version(delta_table):
+    """The action log alone rebuilds each version's live file state —
+    the Delta external-reader contract (checkpoint + forward replay of
+    add/remove/dv; reset/reuse restart from their own checkpoint)."""
+    w, store, t = delta_table
+    for v in store.versions():
+        assert _state_from_log(store, v) == _state_from_entries(
+            store.manifest_entries(v)), f"v{v} log replay diverged"
+
+
+def test_merge_commit_logs_incremental_actions(delta_table):
+    """v1 (MERGE) must be an incremental commit: add actions for the
+    ingest files, dv actions for touched files — not a reset."""
+    w, store, t = delta_table
+    [(_, acts)] = ds.log_entries(store, [1])
+    kinds = {k for a in acts for k in a}
+    assert "add" in kinds and "dv" in kinds and "reset" not in kinds
+    info = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert info["version"] == 1 and info["parent"] == 0
+
+
+def test_rollback_logs_reuse(delta_table):
+    w, store, t = delta_table
+    [(_, acts)] = ds.log_entries(store, [3])
+    assert any(a.get("reuse") == 1 for a in acts)
+
+
+def test_commit_point_is_put_if_absent(spark, tmp_path):
+    """Exactly one of two racing writers at the same parent wins; the
+    loser gets CommitConflict from the exclusive log-file create."""
+    w = str(tmp_path / "wh")
+    os.makedirs(w)
+    store = DeltaLogStore(w)
+    synthesize_cdc_aftermath(w, seed=54, n_files=4, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64), store=store)
+    # a rival lands _delta_log/1.json in the window between our plan
+    # and our commit — the loser must see CommitConflict, never a
+    # silent overwrite
+    orig = DeltaLogStore._commit_pointer
+
+    def racing(self, version, current, **kw):
+        with open(self.log_path(version), "w") as f:
+            f.write(json.dumps({"commitInfo": {"version": version,
+                                               "rival": True}}) + "\n")
+        return orig(self, version, current, **kw)
+
+    t = MoonTable(spark, w, CFG, store=store)
+    DeltaLogStore._commit_pointer = racing
+    try:
+        with pytest.raises(CommitConflict):
+            t.rollback_to(0)
+    finally:
+        DeltaLogStore._commit_pointer = orig
+    os.remove(store.log_path(1))
+    snap = t.rollback_to(0)   # and with the rival gone it commits fine
+    assert snap.version == 1
+
+
+def test_orphan_header_stays_invisible(spark, tmp_path):
+    """Crash after header/manifest write but before the log commit:
+    the version must not become visible (versions are log-derived)."""
+    w = str(tmp_path / "wh")
+    os.makedirs(w)
+    store = DeltaLogStore(w)
+    synthesize_cdc_aftermath(w, seed=55, n_files=4, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64), store=store)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(self, *a, **k):
+        raise Boom()
+
+    orig = DeltaLogStore._commit_pointer
+    DeltaLogStore._commit_pointer = crash
+    try:
+        with pytest.raises(Boom):
+            MoonTable(spark, w, CFG, store=store).rollback_to(0)
+    finally:
+        DeltaLogStore._commit_pointer = orig
+    assert store.current_version() == 0
+    assert store.versions() == [0]
+
+
+def test_action_cap_degrades_to_reset(spark, tmp_path, monkeypatch):
+    """Commits above ACTION_CAP log a reset; replay still lands on the
+    right state via the commit's own checkpoint."""
+    monkeypatch.setattr(ds, "ACTION_CAP", 0)
+    w = str(tmp_path / "wh")
+    os.makedirs(w)
+    store = DeltaLogStore(w)
+    synthesize_cdc_aftermath(w, seed=56, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64), store=store)
+    t = MoonTable(spark, w, CFG, store=store)
+    live = t.scan(0).select(*KEYS, "lang", "content")
+    dels = (live.orderBy(*KEYS).limit(6)
+            .withColumn("_op", F.lit("delete")))
+    t.merge(dels, key_columns=KEYS)  # >2 actions -> reset
+    [(_, acts)] = ds.log_entries(store, [1])
+    assert any("reset" in a for a in acts)
+    assert _state_from_log(store, 1) == _state_from_entries(
+        store.manifest_entries(1))
+
+
+def test_expire_drops_action_files_and_replay_survives(spark, delta_table,
+                                                       tmp_path):
+    """Expiry removes expired versions' action files; retained versions
+    still reconstruct (reuse/reset commits carry their own checkpoint)."""
+    w = str(tmp_path / "wh")
+    os.makedirs(w)
+    store = DeltaLogStore(w)
+    synthesize_cdc_aftermath(w, seed=57, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64), store=store)
+    t = MoonTable(spark, w, CFG, store=store)
+    live = t.scan(0).select(*KEYS, "lang", "content")
+    t.merge(live.orderBy(*KEYS).limit(3).withColumn("_op", F.lit("delete")),
+            key_columns=KEYS)          # v1
+    t.optimize("full")                 # v2
+    t.expire_snapshots(retain_last=2)  # drops v0
+    assert store.versions() == [1, 2]
+    assert not os.path.exists(store.log_path(0))
+    for v in (1, 2):
+        assert _state_from_log(store, v) == _state_from_entries(
+            store.manifest_entries(v))
