@@ -8,10 +8,13 @@ is ``{"operation": "insert|upsert|delete", "data": {...},
 and converts them into typed rows (``json_converter.rs``,
 ``avro_converter.rs``).
 
-Here the JSON converter is first-class (the sandbox ships no avro/
-protobuf codec — those parse functions are real signatures gated behind
-an import-try that raises a clear error, mirroring how the multimodal
-codecs are handled).  Parsed events feed
+Here the JSON converter and the Avro converter are both first-class
+(Avro via the built-in pure-Python binary codec,
+:mod:`moonlink_spark.sources.avro_codec`, implemented from the public
+Avro spec — no external package); protobuf stays a real signature
+gated behind an import-try (a generated message class can't exist
+without the protobuf toolchain, mirroring how the multimodal codecs
+are handled).  Parsed events feed
 :class:`~moonlink_spark.ingest.IngestSession`, whose WAL already does
 the typed-value coercion (``wal._coerce`` — the ``datetime_utils.rs``
 analogue), so a JSON event with ISO dates / numeric strings lands in
@@ -45,20 +48,33 @@ def parse_json_event(payload: str | bytes | Mapping) -> tuple[str, dict]:
     return op, data
 
 
-def parse_avro_event(payload: bytes, schema: Any) -> tuple[str, dict]:
-    """Avro-encoded row event (``avro_converter.rs`` analogue).  The
-    sandbox ships no avro codec; on a real deployment install
-    ``fastavro`` and this works as-is."""
-    try:
-        import io
+def parse_avro_event(payload: bytes, schema: Any,
+                     operation: str | None = None) -> tuple[str, dict]:
+    """Avro-encoded row event (``avro_converter.rs`` analogue), decoded
+    by the built-in pure-Python binary codec
+    (:mod:`moonlink_spark.sources.avro_codec` — implemented from the
+    public Avro spec; no external package needed).  Logical types land
+    as native values (Decimal/date/datetime), which the WAL persists in
+    the table's arrow types.
 
-        import fastavro
-    except ImportError as e:  # pragma: no cover - codec absent here
-        raise NotImplementedError(
-            "avro ingest needs the 'fastavro' package (not in this "
-            "environment); JSON events are fully supported") from e
-    rec = fastavro.schemaless_reader(io.BytesIO(payload), schema)
-    return parse_json_event(rec)
+    Two framings, matching the reference's request shape: either the
+    record itself is the frame (``operation`` + ``data`` fields), or
+    the record is the bare row and ``operation`` is passed alongside
+    (the REST frame carried it out-of-band)."""
+    from moonlink_spark.sources.avro_codec import schemaless_decode
+
+    rec = schemaless_decode(payload, schema)
+    if not isinstance(rec, dict):
+        raise ValueError("avro event must decode to a record")
+    if "operation" in rec and "data" in rec:
+        return parse_json_event(rec)
+    if operation is None:
+        raise ValueError(
+            "bare-row avro event needs an explicit operation")
+    if operation not in _OPS:
+        raise ValueError(f"unknown operation {operation!r} "
+                         f"(expected {_OPS})")
+    return operation, rec
 
 
 def parse_protobuf_event(payload: bytes, message_cls: Any) -> tuple[str, dict]:
@@ -79,14 +95,16 @@ def parse_protobuf_event(payload: bytes, message_cls: Any) -> tuple[str, dict]:
 
 def apply_event(session, payload: str | bytes | Mapping, *,
                 fmt: str = "json", avro_schema: Any = None,
-                protobuf_cls: Any = None) -> None:
+                protobuf_cls: Any = None,
+                operation: str | None = None) -> None:
     """Parse one event payload and buffer it into an open ingest
     transaction (commit/flush stay the session's explicit boundaries,
     mirroring the sync/async ack modes of the REST API)."""
     if fmt == "json":
         op, row = parse_json_event(payload)
     elif fmt == "avro":
-        op, row = parse_avro_event(payload, avro_schema)
+        op, row = parse_avro_event(payload, avro_schema,
+                                   operation=operation)
     elif fmt == "protobuf":
         op, row = parse_protobuf_event(payload, protobuf_cls)
     else:

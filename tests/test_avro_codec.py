@@ -1,0 +1,228 @@
+"""Avro binary event converter (``rest_ingest/avro_converter.rs``
+analogue, ``event_request.rs:10-33`` request framing).
+
+Correctness is anchored on byte vectors published in the Apache Avro
+specification (zigzag table, the record/array/union encoding
+examples), then widened by encode/decode round-trips, error cases, and
+an end-to-end typed ingest: avro event bytes → IngestSession → WAL →
+MERGE → typed scan.
+"""
+
+import datetime
+import decimal
+
+import pytest
+
+import moonlink_spark.sources.avro_codec as ac
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.config import TableConfig
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.sources.rest_events import apply_event, parse_avro_event
+
+
+# -- spec byte vectors ------------------------------------------------------
+
+@pytest.mark.parametrize("n,hexbytes", [
+    (0, "00"), (-1, "01"), (1, "02"), (-2, "03"), (2, "04"),
+    (-64, "7f"), (64, "8001"), (8192, "808001"), (-8193, "818001"),
+])
+def test_zigzag_spec_table(n, hexbytes):
+    """The exact varint examples from the Avro spec's encoding table."""
+    want = bytes.fromhex(hexbytes)
+    assert ac.schemaless_encode(n, "long") == want
+    assert ac.schemaless_decode(want, "long") == n
+
+
+def test_string_spec_example():
+    # spec: "foo" encodes as the long 3 (0x06) + UTF-8 bytes
+    assert ac.schemaless_encode("foo", "string") == b"\x06foo"
+    assert ac.schemaless_decode(b"\x06foo", "string") == "foo"
+
+
+def test_record_spec_example():
+    """The spec's canonical test record: {'a': 27, 'b': 'foo'} →
+    0x36 0x06 'f' 'o' 'o'."""
+    schema = {"type": "record", "name": "test", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    want = b"\x36\x06foo"
+    assert ac.schemaless_encode({"a": 27, "b": "foo"}, schema) == want
+    assert ac.schemaless_decode(want, schema) == {"a": 27, "b": "foo"}
+
+
+def test_array_spec_example():
+    # spec: [3, 27] as array<long> → 04 06 36 00
+    schema = {"type": "array", "items": "long"}
+    want = bytes.fromhex("04063600")
+    assert ac.schemaless_encode([3, 27], schema) == want
+    assert ac.schemaless_decode(want, schema) == [3, 27]
+
+
+def test_union_spec_example():
+    # spec: union ["null","string"]: null → 00; "a" → 02 02 61
+    schema = ["null", "string"]
+    assert ac.schemaless_encode(None, schema) == b"\x00"
+    assert ac.schemaless_decode(b"\x00", schema) is None
+    assert ac.schemaless_encode("a", schema) == b"\x02\x02a"
+    assert ac.schemaless_decode(b"\x02\x02a", schema) == "a"
+
+
+def test_negative_block_count_arrays_decode():
+    """Writers may emit a negative block count followed by a byte size
+    (the spec's skippable-block form); decoders must accept it."""
+    # [3, 27] as: count -2, size 2, items, terminator
+    raw = bytes([0x03, 0x04, 0x06, 0x36, 0x00])
+    assert ac.schemaless_decode(
+        raw, {"type": "array", "items": "long"}) == [3, 27]
+
+
+# -- logical types ----------------------------------------------------------
+
+def test_logical_types_roundtrip():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 10, "scale": 2}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "tsm", "type": {"type": "long",
+                                 "logicalType": "timestamp-millis"}},
+    ]}
+    row = {"amt": decimal.Decimal("-12345.67"),
+           "d": datetime.date(2024, 2, 29),
+           "ts": datetime.datetime(2024, 2, 29, 23, 59, 59, 123456),
+           "tsm": datetime.datetime(1969, 12, 31, 23, 59, 59, 500000)}
+    enc = ac.schemaless_encode(row, schema)
+    assert ac.schemaless_decode(enc, schema) == row
+
+
+def test_decimal_known_bytes():
+    """decimal(4,2) 4.53 → unscaled 453 → two's-complement big-endian
+    bytes 0x01 0xC5 (length-prefixed)."""
+    schema = {"type": "bytes", "logicalType": "decimal",
+              "precision": 4, "scale": 2}
+    enc = ac.schemaless_encode(decimal.Decimal("4.53"), schema)
+    assert enc == b"\x04\x01\xc5"
+    assert ac.schemaless_decode(enc, schema) == decimal.Decimal("4.53")
+
+
+def test_date_epoch_days():
+    schema = {"type": "int", "logicalType": "date"}
+    # 1970-01-02 is day 1 → zigzag 0x02
+    assert ac.schemaless_encode(datetime.date(1970, 1, 2), schema) == b"\x02"
+    assert ac.schemaless_decode(
+        b"\x02", schema) == datetime.date(1970, 1, 2)
+
+
+# -- wider round-trips + errors ---------------------------------------------
+
+def test_complex_roundtrip():
+    schema = {"type": "record", "name": "outer", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "maybe", "type": ["null", "double"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                "size": 4}},
+        {"name": "flag", "type": "boolean"},
+        {"name": "fl", "type": "float"},
+    ]}
+    rows = [
+        {"id": -(1 << 62), "maybe": None, "tags": [], "attrs": {},
+         "kind": "A", "raw": b"", "fx": b"\x00\x01\x02\x03",
+         "flag": False, "fl": 0.0},
+        {"id": 7, "maybe": 2.5, "tags": ["a", "üñî"], "attrs": {"x": -3},
+         "kind": "C", "raw": bytes(range(9)), "fx": b"abcd",
+         "flag": True, "fl": -1.5},
+    ]
+    for row in rows:
+        assert ac.schemaless_decode(
+            ac.schemaless_encode(row, schema), schema) == row
+
+
+def test_named_type_reference():
+    schema = {"type": "record", "name": "pairrec", "fields": [
+        {"name": "a", "type": {"type": "fixed", "name": "h8", "size": 2}},
+        {"name": "b", "type": "h8"},       # reference by name
+    ]}
+    row = {"a": b"xy", "b": b"zw"}
+    assert ac.schemaless_decode(
+        ac.schemaless_encode(row, schema), schema) == row
+
+
+def test_decode_errors():
+    with pytest.raises(ac.AvroDecodeError):
+        ac.schemaless_decode(b"\x06fo", "string")       # truncated
+    with pytest.raises(ac.AvroDecodeError):
+        ac.schemaless_decode(b"\x02\x00", "long")       # trailing bytes
+    with pytest.raises(ac.AvroDecodeError):
+        ac.schemaless_decode(b"\x04", ["null", "int"])  # union idx 2
+    with pytest.raises(ac.AvroDecodeError):
+        ac.schemaless_decode(b"\x07", "boolean")        # bad bool byte
+    with pytest.raises(ac.AvroSchemaError):
+        ac.parse_schema({"type": "wat"})
+    with pytest.raises(ac.AvroSchemaError):
+        ac.parse_schema("nosuchname")
+
+
+# -- REST event framing -------------------------------------------------
+
+ROW_SCHEMA = {"type": "record", "name": "row", "fields": [
+    {"name": "id", "type": "int"},
+    {"name": "name", "type": ["null", "string"]},
+    {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                             "precision": 10, "scale": 2}},
+    {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "ts", "type": {"type": "long",
+                            "logicalType": "timestamp-micros"}},
+]}
+
+
+def _mk_row(i):
+    return {"id": i, "name": f"n{i}", "amt": decimal.Decimal(f"{i}.25"),
+            "d": datetime.date(2024, 1, 1 + i),
+            "ts": datetime.datetime(2024, 1, 1, 12, 0, i)}
+
+
+def test_parse_avro_event_bare_row_needs_operation():
+    enc = ac.schemaless_encode(_mk_row(1), ROW_SCHEMA)
+    with pytest.raises(ValueError):
+        parse_avro_event(enc, ROW_SCHEMA)
+    op, row = parse_avro_event(enc, ROW_SCHEMA, operation="upsert")
+    assert op == "upsert" and row["id"] == 1
+    assert row["amt"] == decimal.Decimal("1.25")
+    with pytest.raises(ValueError):
+        parse_avro_event(enc, ROW_SCHEMA, operation="merge")
+
+
+def test_avro_ingest_end_to_end_typed(spark, tmp_path):
+    """Avro event bytes → IngestSession → WAL → flush (MERGE) → scan:
+    values land in the table's native types."""
+    types = {"id": "int", "name": "string", "amt": "decimal(10,2)",
+             "d": "date", "ts": "timestamp"}
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    table = cat.create_table(
+        "db", "avro_t", schema=[*types, "_pos"], schema_types=types,
+        config=TableConfig(stats_columns=("id",)))
+    ses = IngestSession(table, key_columns=["id"])
+    for i in range(6):
+        payload = ac.schemaless_encode(_mk_row(i), ROW_SCHEMA)
+        apply_event(ses, payload, fmt="avro", avro_schema=ROW_SCHEMA,
+                    operation="insert")
+    # delete one row by key, avro-framed too
+    key_schema = {"type": "record", "name": "key", "fields": [
+        {"name": "id", "type": "int"}]}
+    apply_event(ses, ac.schemaless_encode({"id": 3}, key_schema),
+                fmt="avro", avro_schema=key_schema, operation="delete")
+    ses.commit()
+    ses.flush()
+
+    got = {r["id"]: r for r in table.scan().collect()}
+    assert sorted(got) == [0, 1, 2, 4, 5]
+    r = got[4]
+    assert r["amt"] == decimal.Decimal("4.25")
+    assert r["d"] == datetime.date(2024, 1, 5)
+    assert r["ts"] == datetime.datetime(2024, 1, 1, 12, 0, 4)
+    assert r["name"] == "n4"

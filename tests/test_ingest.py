@@ -129,9 +129,11 @@ def test_rest_event_validation_and_gated_codecs():
         parse_json_event('{"operation": "replace", "data": {}}')
     with _pytest.raises(ValueError, match="must be a JSON object"):
         parse_json_event('{"operation": "insert", "data": 5}')
-    # codecs absent in this environment: loud, clear refusal
-    with _pytest.raises(NotImplementedError, match="fastavro"):
-        parse_avro_event(b"", None)
+    # avro is first-class (built-in codec): garbage bytes fail loudly
+    from moonlink_spark.sources.avro_codec import AvroDecodeError
+    with _pytest.raises(AvroDecodeError):
+        parse_avro_event(b"\x06fo", "string")
+    # protobuf codec absent in this environment: loud, clear refusal
     with _pytest.raises(NotImplementedError, match="protobuf"):
         parse_protobuf_event(b"", None)
 
