@@ -1,0 +1,257 @@
+"""Persisted-snapshot consistency matrix.
+
+Port of the reference's Iceberg state-machine tests
+(``storage/table/iceberg/state_tests.rs:1-30,425-2031``): every
+combination of data-record state — (1) uncommitted buffered rows,
+(2) committed-but-unflushed (WAL) rows, (3) flushed data files, and
+their unions — crossed with deletion-record state — (1) none,
+(2) uncommitted, (3) committed, (4) both, (5) flushed — must yield a
+persisted snapshot that is a CONSISTENT view: exactly the committed
+prefix, never buffered content, and bit-stable under a fresh-manager
+reload (``validate_recovered_snapshot``).
+
+Mapping onto this engine (ingest.py / wal.py / engine.py):
+uncommitted buffered rows = ``IngestSession._pending``; committed
+in-memory batches = durable WAL segments above the applied watermark;
+committed data files = table versions; "request to persist" =
+``IngestSession.flush()``; "no new snapshot" = ``flush() is None`` with
+no version bump.  The whole family runs over BOTH format backends
+(SnapshotStore pointer-CAS and DeltaLogStore put-if-absent — the
+``TableManager`` twin axis, ``table_manager.rs``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark import DeltaLogStore, MoonTable
+from moonlink_spark.config import CompactionConfig, TableConfig
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.snapshotstore import SnapshotStore
+
+KEYS = ["repo", "path", "commit"]
+SCHEMA = ["repo", "path", "commit", "lang", "content", "_pos"]
+CFG = TableConfig(compaction=CompactionConfig(
+    min_files_to_compact=2, target_file_bytes=1 << 20,
+    bin_target_bytes=1 << 20, bin_concurrency=1))
+
+
+def _row(i, content=None):
+    return {"repo": "st/r", "path": f"f{i}.rs", "commit": f"{i:08x}",
+            "lang": "rust", "content": content or f"fn f{i}() {{}}"}
+
+
+@pytest.fixture(params=["iceberg", "delta"])
+def table(spark, tmp_path, request):
+    wh = str(tmp_path / f"wh_{request.param}")
+    store = (DeltaLogStore(wh) if request.param == "delta"
+             else SnapshotStore(wh))
+    store.init_warehouse()
+    store.commit([], schema=SCHEMA, stats_columns=CFG.stats_columns,
+                 properties={"flush_lsn": 0, "operation": "create-table"})
+    return MoonTable(spark, wh, CFG, store=store)
+
+
+def _fresh(t):
+    """Fresh-manager reload: a second store + table over the same
+    warehouse (the ``validate_recovered_snapshot`` analogue)."""
+    store = type(t.store)(t.store.warehouse)
+    return MoonTable(t.spark, t.store.warehouse, CFG, store=store)
+
+
+def _paths(t, version=None):
+    return {r["path"] for r in t.scan(version).select("path").collect()}
+
+
+def _validate_recovered(t):
+    """The persisted view must be identical under a fresh manager:
+    same version, same rows, same applied watermark."""
+    f = _fresh(t)
+    assert f.store.current_version() == t.store.current_version()
+    assert _paths(f) == _paths(t)
+    assert (f.snapshot().properties.get("wal_lsn")
+            == t.snapshot().properties.get("wal_lsn"))
+
+
+# -- data state (1): uncommitted buffered rows only --------------------------
+
+def test_state_1_1_uncommitted_rows_no_snapshot(table):
+    """(1)+(1) => no snapshot (state_tests.rs:425-446): buffered rows
+    are not persistable; persist with an open transaction refuses, and
+    after rollback there is nothing to apply."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    v0 = table.store.current_version()
+    with pytest.raises(RuntimeError, match="open transaction"):
+        s.flush()
+    s.rollback()
+    assert s.flush() is None
+    assert table.store.current_version() == v0
+    assert _paths(table) == set()
+    _validate_recovered(table)
+
+
+def test_state_1_2_uncommitted_rows_and_deletion_no_snapshot(table):
+    """(1)+(2) => no snapshot (state_tests.rs:449-476): an uncommitted
+    delete of an uncommitted row is dropped with the transaction."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.delete(_row(1))
+    s.rollback()
+    assert s.flush() is None
+    assert table.store.current_version() == 0
+    assert _paths(table) == set()
+
+
+# -- data state (2): committed-but-unflushed rows -----------------------------
+
+def test_state_2_1_committed_rows_persist_exactly(table):
+    """(2)+(1) => snapshot with data files: flush applies exactly the
+    committed transaction, watermarks converge."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.insert(_row(2))
+    lsn = s.commit()
+    v0 = table.store.current_version()
+    assert s.flush() is not None
+    assert table.store.current_version() == v0 + 1
+    assert _paths(table) == {"f1.rs", "f2.rs"}
+    assert s.applied_lsn() == lsn == s.committed_lsn()
+    _validate_recovered(table)
+
+
+def test_state_2_2_uncommitted_deletion_never_persists(table):
+    """(2)+(2): the committed insert persists; the UNCOMMITTED delete of
+    it must not — the row is alive after persist."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.commit()
+    s.delete(_row(1))            # uncommitted deletion record
+    with pytest.raises(RuntimeError, match="open transaction"):
+        s.flush()
+    s.rollback()
+    assert s.flush() is not None
+    assert _paths(table) == {"f1.rs"}
+    _validate_recovered(table)
+
+
+# -- data state (3): flushed data files only ----------------------------------
+
+def test_state_3_1_flushed_only_no_new_snapshot(table):
+    """(3)+(1) => no NEW snapshot: with nothing committed since the
+    last flush, persist is a no-op and the version does not move."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.commit()
+    s.flush()
+    v = table.store.current_version()
+    assert s.flush() is None
+    assert table.store.current_version() == v
+
+
+def test_state_3_3_committed_deletion_on_flushed_rows(table):
+    """(3)+(3) => snapshot with deletion applied; the pre-delete version
+    still shows the row (snapshot isolation)."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.insert(_row(2))
+    s.commit()
+    s.flush()
+    v1 = table.store.current_version()
+    s.delete(_row(1))
+    s.commit()
+    assert s.flush() is not None
+    assert _paths(table) == {"f2.rs"}
+    assert _paths(table, v1) == {"f1.rs", "f2.rs"}
+    _validate_recovered(table)
+
+
+def test_state_3_4_committed_and_uncommitted_deletion(table):
+    """(3)+(4): only the COMMITTED deletion applies; the buffered one
+    is dropped with its transaction."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.insert(_row(2))
+    s.commit()
+    s.flush()
+    s.delete(_row(1))
+    s.commit()                   # committed deletion record
+    s.delete(_row(2))            # uncommitted deletion record
+    s.rollback()
+    assert s.flush() is not None
+    assert _paths(table) == {"f2.rs"}
+    _validate_recovered(table)
+
+
+# -- data states (5)/(6): unions ----------------------------------------------
+
+def test_state_5_4_flushed_plus_committed_plus_uncommitted(table):
+    """(5)+(4): flushed base {1,2}; one committed txn inserts 3 and
+    deletes 1; a second committed txn inserts 4; an uncommitted delete
+    of 4 is rolled back.  Persisted view = {2,3,4}."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.insert(_row(2))
+    s.commit()
+    s.flush()
+    s.insert(_row(3))
+    s.delete(_row(1))
+    s.commit()
+    s.insert(_row(4))
+    s.commit()
+    s.delete(_row(4))
+    s.rollback()
+    assert s.flush() is not None
+    assert _paths(table) == {"f2.rs", "f3.rs", "f4.rs"}
+    assert s.applied_lsn() == s.committed_lsn()
+    _validate_recovered(table)
+
+
+def test_state_6_crash_drops_buffer_keeps_committed(spark, table):
+    """(6): flushed base + committed txn + buffered rows, then a crash
+    (new session, buffer lost).  Recovery applies exactly the committed
+    prefix — the WAL's durable-before-ack contract."""
+    s = IngestSession(table, key_columns=KEYS)
+    s.insert(_row(1))
+    s.commit()
+    s.flush()
+    s.insert(_row(2))
+    s.commit()                   # durable, unapplied
+    s.insert(_row(3))            # buffered only — dies with the session
+    del s
+    s2 = IngestSession(_fresh(table), key_columns=KEYS)
+    assert s2.committed_lsn() == 2 and s2.applied_lsn() == 1
+    assert s2.flush() is not None
+    assert _paths(s2.table) == {"f1.rs", "f2.rs"}
+    assert s2.applied_lsn() == 2
+    _validate_recovered(s2.table)
+
+
+def test_deletion_before_vs_after_flush_same_view(spark, tmp_path):
+    """The before/after-flush deletion twins (state_tests.rs
+    ``test_state_3_3_deletion_before_flush`` vs ``_after_flush``): a
+    delete committed before its row ever flushed collapses in the WAL
+    (the row never lands); the same delete committed after a flush
+    lands as a table delete.  Both orders converge to the same view."""
+    views = []
+    for mode in ("before", "after"):
+        wh = str(tmp_path / f"wh_{mode}")
+        store = SnapshotStore(wh)
+        store.init_warehouse()
+        store.commit([], schema=SCHEMA, stats_columns=CFG.stats_columns,
+                     properties={"flush_lsn": 0,
+                                 "operation": "create-table"})
+        t = MoonTable(spark, wh, CFG, store=store)
+        s = IngestSession(t, key_columns=KEYS)
+        s.insert(_row(1))
+        s.insert(_row(2))
+        s.commit()
+        if mode == "after":
+            s.flush()            # row 2 lands, then gets deleted
+        s.delete(_row(2))
+        s.commit()
+        s.flush()
+        views.append(_paths(t))
+        if mode == "before":
+            # the row never materialized: one flush, one version bump
+            assert t.store.current_version() == 1
+    assert views[0] == views[1] == {"f1.rs"}
