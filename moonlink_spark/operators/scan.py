@@ -312,7 +312,16 @@ def scan(
     # not data.  This mirrors what every table format's driver-side
     # planner does (Iceberg manifests are read at planning time too); the
     # manifest stays a DataFrame until this final projection.
-    plan_rows = manifest.select("path", "dv_path", "dv_cardinality").collect()
+    plan_rows = manifest.select("path", "dv_path", "dv_cardinality",
+                                "rows").collect()
+    # Fully-deleted files (DV covers every row — DVs are exact positional
+    # deletes, so dv_cardinality == rows means zero live rows) are
+    # skipped at planning time: no read, no anti-join traffic.  Common
+    # in CDC aftermath where a short-lived key set lands in one tiny
+    # file and is deleted wholesale before compaction reclaims it.
+    plan_rows = [r for r in plan_rows
+                 if not (r["rows"] is not None
+                         and int(r["dv_cardinality"] or 0) >= int(r["rows"]))]
     if len(plan_rows) > PLAN_FILES_WARN:
         import warnings
         warnings.warn(

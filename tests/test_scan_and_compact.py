@@ -5,6 +5,8 @@ the engine scan and the pandas oracle, before and after maintenance;
 compaction reduces file count and clears delete vectors.
 """
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -134,3 +136,33 @@ def test_dv_split_scan_equals_legacy_single_antijoin(spark, aftermath):
     plan = clean_only._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert clean_only.count() == clean[0]["rows"]
+
+
+def test_fully_deleted_file_skipped_at_planning(spark, tmp_path):
+    """A file whose DV covers every row has zero live rows; scan must
+    not read it at all (planning-time skip — DVs are exact positional
+    deletes, so dv_cardinality == rows is a proof, not a heuristic)."""
+    w = str(tmp_path / "wh")
+    synthesize_cdc_aftermath(w, seed=31, n_files=6, rows_per_file=(20, 40),
+                             n_repos=3, content_bytes=(32, 64))
+    table = MoonTable(spark, w)
+    target = table.scan(with_location=True).select(
+        "_mlfile").distinct().orderBy("_mlfile").limit(1).collect()[0]["_mlfile"]
+    victim = (table.scan(with_location=True)
+              .filter(F.col("_mlfile") == target)
+              .select("repo", "path", "commit", "lang", "content")
+              .withColumn("_op", F.lit("delete")))
+    before = table.scan().count()
+    n_victim = victim.count()
+    table.merge(victim, key_columns=["repo", "path", "commit"])
+
+    live = table.scan()
+    assert live.count() == before - n_victim
+    # the fully-deleted file is absent from the physical scan plan
+    read = {os.path.relpath(f.removeprefix("file:"), w)
+            for f in live.inputFiles()}
+    assert not any(f.endswith(target) for f in read), read
+    # and a fresh full scan still matches the row-level oracle
+    store = SnapshotStore(w)
+    oracle = live_rows_pandas(store, store.current_version())
+    assert spark_sha_multiset(live) == content_sha_multiset(oracle)
