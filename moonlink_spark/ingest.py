@@ -35,9 +35,16 @@ apply time.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+import json
+import os
+from typing import Any, Mapping, Sequence
 
 from moonlink_spark.wal import WriteAheadLog
+
+# Durable per-table Avro event schema (the ``set_avro_schema`` surface,
+# ``moonlink_backend/src/lib.rs:249-261``): tiny JSON through the fs
+# seam, like refs/tags — connector metadata, not a table version.
+AVRO_SCHEMA_FILE = "avro_schema.json"
 
 
 class IngestSession:
@@ -67,6 +74,44 @@ class IngestSession:
         self.schema_types = snap.properties.get("schema_types")
         self.wal = WriteAheadLog(table.store)
         self._pending: list[dict] = []
+        self._avro_schema: Any = None
+
+    # -- table-pinned event codec schema -----------------------------------
+    def _avro_schema_path(self) -> str:
+        return os.path.join(self.table.store.warehouse, AVRO_SCHEMA_FILE)
+
+    def set_avro_schema(self, schema: Any) -> None:
+        """Pin the table's Avro event schema (``set_avro_schema``,
+        ``moonlink_backend/src/lib.rs:249-261``): validates the schema
+        parses and that a bare-row record's fields are table columns
+        (the converter is the validation boundary), then persists it
+        through the fs seam so any later session — including recovery —
+        decodes events identically."""
+        from moonlink_spark.sources import avro_codec as ac
+        parsed = ac.parse_schema(schema)
+        if not (isinstance(parsed, dict) and parsed.get("type") == "record"):
+            raise ValueError("table avro schema must be a record schema")
+        fields = [f["name"] for f in parsed["fields"]]
+        framed = {"operation", "data"} <= set(fields)
+        unknown = sorted(set(fields) - set(self.columns))
+        if not framed and unknown:
+            raise ValueError(
+                f"avro schema fields not in table schema: {unknown}")
+        self.table.store.fs.write_atomic(
+            self._avro_schema_path(),
+            json.dumps(parsed, sort_keys=True).encode())
+        self._avro_schema = parsed
+
+    def avro_schema(self) -> Any:
+        """The pinned Avro event schema, or ``None`` if never set.
+        Reads through the fs seam on first use, so a fresh session over
+        the same table sees the schema a previous writer pinned."""
+        if self._avro_schema is None:
+            p = self._avro_schema_path()
+            if self.table.store.fs.exists(p):
+                self._avro_schema = json.loads(
+                    self.table.store.fs.read_bytes(p))
+        return self._avro_schema
 
     # -- event buffering (the open transaction) ---------------------------
     def _event(self, row: Mapping, op: str) -> None:

@@ -103,6 +103,14 @@ def apply_event(session, payload: str | bytes | Mapping, *,
     if fmt == "json":
         op, row = parse_json_event(payload)
     elif fmt == "avro":
+        if avro_schema is None:
+            # fall back to the table-pinned schema (set_avro_schema,
+            # moonlink_backend/src/lib.rs:249-261)
+            avro_schema = getattr(session, "avro_schema", lambda: None)()
+        if avro_schema is None:
+            raise ValueError(
+                "no avro schema: pass avro_schema= or pin one with "
+                "session.set_avro_schema(...)")
         op, row = parse_avro_event(payload, avro_schema,
                                    operation=operation)
     elif fmt == "protobuf":

@@ -226,3 +226,39 @@ def test_avro_ingest_end_to_end_typed(spark, tmp_path):
     assert r["d"] == datetime.date(2024, 1, 5)
     assert r["ts"] == datetime.datetime(2024, 1, 1, 12, 0, 4)
     assert r["name"] == "n4"
+
+
+def test_set_avro_schema_pins_table_codec(spark, tmp_path):
+    """set_avro_schema (moonlink_backend/src/lib.rs:249-261): the pinned
+    schema is durable table metadata — a FRESH session decodes events
+    with it, no per-call schema needed; unknown fields refuse loudly."""
+    types = {"id": "int", "name": "string"}
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    table = cat.create_table(
+        "db", "pinned_t", schema=[*types, "_pos"], schema_types=types,
+        config=TableConfig(stats_columns=("id",)))
+    ses = IngestSession(table, key_columns=["id"])
+    assert ses.avro_schema() is None
+    with pytest.raises(ValueError, match="no avro schema"):
+        apply_event(ses, b"\x00", fmt="avro", operation="insert")
+
+    row_schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": ["null", "string"]}]}
+    with pytest.raises(ValueError, match="not in table schema"):
+        ses.set_avro_schema({"type": "record", "name": "r", "fields": [
+            {"name": "nope", "type": "int"}]})
+    with pytest.raises(ValueError, match="must be a record"):
+        ses.set_avro_schema("long")
+    ses.set_avro_schema(row_schema)
+
+    # a brand-new session over the same table sees the pinned schema
+    ses2 = IngestSession(table, key_columns=["id"])
+    for i in range(3):
+        apply_event(ses2, ac.schemaless_encode({"id": i, "name": f"n{i}"},
+                                               row_schema),
+                    fmt="avro", operation="insert")
+    ses2.commit()
+    ses2.flush()
+    got = {r["id"]: r["name"] for r in table.scan().collect()}
+    assert got == {0: "n0", 1: "n1", 2: "n2"}
