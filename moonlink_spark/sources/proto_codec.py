@@ -1,0 +1,312 @@
+"""Pure-Python protobuf wire codec for moonlink row events.
+
+The reference's REST surface accepts protobuf-encoded rows
+(``rest_ingest/event_request.rs:20`` ``IngestRequestPayload::
+Protobuf(Vec<u8>)``, route ``/ingestpb/{table}``,
+``moonlink_service/src/rest_api.rs:281-296,417``): the HTTP frame is
+JSON carrying ``operation`` out-of-band and ``data`` = the serialized
+``moonlink.MoonlinkRow`` message.  The message set is fixed and tiny
+(``moonlink_proto/proto/row.proto``):
+
+    message MoonlinkRow { repeated RowValue values = 1; }
+    message RowValue { oneof kind {
+        int32  int32           = 1;   // also Date32 days since epoch
+        int64  int64           = 2;   // Time us-midnight / Timestamp us-epoch
+        float  float32         = 3;
+        double float64         = 4;
+        bytes  decimal_128_be  = 5;   // 16-byte big-endian two's complement
+        bool   bool            = 6;
+        bytes  bytes           = 7;   // strings travel as UTF-8 bytes
+        bytes  fixed_len_bytes = 8;   // always 16 bytes (uuid etc.)
+        Array  array           = 9;
+        Struct struct          = 10;
+        Null   null            = 11; } }
+    message Array  { repeated RowValue values = 1; }
+    message Struct { repeated RowValue fields = 1; }
+
+so rather than gate ingest on the protobuf toolchain (absent in this
+container), this module implements the protobuf *wire format* — a
+public, stable spec (varint keys ``(field<<3)|wire_type``, wire types
+0 varint / 1 fixed64 / 2 length-delimited / 5 fixed32, two's-complement
+64-bit varints for negative ints, little-endian IEEE floats) — for
+exactly this message set, the same way :mod:`avro_codec` implements the
+Avro binary spec.  Semantics mirror ``row/proto_converter.rs:48-92``:
+the oneof decodes positionally typed values, ``decimal_128_be`` must be
+16 bytes, ``fixed_len_bytes`` must be 16 bytes, proto3 last-wins for a
+repeated oneof field, unknown fields are skipped by wire type.
+
+Decoded Python representation (what :func:`decode_moonlink_row`
+returns, consumed by ``rest_events.parse_protobuf_event``):
+
+- int32/int64 → ``int``; float32/float64 → ``float``; bool → ``bool``
+- ``decimal_128_be`` → :class:`Decimal128` (carries the UNSCALED
+  int128; scale lives in the table schema, as in the reference where
+  ``RowValue::Decimal(i128)`` meets the column's decimal type)
+- ``bytes``/``fixed_len_bytes`` → ``bytes`` (fixed wrapped in
+  :class:`Fixed16` so a round-trip re-encodes the same kind)
+- array → ``list``; struct → :class:`PbStruct` (a list subclass —
+  distinguishable from array, JSON-friendly); null → ``None``
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Sequence
+
+_MASK64 = (1 << 64) - 1
+
+
+class ProtoDecodeError(ValueError):
+    """Malformed wire bytes or a value violating row.proto's contracts
+    (the ``prost::DecodeError`` / ``ProtoToMoonlinkRowError`` analogue,
+    ``rest_source.rs:48-50``)."""
+
+
+class Decimal128(int):
+    """Unscaled 128-bit decimal payload (``RowValue::Decimal(i128)``).
+
+    An ``int`` subclass so arithmetic/equality work naturally; the
+    schema layer applies the column's scale."""
+
+    __slots__ = ()
+
+
+class Fixed16(bytes):
+    """16-byte ``fixed_len_bytes`` payload (uuid-shaped)."""
+
+    __slots__ = ()
+
+
+class PbStruct(list):
+    """Positional struct fields (``message Struct``) — a list subclass
+    so it is iterable/JSON-encodable but distinct from an array."""
+
+    __slots__ = ()
+
+
+# ---------------------------------------------------------------- wire
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ProtoDecodeError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ProtoDecodeError("varint longer than 64 bits")
+
+
+def _write_uvarint(out: bytearray, v: int) -> None:
+    v &= _MASK64
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _skip_field(buf: bytes, pos: int, wt: int) -> int:
+    if wt == 0:
+        _, pos = _read_uvarint(buf, pos)
+        return pos
+    if wt == 1:
+        return pos + 8
+    if wt == 2:
+        n, pos = _read_uvarint(buf, pos)
+        return pos + n
+    if wt == 5:
+        return pos + 4
+    raise ProtoDecodeError(f"unsupported wire type {wt}")
+
+
+def _read_len_prefixed(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_uvarint(buf, pos)
+    if pos + n > len(buf):
+        raise ProtoDecodeError("length-delimited field overruns buffer")
+    return buf[pos:pos + n], pos + n
+
+
+# ------------------------------------------------------------- decode
+
+
+def _decode_row_value(buf: bytes) -> Any:
+    """One ``RowValue`` message → Python value (proto3 oneof:
+    last field present wins; absent kind is an error, matching the
+    reference's ``kind.expect`` at ``proto_converter.rs:50``)."""
+    pos = 0
+    have = False
+    value: Any = None
+    while pos < len(buf):
+        key, pos = _read_uvarint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 0:          # int32
+            raw, pos = _read_uvarint(buf, pos)
+            value, have = _signed64(raw), True
+        elif field == 2 and wt == 0:        # int64
+            raw, pos = _read_uvarint(buf, pos)
+            value, have = _signed64(raw), True
+        elif field == 3 and wt == 5:        # float32
+            value = struct.unpack_from("<f", buf, pos)[0]
+            pos += 4
+            have = True
+        elif field == 4 and wt == 1:        # float64
+            value = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+            have = True
+        elif field == 5 and wt == 2:        # decimal_128_be
+            raw_b, pos = _read_len_prefixed(buf, pos)
+            if len(raw_b) != 16:
+                raise ProtoDecodeError("decimal128_be must be 16 bytes")
+            value = Decimal128(int.from_bytes(raw_b, "big", signed=True))
+            have = True
+        elif field == 6 and wt == 0:        # bool
+            raw, pos = _read_uvarint(buf, pos)
+            value, have = bool(raw), True
+        elif field == 7 and wt == 2:        # bytes
+            value, pos = _read_len_prefixed(buf, pos)
+            have = True
+        elif field == 8 and wt == 2:        # fixed_len_bytes
+            raw_b, pos = _read_len_prefixed(buf, pos)
+            if len(raw_b) != 16:
+                raise ProtoDecodeError("fixed_len_bytes must be 16 bytes")
+            value = Fixed16(raw_b)
+            have = True
+        elif field == 9 and wt == 2:        # array
+            raw_b, pos = _read_len_prefixed(buf, pos)
+            value = _decode_value_list(raw_b)
+            have = True
+        elif field == 10 and wt == 2:       # struct
+            raw_b, pos = _read_len_prefixed(buf, pos)
+            value = PbStruct(_decode_value_list(raw_b))
+            have = True
+        elif field == 11 and wt == 2:       # null (empty message)
+            _, pos = _read_len_prefixed(buf, pos)
+            value, have = None, True
+        else:
+            pos = _skip_field(buf, pos, wt)
+    if not have:
+        raise ProtoDecodeError("RowValue.kind is required")
+    return value
+
+
+def _decode_value_list(buf: bytes) -> list:
+    """``repeated RowValue`` at field 1 (MoonlinkRow.values,
+    Array.values, Struct.fields share this shape)."""
+    pos = 0
+    out = []
+    while pos < len(buf):
+        key, pos = _read_uvarint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if field == 1 and wt == 2:
+            raw, pos = _read_len_prefixed(buf, pos)
+            out.append(_decode_row_value(raw))
+        else:
+            pos = _skip_field(buf, pos, wt)
+    return out
+
+
+def decode_moonlink_row(payload: bytes) -> list:
+    """Serialized ``moonlink.MoonlinkRow`` → positional Python values
+    (the ``proto_to_moonlink_row`` analogue,
+    ``row/proto_converter.rs:18-25``)."""
+    if not isinstance(payload, (bytes, bytearray, memoryview)):
+        raise ProtoDecodeError("payload must be bytes")
+    return _decode_value_list(bytes(payload))
+
+
+# ------------------------------------------------------------- encode
+#
+# The encoder exists for tests and in-process producers (the reference
+# ships the symmetric moonlink_row_to_proto for the same reason).  Auto
+# kind mapping: bool→bool, int→int64, float→float64, str→bytes (UTF-8),
+# bytes→bytes, None→null, list→array, PbStruct/tuple→struct,
+# Decimal128→decimal_128_be, Fixed16→fixed_len_bytes; Int32/Float32
+# wrappers pick the narrow kinds.
+
+
+class Int32(int):
+    """Force the ``int32`` oneof kind on encode."""
+
+    __slots__ = ()
+
+
+class Float32(float):
+    """Force the ``float32`` oneof kind on encode."""
+
+    __slots__ = ()
+
+
+def _emit_key(out: bytearray, field: int, wt: int) -> None:
+    _write_uvarint(out, (field << 3) | wt)
+
+
+def _emit_len_prefixed(out: bytearray, field: int, data: bytes) -> None:
+    _emit_key(out, field, 2)
+    _write_uvarint(out, len(data))
+    out.extend(data)
+
+
+def _encode_row_value(v: Any) -> bytes:
+    out = bytearray()
+    if v is None:
+        _emit_len_prefixed(out, 11, b"")
+    elif isinstance(v, bool):
+        _emit_key(out, 6, 0)
+        _write_uvarint(out, 1 if v else 0)
+    elif isinstance(v, Decimal128):
+        _emit_len_prefixed(out, 5, int(v).to_bytes(16, "big", signed=True))
+    elif isinstance(v, Int32):
+        _emit_key(out, 1, 0)
+        _write_uvarint(out, int(v))
+    elif isinstance(v, int):
+        _emit_key(out, 2, 0)
+        _write_uvarint(out, v)
+    elif isinstance(v, Float32):
+        _emit_key(out, 3, 5)
+        out.extend(struct.pack("<f", float(v)))
+    elif isinstance(v, float):
+        _emit_key(out, 4, 1)
+        out.extend(struct.pack("<d", v))
+    elif isinstance(v, Fixed16):
+        if len(v) != 16:
+            raise ProtoDecodeError("fixed_len_bytes must be 16 bytes")
+        _emit_len_prefixed(out, 8, bytes(v))
+    elif isinstance(v, str):
+        _emit_len_prefixed(out, 7, v.encode("utf-8"))
+    elif isinstance(v, (bytes, bytearray)):
+        _emit_len_prefixed(out, 7, bytes(v))
+    elif isinstance(v, PbStruct) or isinstance(v, tuple):
+        _emit_len_prefixed(out, 10, _encode_value_list(list(v)))
+    elif isinstance(v, list):
+        _emit_len_prefixed(out, 9, _encode_value_list(v))
+    else:
+        raise ProtoDecodeError(
+            f"cannot map {type(v).__name__} onto a RowValue kind")
+    return bytes(out)
+
+
+def _encode_value_list(values: Sequence[Any]) -> bytes:
+    out = bytearray()
+    for v in values:
+        _emit_len_prefixed(out, 1, _encode_row_value(v))
+    return bytes(out)
+
+
+def encode_moonlink_row(values: Sequence[Any]) -> bytes:
+    """Positional values → serialized ``moonlink.MoonlinkRow`` (the
+    ``moonlink_row_to_proto`` analogue)."""
+    return _encode_value_list(list(values))

@@ -1,4 +1,4 @@
-"""REST ingest event converters: JSON (full), Avro/Protobuf (gated).
+"""REST ingest event converters: JSON, Avro, and Protobuf (all built in).
 
 The reference's REST surface accepts row events as JSON, Avro, or
 Protobuf payloads (``rest_ingest/event_request.rs:10-33``:
@@ -8,13 +8,14 @@ is ``{"operation": "insert|upsert|delete", "data": {...},
 and converts them into typed rows (``json_converter.rs``,
 ``avro_converter.rs``).
 
-Here the JSON converter and the Avro converter are both first-class
-(Avro via the built-in pure-Python binary codec,
-:mod:`moonlink_spark.sources.avro_codec`, implemented from the public
-Avro spec — no external package); protobuf stays a real signature
-gated behind an import-try (a generated message class can't exist
-without the protobuf toolchain, mirroring how the multimodal codecs
-are handled).  Parsed events feed
+All three converters are first-class with no external packages: Avro
+via the built-in pure-Python binary codec
+(:mod:`moonlink_spark.sources.avro_codec`, implemented from the public
+Avro spec) and Protobuf via the built-in wire-format codec
+(:mod:`moonlink_spark.sources.proto_codec`, implemented from the
+public protobuf wire spec for the reference's fixed
+``moonlink.MoonlinkRow`` message set, ``moonlink_proto/proto/
+row.proto``).  Parsed events feed
 :class:`~moonlink_spark.ingest.IngestSession`, whose WAL already does
 the typed-value coercion (``wal._coerce`` — the ``datetime_utils.rs``
 analogue), so a JSON event with ISO dates / numeric strings lands in
@@ -24,6 +25,7 @@ the table's native types.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Mapping
 
 _OPS = ("insert", "upsert", "delete")
@@ -77,25 +79,118 @@ def parse_avro_event(payload: bytes, schema: Any,
     return operation, rec
 
 
-def parse_protobuf_event(payload: bytes, message_cls: Any) -> tuple[str, dict]:
-    """Protobuf-encoded row event.  Requires ``protobuf`` (absent in
-    this environment) plus a generated message class with
-    ``operation``/``data`` fields."""
-    try:
-        from google.protobuf.json_format import MessageToDict  # noqa: F401
-    except ImportError as e:  # pragma: no cover - codec absent here
-        raise NotImplementedError(
-            "protobuf ingest needs the 'protobuf' package (not in this "
-            "environment); JSON events are fully supported") from e
-    msg = message_cls()
-    msg.ParseFromString(payload)
-    d = MessageToDict(msg, preserving_proto_field_name=True)
-    return parse_json_event(d)
+def _split_top_level(s: str) -> list[str]:
+    """Split a DDL field list on commas at bracket depth 0
+    (``a:int,b:array<struct<x:int,y:int>>`` → 2 parts)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    if s[start:].strip():
+        parts.append(s[start:])
+    return parts
+
+
+def _from_ddl(raw: Any, ddl: str | None) -> Any:
+    """One positionally-decoded proto value → the Python value the WAL
+    coercion layer expects for a column of Spark DDL type ``ddl``
+    (the schema-meets-RowValue step the reference does when a
+    ``MoonlinkRow`` lands against the table's arrow schema,
+    ``row/column_array_builder.rs:178`` Date32-as-Int32 etc.):
+    int days → date, int micros → timestamp, unscaled Decimal128 →
+    scaled ``decimal.Decimal``, UTF-8 bytes → str, positional struct →
+    named dict (WAL persists nested values as JSON)."""
+    import datetime
+    import decimal
+
+    from moonlink_spark.sources.proto_codec import Decimal128, PbStruct
+
+    if raw is None or not ddl:
+        return raw
+    d = ddl.strip()
+    base = d.split("<")[0].split("(")[0].strip().lower()
+    if base in ("decimal", "numeric"):
+        m = re.match(r"^\s*\w+\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", d)
+        scale = int(m.group(2) or 0) if m else 0
+        if isinstance(raw, Decimal128):
+            return decimal.Decimal(int(raw)).scaleb(-scale)
+        return raw  # non-decimal kind: let the WAL's lenient path try
+    if base == "date" and isinstance(raw, int) \
+            and not isinstance(raw, bool):
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
+    if base.startswith("timestamp") and isinstance(raw, int) \
+            and not isinstance(raw, bool):
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=raw))
+    if base == "string" and isinstance(raw, (bytes, bytearray)):
+        return bytes(raw).decode("utf-8")
+    if base == "array" and isinstance(raw, list) \
+            and not isinstance(raw, PbStruct):
+        inner = d[d.index("<") + 1:d.rindex(">")]
+        return [_from_ddl(x, inner) for x in raw]
+    if base == "struct" and isinstance(raw, (list, tuple)):
+        inner = d[d.index("<") + 1:d.rindex(">")]
+        fields = _split_top_level(inner)
+        if len(fields) != len(raw):
+            raise ValueError(
+                f"struct arity mismatch: {len(raw)} proto fields for "
+                f"DDL {d!r}")
+        out = {}
+        for f, v in zip(fields, raw):
+            name, _, fddl = f.partition(":")
+            out[name.strip()] = _from_ddl(v, fddl)
+        return out
+    if base == "binary" and isinstance(raw, (bytes, bytearray)):
+        return bytes(raw)  # unwrap Fixed16 → plain bytes
+    return raw
+
+
+def parse_protobuf_event(payload: bytes,
+                         schema_types: Mapping[str, str] | None,
+                         operation: str | None = None,
+                         columns: list[str] | None = None) -> tuple[str, dict]:
+    """Protobuf-encoded row event (route ``/ingestpb/{table}``,
+    ``rest_api.rs:281-296,417,1026-1036``): the frame carries
+    ``operation`` out-of-band and ``data`` = a serialized
+    ``moonlink.MoonlinkRow`` whose values map POSITIONALLY onto the
+    table's columns in schema order (``rest_source.rs:353-357`` →
+    ``proto_to_moonlink_row``).  Decoded by the built-in pure-Python
+    wire codec (:mod:`moonlink_spark.sources.proto_codec` — implemented
+    from the public protobuf wire spec; no toolchain needed), then
+    schema-typed per column DDL."""
+    from moonlink_spark.sources.proto_codec import decode_moonlink_row
+
+    if operation is None:
+        raise ValueError("protobuf events carry the operation in the "
+                         "request frame: pass operation=")
+    if operation not in _OPS:
+        raise ValueError(f"unknown operation {operation!r} "
+                         f"(expected {_OPS})")
+    if not schema_types:
+        raise ValueError("protobuf decode needs the table's "
+                         "schema_types (positional mapping)")
+    values = decode_moonlink_row(payload)
+    # positional mapping follows the table's PAYLOAD column order (the
+    # arrow-schema order the reference zips a MoonlinkRow against);
+    # schema_types alone is a sorted mapping that may carry
+    # bookkeeping columns, so callers with a session pass its columns.
+    cols = list(columns) if columns is not None else list(schema_types)
+    if len(values) > len(cols):
+        raise ValueError(
+            f"proto row has {len(values)} values but the table has "
+            f"{len(cols)} columns")
+    row = {c: _from_ddl(v, schema_types.get(c))
+           for c, v in zip(cols, values)}
+    return operation, row
 
 
 def apply_event(session, payload: str | bytes | Mapping, *,
                 fmt: str = "json", avro_schema: Any = None,
-                protobuf_cls: Any = None,
                 operation: str | None = None) -> None:
     """Parse one event payload and buffer it into an open ingest
     transaction (commit/flush stay the session's explicit boundaries,
@@ -114,7 +209,10 @@ def apply_event(session, payload: str | bytes | Mapping, *,
         op, row = parse_avro_event(payload, avro_schema,
                                    operation=operation)
     elif fmt == "protobuf":
-        op, row = parse_protobuf_event(payload, protobuf_cls)
+        op, row = parse_protobuf_event(
+            payload, getattr(session, "schema_types", None),
+            operation=operation,
+            columns=getattr(session, "columns", None))
     else:
         raise ValueError(f"unknown event format {fmt!r}")
     if op == "delete":

@@ -119,7 +119,7 @@ def test_rest_json_events_round_trip(spark, tmp_path):
     assert rows[2]["d"] == datetime.date(2024, 5, 2)
 
 
-def test_rest_event_validation_and_gated_codecs():
+def test_rest_event_validation_and_codecs():
     import pytest as _pytest
 
     from moonlink_spark.sources.rest_events import (parse_avro_event,
@@ -133,9 +133,20 @@ def test_rest_event_validation_and_gated_codecs():
     from moonlink_spark.sources.avro_codec import AvroDecodeError
     with _pytest.raises(AvroDecodeError):
         parse_avro_event(b"\x06fo", "string")
-    # protobuf codec absent in this environment: loud, clear refusal
-    with _pytest.raises(NotImplementedError, match="protobuf"):
-        parse_protobuf_event(b"", None)
+    # protobuf is first-class too (built-in wire codec): validation
+    # boundary refuses loudly on missing operation / schema / bad bytes
+    from moonlink_spark.sources.proto_codec import (ProtoDecodeError,
+                                                    encode_moonlink_row)
+    with _pytest.raises(ValueError, match="operation"):
+        parse_protobuf_event(b"", {"id": "int"})
+    with _pytest.raises(ValueError, match="schema_types"):
+        parse_protobuf_event(b"", None, operation="insert")
+    with _pytest.raises(ProtoDecodeError):
+        parse_protobuf_event(b"\x0a\x7f", {"id": "int"},
+                             operation="insert")
+    op, row = parse_protobuf_event(encode_moonlink_row([7]),
+                                   {"id": "bigint"}, operation="upsert")
+    assert (op, row) == ("upsert", {"id": 7})
 
 
 def test_wait_for_wal_flush(spark, tmp_path):
