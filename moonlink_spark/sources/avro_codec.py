@@ -141,6 +141,8 @@ class _Reader:
         self.pos = 0
 
     def take(self, n: int) -> bytes:
+        if n < 0:
+            raise AvroDecodeError(f"negative length {n}")
         if self.pos + n > len(self.buf):
             raise AvroDecodeError(
                 f"truncated datum: need {n} bytes at offset {self.pos}, "
@@ -162,6 +164,23 @@ class _Reader:
                 break
             shift += 7
         return (acc >> 1) ^ -(acc & 1)
+
+
+_MAX_BLOCK_COUNT = 1 << 24  # untrusted-input guard: zero-wire-size items
+#                             (nulls) would otherwise let a 3-byte
+#                             payload demand 2^62 appends
+
+
+def _block_count(r: "_Reader") -> int:
+    """One array/map block header: count, negative form carries a
+    skippable byte-size prefix (spec); implausible counts refuse."""
+    n = r.zigzag_long()
+    if n < 0:
+        n = -n
+        r.zigzag_long()
+    if n > _MAX_BLOCK_COUNT:
+        raise AvroDecodeError(f"implausible block count {n}")
+    return n
 
 
 def _decode(r: _Reader, sch: Any) -> Any:
@@ -189,23 +208,17 @@ def _decode(r: _Reader, sch: Any) -> Any:
         if t == "array":
             out = []
             while True:
-                n = r.zigzag_long()
+                n = _block_count(r)
                 if n == 0:
                     return out
-                if n < 0:                       # block with byte-size prefix
-                    n = -n
-                    r.zigzag_long()
                 for _ in range(n):
                     out.append(_decode(r, sch["items"]))
         if t == "map":
             out = {}
             while True:
-                n = r.zigzag_long()
+                n = _block_count(r)
                 if n == 0:
                     return out
-                if n < 0:
-                    n = -n
-                    r.zigzag_long()
                 for _ in range(n):
                     k = _decode(r, "string")
                     out[k] = _decode(r, sch["values"])
@@ -243,7 +256,10 @@ def _decode(r: _Reader, sch: Any) -> Any:
     if sch == "bytes":
         return r.take(r.zigzag_long())
     if sch == "string":
-        return r.take(r.zigzag_long()).decode("utf-8")
+        try:
+            return r.take(r.zigzag_long()).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise AvroDecodeError(f"invalid UTF-8 in string: {e}") from e
     raise AvroSchemaError(f"unsupported type {sch!r}")
 
 

@@ -123,14 +123,18 @@ def _skip_field(buf: bytes, pos: int, wt: int) -> int:
     if wt == 0:
         _, pos = _read_uvarint(buf, pos)
         return pos
-    if wt == 1:
-        return pos + 8
-    if wt == 2:
+    elif wt == 1:
+        pos += 8
+    elif wt == 2:
         n, pos = _read_uvarint(buf, pos)
-        return pos + n
-    if wt == 5:
-        return pos + 4
-    raise ProtoDecodeError(f"unsupported wire type {wt}")
+        pos += n
+    elif wt == 5:
+        pos += 4
+    else:
+        raise ProtoDecodeError(f"unsupported wire type {wt}")
+    if pos > len(buf):
+        raise ProtoDecodeError("skipped field overruns buffer")
+    return pos
 
 
 def _read_len_prefixed(buf: bytes, pos: int) -> tuple[bytes, int]:
@@ -160,10 +164,14 @@ def _decode_row_value(buf: bytes) -> Any:
             raw, pos = _read_uvarint(buf, pos)
             value, have = _signed64(raw), True
         elif field == 3 and wt == 5:        # float32
+            if pos + 4 > len(buf):
+                raise ProtoDecodeError("truncated fixed32")
             value = struct.unpack_from("<f", buf, pos)[0]
             pos += 4
             have = True
         elif field == 4 and wt == 1:        # float64
+            if pos + 8 > len(buf):
+                raise ProtoDecodeError("truncated fixed64")
             value = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
             have = True

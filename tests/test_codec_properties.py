@@ -1,0 +1,152 @@
+"""Property-based round-trip tests for the built-in event codecs.
+
+The Avro and Protobuf codecs are hand-written from their public specs;
+hypothesis hammers encode→decode identity over the full value space —
+the class of bug (varint edge, zigzag boundary, nesting depth,
+block-split arrays) that example-based vectors can miss.
+"""
+
+import decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import moonlink_spark.sources.avro_codec as ac
+import moonlink_spark.sources.proto_codec as pc
+
+# ---------------------------------------------------------------- proto
+
+_INT64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+_INT32 = st.integers(min_value=-(1 << 31),
+                     max_value=(1 << 31) - 1).map(pc.Int32)
+_DEC128 = st.integers(min_value=-(1 << 127),
+                      max_value=(1 << 127) - 1).map(pc.Decimal128)
+_F64 = st.floats(allow_nan=False)  # NaN breaks == identity, not codec
+_F32 = st.floats(allow_nan=False, allow_infinity=True,
+                 width=32).map(pc.Float32)
+_SCALAR = st.one_of(
+    st.none(), st.booleans(), _INT64, _INT32, _DEC128, _F64, _F32,
+    st.binary(max_size=40),
+    st.binary(min_size=16, max_size=16).map(pc.Fixed16),
+)
+_PROTO_VALUE = st.recursive(
+    _SCALAR,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.lists(children, max_size=5).map(pc.PbStruct)),
+    max_leaves=12)
+
+
+def _canon(v):
+    """Decode loses encode-side wrapper identity deliberately:
+    Int32 → int, Float32 → float, str → UTF-8 bytes."""
+    if isinstance(v, pc.PbStruct):
+        return pc.PbStruct(_canon(x) for x in v)
+    if isinstance(v, pc.Decimal128):
+        return int(v)
+    if isinstance(v, pc.Fixed16):
+        return bytes(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, pc.Int32):
+        return int(v)
+    if isinstance(v, pc.Float32):
+        import struct as _s
+        return _s.unpack("<f", _s.pack("<f", float(v)))[0]
+    if isinstance(v, list):
+        return [_canon(x) for x in v]
+    return v
+
+
+def _kinds_match(got, want) -> bool:
+    """Struct stays PbStruct, array stays plain list, recursively."""
+    if isinstance(want, pc.PbStruct):
+        return isinstance(got, pc.PbStruct) and len(got) == len(want) \
+            and all(_kinds_match(g, w) for g, w in zip(got, want))
+    if isinstance(want, list):
+        return isinstance(got, list) and not isinstance(got, pc.PbStruct) \
+            and len(got) == len(want) \
+            and all(_kinds_match(g, w) for g, w in zip(got, want))
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_PROTO_VALUE, max_size=6))
+def test_proto_row_roundtrip(values):
+    got = pc.decode_moonlink_row(pc.encode_moonlink_row(values))
+    want = [_canon(v) for v in values]
+    assert got == want
+    assert _kinds_match(got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_INT64)
+def test_proto_varint_boundaries(n):
+    assert pc.decode_moonlink_row(pc.encode_moonlink_row([n])) == [n]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_proto_decoder_never_hangs_or_crashes_uncontrolled(raw):
+    """Arbitrary bytes either decode or raise ProtoDecodeError — never
+    an IndexError/struct.error/infinite loop (the REST boundary feeds
+    untrusted payloads straight in)."""
+    try:
+        pc.decode_moonlink_row(raw)
+    except pc.ProtoDecodeError:
+        pass
+
+
+# ----------------------------------------------------------------- avro
+
+_AVRO_ROW_SCHEMA = {"type": "record", "name": "r", "fields": [
+    {"name": "i", "type": "int"},
+    {"name": "l", "type": "long"},
+    {"name": "s", "type": ["null", "string"]},
+    {"name": "b", "type": "bytes"},
+    {"name": "f", "type": "double"},
+    {"name": "flag", "type": "boolean"},
+    {"name": "tags", "type": {"type": "array", "items": "long"}},
+    {"name": "attrs", "type": {"type": "map", "values": "int"}},
+    {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                             "precision": 20, "scale": 3}},
+]}
+
+_avro_rows = st.fixed_dictionaries({
+    "i": st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    "l": _INT64,
+    "s": st.one_of(st.none(), st.text(max_size=20)),
+    "b": st.binary(max_size=20),
+    "f": st.floats(allow_nan=False),
+    "flag": st.booleans(),
+    "tags": st.lists(_INT64, max_size=5),
+    "attrs": st.dictionaries(
+        st.text(min_size=1, max_size=8), st.integers(
+            min_value=-(1 << 31), max_value=(1 << 31) - 1), max_size=4),
+    "amt": st.integers(min_value=-(10 ** 15),
+                       max_value=10 ** 15).map(
+        lambda u: decimal.Decimal(u).scaleb(-3)),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(_avro_rows)
+def test_avro_record_roundtrip(row):
+    enc = ac.schemaless_encode(row, _AVRO_ROW_SCHEMA)
+    assert ac.schemaless_decode(enc, _AVRO_ROW_SCHEMA) == row
+
+
+@settings(max_examples=300, deadline=None)
+@given(_INT64)
+def test_avro_zigzag_roundtrip(n):
+    assert ac.schemaless_decode(ac.schemaless_encode(n, "long"),
+                                "long") == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=48))
+def test_avro_decoder_never_hangs_or_crashes_uncontrolled(raw):
+    try:
+        ac.schemaless_decode(raw, _AVRO_ROW_SCHEMA)
+    except ac.AvroDecodeError:
+        pass
