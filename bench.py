@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     # sf0.1 corpus densely fills hamming space (~60 s of pair
     # verification); the realistic 64-bit width has no such density.
     "dedup_embedding_neardup_lsh",
+    "dedup_winnow_clones",
     "dedup_survivors",
     "dedup_incremental",
     "sample_fraction",

@@ -1056,6 +1056,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_shingle_df=1000)
 
 
+@_register("dedup_winnow_clones", f"""
+WITH {_DUPED_SQL},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM dup_docs),
+grams AS (
+  SELECT doc_id,
+         [{h60_sql("array_to_string(t[i+1:i+5], ' ')")}
+          for i in range(0, greatest(len(t) - 5, 0) + 1)] AS g
+  FROM toks),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest([list_aggregate(g[i+1:i+8], 'min')
+                   for i in range(0, greatest(len(g) - 8, 0) + 1)]) AS fp
+    FROM grams)),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000),
+cofp AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+co AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+  FROM cofp l JOIN cofp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT id_a, id_b, shared FROM co WHERE shared >= 2
+""")
+def dedup_winnow_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing clone pairs (dedup.py; Schleimer et al. 2003 / MOSS):
+    per-doc fingerprints = sliding-window minima over positional
+    5-gram h60 hashes (guaranteed hit for any shared run of ≥12
+    tokens), then the same capped inverted-index join as the shingle
+    ops — over a ~2/(window+1)-density set, so the one shuffle moves
+    an order of magnitude fewer postings than full-shingle Jaccard."""
+    return dd.winnow_clone_pairs(_duped_docs(spark, sf_dir),
+                                 k=5, window=8, min_shared=2,
+                                 max_fp_df=1000)
+
+
 def _simhash_sql(bits: int) -> str:
     votes = ",\n".join(
         f"    SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
