@@ -196,13 +196,24 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     higher-order array expressions (`sequence`/`transform`/
     `array_distinct`) — codegen'd, narrow, no shuffle; at 100 TB this
     rides the scan like every other operator in this module."""
+    # token and gram arrays are let-bound as lambda variables
+    # (single-element array + transform — see dedup.word_shingles):
+    # slicing the raw split expression per gram index is O(tokens²)
     toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n]+")
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    total = F.size(grams).cast("long")
-    dist = F.size(F.array_distinct(grams)).cast("long")
+
+    def grams_of(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+
+    stats = F.element_at(F.transform(F.array(toks), lambda t:
+        F.element_at(F.transform(F.array(grams_of(t)), lambda g:
+            F.struct(
+                F.size(g).cast("long").alias("total"),
+                F.size(F.array_distinct(g)).cast("long").alias("dist"))),
+            1)), 1)
+    total = stats["total"]
+    dist = stats["dist"]
     return df.select(
         "*", total.alias("n_grams"), dist.alias("n_distinct_grams"),
         F.round(F.lit(1.0) - dist / total, 6).alias("dup_gram_ratio"))
