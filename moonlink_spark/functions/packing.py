@@ -29,6 +29,61 @@ from moonlink_spark.functions.texthash import h60_seeded
 from moonlink_spark.operators.planner import ordered_cumsum
 
 
+def chunk_documents(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split each document into fixed-size overlapping token chunks —
+    the complement of :func:`pack_sequences` (packing concatenates
+    short docs; chunking splits long ones), and the unit-of-work step
+    for embedding pipelines and context-window-bounded training.
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the final chunk is
+    whatever remains (no padding).  Tokens are lowercased whitespace
+    tokens (the suite's shared tokenizer).  Documents with zero tokens
+    emit no chunks.
+
+    Returns one row per chunk: the document's columns plus
+    ``chunk_id`` (0-based), ``chunk_start`` (token offset),
+    ``n_chunk_tokens``, ``chunk_text``.
+
+    Scale shape: the token array is let-bound as a lambda variable
+    (single-element ``F.array`` + ``transform`` — see
+    ``dedup.word_shingles``) and chunk text is materialized INSIDE the
+    per-document transform, so the split runs once per document and
+    the explode fans out finished structs — never re-deriving the
+    token array per chunk (which would be O(tokens x chunks) per doc).
+    Narrow projection + explode; no shuffle, no UDF."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    from moonlink_spark.functions.textstats import ws_tokens
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    chunks = F.element_at(F.transform(F.array(toks), lambda t:
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.floor((F.size(t) - 1) / stride),
+                                  F.lit(0))),
+            lambda k: F.struct(
+                k.cast("int").alias("chunk_id"),
+                (k * stride).cast("long").alias("chunk_start"),
+                F.greatest(
+                    F.least(F.size(t) - k.cast("int") * stride,
+                            F.lit(chunk_tokens)), F.lit(0))
+                .cast("long").alias("n_chunk_tokens"),
+                F.concat_ws(" ", F.slice(t, k.cast("int") * stride + 1,
+                                         chunk_tokens))
+                .alias("chunk_text")))), 1)
+    return (df.select("*", F.explode(chunks).alias("_chunk"))
+            .filter(F.col("_chunk.n_chunk_tokens") > 0)
+            .select("*", "_chunk.chunk_id", "_chunk.chunk_start",
+                    "_chunk.n_chunk_tokens", "_chunk.chunk_text")
+            .drop("_chunk"))
+
+
 def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
                    id_cols: Sequence[str] = ("doc_id",),
                    seed: int = 0) -> DataFrame:

@@ -1,0 +1,98 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+Okapi BM25 (Robertson & Zaragoza 2009, public) as a pure DataFrame
+pipeline — the retrieval primitive a training-data pipeline uses for
+relevance-based data selection, eval-set decontamination by retrieval,
+and nearest-neighbour text audits.  The reference engine delegates all
+query-shaped reads to external engines (``README.md:84-105``); this is
+the Spark-first restatement of that read surface for ranked text
+search.
+
+Scale shape (the inverted-index classic, linear in corpus size):
+
+- corpus-wide work is exactly TWO aggregations — per-doc length
+  (``groupBy(doc_id)``, uniform key) and the per-(doc, term) term
+  frequency, which is computed only AFTER the exploded token stream has
+  filtered through a **broadcast** semi-join on the query vocabulary
+  (queries are tiny; the filter runs map-side, so non-matching tokens
+  never reach an exchange);
+- document frequencies and the global (N, avgdl) statistics are
+  manifest-sized and broadcast back;
+- the final top-k per query runs through the salted two-phase rank
+  (:func:`moonlink_spark.functions.sampling.top_k_per_group`) so a
+  query matching billions of documents never funnels one reducer.
+
+Cross-engine determinism: each (query, doc, term) contribution is
+rounded to 6 decimals and summed as DECIMAL — exact and order-free, so
+the score is bit-stable across partition counts and engines (the same
+contract the unigram-LM and classifier scores use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.sampling import top_k_per_group
+from moonlink_spark.functions.textstats import ws_tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k1: float = BM25_K1, b: float = BM25_B,
+              k: int = 10) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``queries`` is a tiny DataFrame ``(query_id, query_text)``; both
+    sides tokenize by lowercased whitespace (the same tokenizer the
+    rest of the text suite uses).  IDF uses the standard
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` form (always positive).
+
+    Returns ``(query_id, doc_id, n_hit_terms, score, rank)`` with
+    ``rank`` 1-based by ``(score desc, doc_id asc)`` — fully
+    deterministic, oracle-checkable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_tok"))
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                   F.avg("_dl").alias("_avgdl"))
+    qt = (queries.select(
+        F.col(query_id_col),
+        F.explode(ws_tokens(F.lower(F.col(query_text_col))))
+        .alias("_tok")).distinct())
+    # map-side vocabulary filter BEFORE any shuffle: only tokens that
+    # appear in some query survive to the tf aggregation
+    hits = toks.join(F.broadcast(qt.select("_tok").distinct()), "_tok")
+    tf = hits.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"))
+    dft = tf.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_dft"))
+    scored = (tf.join(F.broadcast(qt), "_tok")
+              .join(F.broadcast(dft), "_tok")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("_n") - F.col("_dft") + 0.5)
+                / (F.col("_dft") + 0.5) + 1.0)
+    norm = (F.col("_tf") * (k1 + 1.0)
+            / (F.col("_tf")
+               + k1 * (1.0 - b + b * F.col("_dl").cast("double")
+                       / F.col("_avgdl"))))
+    contrib = F.round(idf * norm, 6).cast("decimal(18,6)")
+    agg = (scored.groupBy(query_id_col, id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+                F.sum(contrib).alias("_s")))
+    top = top_k_per_group(agg, [query_id_col], "_s", k, [id_col])
+    return top.select(
+        query_id_col, id_col, "n_hit_terms",
+        F.round(F.col("_s").cast("double"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"))

@@ -141,6 +141,50 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
         "*", F.array_min(grams).cast("long").alias(out_col))
 
 
+# Markup stripping (RE2/Java common subset: inline (?is) flags and
+# non-greedy repetition, no backreferences, no lookarounds).  Script,
+# style, and comment blocks drop with their CONTENT; every other tag
+# drops tag-only.
+MARKUP_BLOCK_REGEX = ("(?is)<script[^>]*>.*?</script>"
+                      "|<style[^>]*>.*?</style>"
+                      "|<!--.*?-->")
+MARKUP_TAG_REGEX = "(?s)<[^>]*>"
+# Literal entity decodes, applied in order — `&amp;` LAST so decoded
+# ampersands never re-trigger an earlier rule (the same sequencing an
+# HTML parser's entity pass uses).
+MARKUP_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                   ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def markup_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract training text from markup (the trafilatura-shaped
+    boilerplate strip every web-corpus pipeline runs first): drop
+    script/style/comment blocks with their content, strip remaining
+    tags, decode the common entities, collapse whitespace.
+
+    Adds ``clean_text``, ``n_tags`` (tag count in the raw markup) and
+    ``markup_ratio`` (fraction of raw characters that were markup —
+    the template/boilerplate signal curation thresholds on).
+
+    Pure regexp/replace codegen — narrow projection, no UDF, no
+    shuffle; rides the scan at any corpus size like the rest of this
+    module."""
+    raw = F.col(html_col)
+    clean = F.regexp_replace(raw, MARKUP_BLOCK_REGEX, " ")
+    clean = F.regexp_replace(clean, MARKUP_TAG_REGEX, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, "[ \t\n]+", " "))
+    safe_raw = F.greatest(F.length(raw), F.lit(1)).cast("double")
+    return df.select(
+        "*",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(raw, F.lit(MARKUP_TAG_REGEX), 0))
+        .cast("long").alias("n_tags"),
+        F.round(F.lit(1.0) - F.length(clean).cast("double") / safe_raw, 6)
+        .alias("markup_ratio"))
+
+
 # URL domain matcher (RE2/Java common subset: no lookarounds).  Group 1
 # captures the host.
 URL_DOMAIN_REGEX = "https?://([a-zA-Z0-9.-]+)"

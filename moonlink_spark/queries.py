@@ -2292,3 +2292,178 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source",
                     F.col("n_ws_tokens").alias("n_tokens"),
                     "cum_tokens", "shard"))
+
+
+# ---------------------------------------------------------------------------
+# 5. round-3 additions: markup extraction, chunking, BM25 retrieval
+# ---------------------------------------------------------------------------
+
+# Deterministic markup wrapper over the documents corpus (both engines
+# build the identical html, so the EXTRACTION is what the oracle
+# checks): every third doc gets a full page with script/style/comment
+# blocks and entities, every third a simple entity-bearing div, the
+# rest stay plain text.
+_MARKUP_CASE = """
+CASE WHEN doc_id % 3 = 0 THEN
+       '<html><head><style>p .c { margin: 0 }</style>' ||
+       '<!-- generated page -->' ||
+       '</head><body><h1>Doc ' || doc_id || '</h1><p class="c">' ||
+       text || '</p><script type="text/javascript">var x = 1 < 2;' ||
+       '</script><a href="http://ex.com/d' || doc_id ||
+       '">more &amp; info</a></body></html>'
+     WHEN doc_id % 3 = 1 THEN
+       '<div id="m">' || text || ' &lt;raw&gt; &quot;q&quot;&nbsp;end</div>'
+     ELSE text END
+"""
+
+
+@_register("text_markup_extract", f"""
+WITH h AS (
+  SELECT doc_id, {_MARKUP_CASE} AS html FROM documents
+), c AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                 ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '[ \t\n]+', ' ', 'g')) AS clean_text
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '(?s)<[^>]*>', 0)) AS BIGINT)
+           AS n_tags,
+       ROUND(1.0 - length(clean_text) * 1.0 /
+             greatest(length(html), 1), 6) AS markup_ratio,
+       clean_text
+FROM c
+""")
+def text_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup extraction (textstats.markup_extract): the
+    trafilatura-shaped boilerplate strip — script/style/comment blocks
+    drop with content, tags drop tag-only, entities decode, whitespace
+    collapses.  The markup is synthesized deterministically from the
+    corpus on BOTH sides, so the extraction itself is value-checked.
+    Pure regexp/replace codegen; no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    html = (F.when(did % 3 == 0, F.concat(
+                F.lit('<html><head><style>p .c { margin: 0 }</style>'
+                      '<!-- generated page -->'
+                      '</head><body><h1>Doc '),
+                did.cast("string"), F.lit('</h1><p class="c">'),
+                F.col("text"),
+                F.lit('</p><script type="text/javascript">var x = 1 < 2;'
+                      '</script><a href="http://ex.com/d'),
+                did.cast("string"),
+                F.lit('">more &amp; info</a></body></html>')))
+            .when(did % 3 == 1, F.concat(
+                F.lit('<div id="m">'), F.col("text"),
+                F.lit(' &lt;raw&gt; &quot;q&quot;&nbsp;end</div>')))
+            .otherwise(F.col("text")))
+    h = d.select("doc_id", html.alias("html"))
+    return ts.markup_extract(h).select(
+        "doc_id", "n_tags", "markup_ratio", "clean_text")
+
+
+@_register("text_chunking", """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)),
+                                         '[ \\t\\n]+') END AS t
+  FROM documents
+), ks AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest((len(t) - 1) // 24, 0) + 1)) AS k
+  FROM toks
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       CAST(k * 24 AS BIGINT) AS chunk_start,
+       CAST(least(len(t) - k * 24, 32) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+FROM ks WHERE len(t) - k * 24 > 0
+""")
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (packing.chunk_documents): 32-token
+    chunks, 8-token overlap (stride 24) — the unit-of-work split for
+    embedding and context-window-bounded training.  Chunk text is
+    materialized inside the per-document transform (token array
+    let-bound), so the tokenizer runs once per document; the explode
+    fans out finished structs.  No shuffle."""
+    from moonlink_spark.functions.packing import chunk_documents
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, overlap=8).select(
+        "doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+
+
+_BM25_QUERIES = (("q_join", "hash join merge"),
+                 ("q_scan", "table scan filter"),
+                 ("q_stream", "stream window agg"),
+                 ("q_vec", "vector data batch"),
+                 ("q_cust", "customer order query"))
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@_register("text_bm25_topk", f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)),
+                                           '[ \\t\\n]+') END) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) * 1.0 AS n, AVG(dl) AS avgdl FROM dl
+), qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_split_to_array(
+           lower(trim(query_text)), '[ \\t\\n]+')) AS tok
+  FROM q
+), tf AS (
+  SELECT t.doc_id, t.tok, COUNT(*) * 1.0 AS tf
+  FROM toks t
+  WHERE t.tok IN (SELECT DISTINCT tok FROM qt)
+  GROUP BY t.doc_id, t.tok
+), dft AS (
+  SELECT tok, COUNT(*) * 1.0 AS dft FROM tf GROUP BY tok
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(ROUND(ln((s.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / s.avgdl)), 6)
+              AS DECIMAL(18,6)) AS c
+  FROM tf JOIN qt USING (tok) JOIN dft USING (tok)
+       JOIN dl ON dl.doc_id = tf.doc_id, stats s
+), agg AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_hit_terms, SUM(c) AS s
+  FROM contrib GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+       ROUND(CAST(s AS DOUBLE), 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query (retrieval.bm25_topk) — ranked text
+    retrieval for relevance-based data selection and
+    decontamination-by-retrieval.  Corpus-wide work is two uniform-key
+    aggregations; the query vocabulary filters the token stream through
+    a broadcast join BEFORE any shuffle; the final top-k runs the
+    salted two-phase rank (identical to the naive window, which is what
+    the oracle states)."""
+    from moonlink_spark.functions.retrieval import bm25_topk
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(list(_BM25_QUERIES),
+                              "query_id string, query_text string")
+    return bm25_topk(d, q, k=10)
