@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "text_langid",
     "text_fingerprint",
     "text_repetition",
+    "text_markup_extract",
+    "text_chunking",
+    "text_bm25_topk",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

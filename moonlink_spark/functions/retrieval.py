@@ -10,12 +10,12 @@ search.
 
 Scale shape (the inverted-index classic, linear in corpus size):
 
-- corpus-wide work is exactly TWO aggregations — per-doc length
-  (``groupBy(doc_id)``, uniform key) and the per-(doc, term) term
-  frequency, which is computed only AFTER the exploded token stream has
-  filtered through a **broadcast** semi-join on the query vocabulary
-  (queries are tiny; the filter runs map-side, so non-matching tokens
-  never reach an exchange);
+- per-document length is ``size(tokens)`` — a narrow projection, no
+  explode, no shuffle; the ONLY corpus-wide shuffle is the
+  per-(doc, term) term frequency, which is computed only AFTER the
+  exploded token stream has filtered through a **broadcast** semi-join
+  on the query vocabulary (queries are tiny; the filter runs map-side,
+  so non-matching tokens never reach an exchange);
 - document frequencies and the global (N, avgdl) statistics are
   manifest-sized and broadcast back;
 - the final top-k per query runs through the salted two-phase rank
@@ -62,8 +62,13 @@ def bm25_topk(df: DataFrame, queries: DataFrame, *,
     toks = df.select(
         F.col(id_col),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_tok"))
-    dl = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_dl"))
+    # per-doc length is size(tokens) — a narrow projection, NOT a
+    # second corpus explode + groupBy(doc_id) shuffle
+    dl = (df.select(
+        F.col(id_col),
+        F.size(ws_tokens(F.lower(F.col(text_col))))
+        .cast("long").alias("_dl"))
+        .filter(F.col("_dl") > 0))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"),
                    F.avg("_dl").alias("_avgdl"))
     qt = (queries.select(
