@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_markup_extract",
     "text_chunking",
     "text_bm25_topk",
+    "text_bpe_pairs",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

@@ -1,0 +1,130 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, public).
+
+The tokenizer-training step of a training-data pipeline: learn
+byte-pair-encoding merges from the corpus.  The classic trick makes
+this cheap at any corpus size — training operates on the DISTINCT-WORD
+frequency table, not the corpus: one corpus-wide wordcount shuffle up
+front, then every merge iteration touches only O(vocabulary) rows
+(~10^6-10^8 distinct words even for a 100 TB corpus).
+
+Plan shapes:
+
+- :func:`word_freq_table` — the wordcount classic: explode (narrow) →
+  map-side-combined ``groupBy(word)``.  The ONLY corpus-sized job.
+- :func:`bpe_pair_counts` — adjacent-symbol pairs weighted by word
+  frequency: per-word pair structs built inside a higher-order
+  ``transform`` (symbol array let-bound), explode, one
+  map-side-combinable ``groupBy(pair)`` over the vocab table.
+- :func:`bpe_train` — the driver loop picks the argmax pair
+  (``count desc, pair asc`` — fully deterministic) and applies the
+  merge with a higher-order ``aggregate`` fold (greedy left-to-right,
+  matching the reference algorithm); ``localCheckpoint`` every few
+  iterations cuts the growing lineage.  Per iteration the driver sees
+  ONE row; the vocab table never leaves the executors.
+
+No UDFs anywhere — symbol arrays, folds, and pair extraction are all
+codegen'd higher-order array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.textstats import ws_tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus wordcount: ``(word, freq)`` over lowercased whitespace
+    tokens — the single corpus-sized job of BPE training."""
+    return (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+
+
+def with_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add the initial BPE symbol array: the word's characters plus the
+    end-of-word marker (so merges can learn word-final units)."""
+    w = F.col(word_col)
+    chars = F.transform(F.sequence(F.lit(1), F.greatest(F.length(w),
+                                                        F.lit(1))),
+                        lambda i: F.substring(w, i, 1))
+    return words.withColumn(
+        "symbols", F.concat(chars, F.array(F.lit(END_OF_WORD))))
+
+
+def _pair_structs(sym: Column) -> Column:
+    """Adjacent-symbol pair structs; empty for single-symbol words
+    (``sequence`` would count DOWN for size < 2 — guard it)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(sym) - 1),
+        lambda i: F.struct(F.get(sym, i - 1).alias("a"),
+                           F.get(sym, i).alias("b")))
+    return F.when(F.size(sym) >= 2, pairs) \
+        .otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_pair_counts(words: DataFrame,
+                    sym_col: str = "symbols") -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the vocab table:
+    ``(a, b, pair_count)``.  One explode + one map-side-combinable
+    aggregation over O(vocabulary) rows."""
+    pairs = (words.select(
+        "freq", F.explode(_pair_structs(F.col(sym_col))).alias("_p")))
+    return (pairs.groupBy(F.col("_p.a").alias("a"),
+                          F.col("_p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("pair_count")))
+
+
+def apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Apply one merge ``(a, b) -> ab`` to a symbol array with a
+    greedy left-to-right fold (the reference algorithm's scan order:
+    ``aaa`` under ``(a,a)`` becomes ``[aa, a]``) — a codegen'd
+    higher-order ``aggregate``, no UDF."""
+    merged = a + b
+    return F.aggregate(
+        sym, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(words: DataFrame, n_merges: int, *, min_count: int = 2,
+              checkpoint_every: int = 8
+              ) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges from a ``(word, freq)``
+    table.  Returns ``(merges, final_vocab)`` where ``merges`` is the
+    ordered merge list and ``final_vocab`` carries the post-merge
+    ``symbols`` arrays.
+
+    Deterministic: the winning pair each round is
+    ``(pair_count desc, a asc, b asc)``; training stops early when no
+    pair reaches ``min_count``.  Driver traffic is ONE row per
+    iteration; the vocab table stays distributed and is
+    ``localCheckpoint``-ed every ``checkpoint_every`` merges so the
+    fold expressions don't accrete into one giant plan."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    cur = with_symbols(words) if "symbols" not in words.columns else words
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        best = (bpe_pair_counts(cur)
+                .orderBy(F.desc("pair_count"), "a", "b").limit(1)
+                .collect())
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        cur = cur.withColumn("symbols",
+                             apply_merge(F.col("symbols"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges, cur

@@ -2467,3 +2467,35 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.createDataFrame(list(_BM25_QUERIES),
                               "query_id string, query_text string")
     return bm25_topk(d, q, k=10)
+
+
+@_register("text_bpe_pairs", """
+WITH toks AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)),
+                                           '[ \\t\\n]+') END) AS word
+  FROM documents
+), words AS (
+  SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+), pairs AS (
+  SELECT freq, substr(word, i, 1) AS a,
+         CASE WHEN i = length(word) THEN '</w>'
+              ELSE substr(word, i + 1, 1) END AS b
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        FROM words)
+)
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY a, b
+ORDER BY pair_count DESC, a, b LIMIT 20
+""")
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration (tokenizer.bpe_pair_counts): the
+    frequency-weighted adjacent-symbol pair counts over the corpus
+    vocabulary (chars + end-of-word marker), top 20.  The only
+    corpus-sized job is the wordcount; pair counting touches
+    O(vocabulary) rows — the property that makes distributed BPE
+    training tractable at 100 TB."""
+    from moonlink_spark.functions import tokenizer as tk
+    d = _t(spark, sf_dir, "documents").select("text")
+    pc = tk.bpe_pair_counts(tk.with_symbols(tk.word_freq_table(d)))
+    return pc.orderBy(F.desc("pair_count"), "a", "b").limit(20)
