@@ -96,6 +96,48 @@ def apply_merge(sym: Column, a: str, b: str) -> Column:
         ).otherwise(F.concat(acc, F.array(x))))
 
 
+def bpe_encode(df: DataFrame, vocab: DataFrame, *,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> DataFrame:
+    """Segment documents with a trained BPE vocabulary.
+
+    ``vocab`` is :func:`bpe_train`'s ``final_vocab`` — its ``symbols``
+    column IS the segmentation for every in-vocabulary word (the
+    trained state doubles as the encode dictionary; no merge replay at
+    encode time).  Out-of-vocabulary words fall back to their initial
+    character symbols (the untrained segmentation — standard BPE
+    behavior for unseen words with no learned merges applying... the
+    conservative upper bound on token count).
+
+    Adds ``n_bpe_tokens`` and ``bpe_symbols`` (the document's
+    concatenated symbol stream) per document.
+
+    Scale shape: explode tokens (narrow) → equi-join on the word key
+    against the vocab table (uniform high-cardinality key; Catalyst
+    broadcasts when the vocab is small, sort-merges at dictionary
+    scale) → one ``groupBy(doc)`` reassembly ordered by token
+    position.  No UDF."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col))))
+        .alias("_i", "word"))
+    seg = toks.join(vocab.select("word", "symbols"), on="word",
+                    how="left")
+    w = F.col("word")
+    chars = F.concat(
+        F.transform(F.sequence(F.lit(1), F.greatest(F.length(w),
+                                                    F.lit(1))),
+                    lambda i: F.substring(w, i, 1)),
+        F.array(F.lit(END_OF_WORD)))
+    seg = seg.withColumn("_sym", F.coalesce(F.col("symbols"), chars))
+    return (seg.groupBy(id_col)
+            .agg(F.sum(F.size("_sym")).cast("long")
+                 .alias("n_bpe_tokens"),
+                 F.flatten(F.array_sort(F.collect_list(
+                     F.struct(F.col("_i"), F.col("_sym"))))["_sym"])
+                 .alias("bpe_symbols")))
+
+
 def bpe_train(words: DataFrame, n_merges: int, *, min_count: int = 2,
               checkpoint_every: int = 8
               ) -> tuple[list[tuple[str, str]], DataFrame]:
