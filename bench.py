@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_chunking",
     "text_bm25_topk",
     "text_bpe_pairs",
+    "corpus_datacard",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

@@ -1,0 +1,97 @@
+"""Corpus profiling: exact per-group quantiles and the data-card rollup.
+
+Every curation decision starts from a profile — "p50/p95 document
+length per source", "Gopher pass rate per language" — and at 100 TB the
+naive exact quantile (a per-group sort) funnels each hot group through
+one reducer.  The scale shape here is the VALUE-FREQUENCY table:
+
+1. ``groupBy(group, value)`` → counts — map-side combinable, and the
+   result has one row per DISTINCT value per group (for the integer-ish
+   metrics a profile cares about — token counts, line counts, quality
+   deciles — that is thousands of rows per group, independent of group
+   row count);
+2. a running-count window over the frequency table — partitions hold
+   distinct-value rows, never documents, so a billion-document group
+   costs the same as a thousand-document one;
+3. the quantile is the first value whose cumulative count reaches
+   ``ceil(q * n)`` — PostgreSQL/DuckDB ``percentile_disc`` semantics,
+   so the oracle is one SQL aggregate.
+
+Exact, order-free, no sampling, no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_quantiles(df: DataFrame, value_col: str,
+                    group_cols: Sequence[str],
+                    qs: Sequence[float]) -> DataFrame:
+    """Exact per-group quantiles of ``value_col`` (``percentile_disc``
+    semantics: the smallest value whose cumulative count reaches
+    ``ceil(q * n)``).  Returns one row per group with a ``q_<pct>``
+    column per requested quantile.
+
+    Designed for discrete/quantized metrics: the window runs over the
+    per-group value-frequency table (one row per distinct value), so
+    no task ever sorts a group's documents."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    groups = list(group_cols)
+    freq = (df.groupBy(*groups, value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    w = (Window.partitionBy(*groups).orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = freq.select(*groups, value_col,
+                      F.sum("_cnt").over(w).alias("_cum"),
+                      F.sum("_cnt").over(
+                          Window.partitionBy(*groups)).alias("_n"))
+    aggs = []
+    for q in qs:
+        name = f"q_{str(q).replace('.', '_')}"
+        target = F.ceil(F.lit(q) * F.col("_n").cast("double"))
+        aggs.append(F.min(F.when(F.col("_cum") >= target,
+                                 F.col(value_col))).alias(name))
+    return cum.groupBy(*groups).agg(*aggs)
+
+
+def data_profile(df: DataFrame, *, text_col: str = "text",
+                 group_cols: Sequence[str] = ("source",)) -> DataFrame:
+    """The data-card rollup every corpus release ships: per group —
+    document count, total/mean whitespace tokens, exact p50/p95 token
+    counts (via :func:`group_quantiles`), and the Gopher-rule pass
+    rate.  One narrow feature projection (token_stats + gopher_rules
+    ride the scan), one map-side-combined rollup, one frequency-table
+    quantile pass; mean surfaces as an exact DECIMAL ratio so the
+    result is order-free and oracle-checkable."""
+    from moonlink_spark.functions.textstats import gopher_rules, token_stats
+    groups = list(group_cols)
+    feats = gopher_rules(token_stats(df, text_col), text_col) \
+        .select(*groups,
+                F.col("n_ws_tokens").alias("_tok"),
+                F.col("passes_gopher").cast("long").alias("_pass"))
+    base = (feats.groupBy(*groups)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_tok").cast("long").alias("total_tokens"),
+                 F.sum("_pass").cast("long").alias("n_pass_gopher")))
+    quant = group_quantiles(feats, "_tok", groups, (0.5, 0.95)) \
+        .withColumnRenamed("q_0_5", "p50_tokens") \
+        .withColumnRenamed("q_0_95", "p95_tokens")
+    return (base.join(quant, on=groups)
+            .select(*groups, "n_docs", "total_tokens",
+                    F.round(F.col("total_tokens").cast("decimal(38,6)")
+                            / F.col("n_docs"), 6).cast("double")
+                    .alias("mean_tokens"),
+                    F.col("p50_tokens").cast("long"),
+                    F.col("p95_tokens").cast("long"),
+                    F.round(F.col("n_pass_gopher").cast("decimal(38,6)")
+                            / F.col("n_docs"), 6).cast("double")
+                    .alias("gopher_pass_rate")))

@@ -2499,3 +2499,68 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("text")
     pc = tk.bpe_pair_counts(tk.with_symbols(tk.word_freq_table(d)))
     return pc.orderBy(F.desc("pair_count"), "a", "b").limit(20)
+
+
+@_register("corpus_datacard", f"""
+WITH f AS (
+  SELECT source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '[ \\t\\n]+') END
+             AS toks,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '(\\.\\.\\.|…|#)')) * 1.0
+             AS n_symbols
+  FROM documents
+), g AS (
+  SELECT source, n_symbols,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) * 1.0 AS safe_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             * 1.0 AS tok_chars,
+         greatest(len(lines), 1) * 1.0 AS n_lines,
+         len(list_filter(lines,
+             x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*'))) * 1.0
+             AS bullet_lines,
+         len(list_filter(lines,
+             x -> ends_with(rtrim(x), '...')
+                  OR ends_with(rtrim(x), '…'))) * 1.0 AS ellipsis_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             * 1.0 AS alpha_words,
+         len(list_filter([{_GREQ}],
+             w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+             AS n_required
+  FROM f
+), d AS (
+  SELECT source, CAST(n_words AS BIGINT) AS n_tok,
+         CAST((n_words >= 50 AND n_words <= 100000
+               AND tok_chars / safe_words >= 3.0
+               AND tok_chars / safe_words <= 10.0
+               AND n_symbols / safe_words <= 0.1
+               AND bullet_lines / n_lines <= 0.9
+               AND ellipsis_lines / n_lines <= 0.3
+               AND alpha_words / safe_words >= 0.8
+               AND n_required >= 2) AS INT) AS pass
+  FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(ROUND(CAST(SUM(n_tok) AS DECIMAL(38,6)) / COUNT(*), 6)
+            AS DOUBLE) AS mean_tokens,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)
+            AS BIGINT) AS p50_tokens,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tok)
+            AS BIGINT) AS p95_tokens,
+       CAST(ROUND(CAST(SUM(pass) AS DECIMAL(38,6)) / COUNT(*), 6)
+            AS DOUBLE) AS gopher_pass_rate
+FROM d GROUP BY source
+""")
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup (profiling.data_profile): per source — doc
+    count, total/mean tokens, EXACT p50/p95 token counts via the
+    value-frequency-table quantile (the window sees one row per
+    distinct value, never a group's documents), and the Gopher pass
+    rate.  percentile_disc semantics on both engines."""
+    from moonlink_spark.functions.profiling import data_profile
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return data_profile(d, group_cols=("source",))
