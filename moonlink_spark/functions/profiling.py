@@ -46,7 +46,10 @@ def group_quantiles(df: DataFrame, value_col: str,
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
     groups = list(group_cols)
-    freq = (df.groupBy(*groups, value_col)
+    # NULL values are excluded from both the ranks and the count n —
+    # percentile_disc parity (SQL ordered-set aggregates ignore nulls)
+    freq = (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*groups, value_col)
             .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
     w = (Window.partitionBy(*groups).orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
