@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_bpe_pairs",
     "corpus_datacard",
+    "chunking_pipeline",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

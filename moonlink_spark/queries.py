@@ -2564,3 +2564,76 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.functions.profiling import data_profile
     d = _t(spark, sf_dir, "documents").select("source", "text")
     return data_profile(d, group_cols=("source",))
+
+
+@_register("chunking_pipeline", f"""
+WITH h AS (
+  SELECT doc_id, {_MARKUP_CASE} AS html FROM documents
+), c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                 ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '[ \t\n]+', ' ', 'g')) AS clean_text
+  FROM h
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(clean_text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(clean_text)),
+                                         '[ \\t\\n]+') END AS t
+  FROM c
+  WHERE len(CASE WHEN trim(clean_text) = '' THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(clean_text),
+                                       '[ \\t\\n]+') END) >= 10
+), ks AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest((len(t) - 1) // 24, 0) + 1)) AS k
+  FROM toks
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       CAST(least(len(t) - k * 24, 32) AS BIGINT) AS n_chunk_tokens,
+       CAST({h60_seeded_sql(0, "doc_id::VARCHAR || ':' || k::VARCHAR")}
+            % 4 AS INT) AS shard
+FROM ks WHERE len(t) - k * 24 > 0
+""")
+def chunking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second flagship composition — the round-3 operators CHAINED the
+    way an embedding/pretokenization run uses them: markup extraction
+    (markup_extract over deterministically synthesized html) → quality
+    floor (≥10 clean tokens) → overlapping chunking (chunk_documents,
+    32/8) → deterministic shard assignment (export.shard_assign on
+    (doc, chunk)).  Each stage keeps its audited scale shape (two
+    narrow projections + one Generate + zero new shuffles); DuckDB
+    replays the whole chain in one statement, so the composition — not
+    just each operator — is value-hash-checked."""
+    from moonlink_spark.functions.export import shard_assign
+    from moonlink_spark.functions.packing import chunk_documents
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    html = (F.when(did % 3 == 0, F.concat(
+                F.lit('<html><head><style>p .c { margin: 0 }</style>'
+                      '<!-- generated page -->'
+                      '</head><body><h1>Doc '),
+                did.cast("string"), F.lit('</h1><p class="c">'),
+                F.col("text"),
+                F.lit('</p><script type="text/javascript">var x = 1 < 2;'
+                      '</script><a href="http://ex.com/d'),
+                did.cast("string"),
+                F.lit('">more &amp; info</a></body></html>')))
+            .when(did % 3 == 1, F.concat(
+                F.lit('<div id="m">'), F.col("text"),
+                F.lit(' &lt;raw&gt; &quot;q&quot;&nbsp;end</div>')))
+            .otherwise(F.col("text")))
+    clean = (ts.markup_extract(d.select("doc_id", html.alias("html")))
+             .select("doc_id", F.col("clean_text").alias("text")))
+    floored = clean.filter(
+        F.size(ts.ws_tokens(F.col("text"))) >= 10)
+    chunks = chunk_documents(floored, chunk_tokens=32, overlap=8)
+    return (shard_assign(chunks, ["doc_id", "chunk_id"], 4)
+            .select("doc_id", "chunk_id", "n_chunk_tokens", "shard"))
