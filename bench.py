@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_bpe_pairs",
     "corpus_datacard",
     "chunking_pipeline",
+    "text_textrank",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

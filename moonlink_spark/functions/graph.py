@@ -1,0 +1,108 @@
+"""Distributed PageRank + TextRank keyword extraction.
+
+PageRank (Page et al. 1999) as an iterative DataFrame job, and its
+text application TextRank (Mihalcea & Tarau 2004, public): rank words
+by centrality in the corpus word-adjacency graph — the classic
+unsupervised keyword/keyphrase signal a curation pipeline uses for
+topic profiling and index building.
+
+Exactness contract (what makes an ITERATIVE graph algorithm
+oracle-checkable here): ranks are integer micro-units and every
+operation is integer arithmetic — initial rank ``total // N``,
+per-edge contribution ``rank div outdeg`` (floor), damping
+``(85 * sum) div 100`` — so after any fixed number of iterations the
+ranks are bit-identical across engines, partition counts, and cluster
+sizes.  A float PageRank's sums depend on reduction order; this one's
+don't.
+
+Scale shape per iteration: one equi-join of the edge list against the
+rank table on the uniform node key, one map-side-combinable
+``groupBy(dst)``, one left join back to the node set — no driver
+traffic except the O(1) node count, no skewed reducer (word-adjacency
+degree skew lands in the *sum*, which combines map-side).
+``localCheckpoint`` every few iterations cuts lineage growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions.textstats import ws_tokens
+
+PAGERANK_TOTAL = 10**12  # integer micro-unit rank mass
+
+
+def pagerank(edges: DataFrame, k: int, *, damping_pct: int = 85,
+             total: int = PAGERANK_TOTAL,
+             checkpoint_every: int = 4) -> DataFrame:
+    """``k`` exact-integer PageRank iterations over a directed edge
+    list ``(src, dst)`` (pre-deduplicated).  Returns ``(node, rank)``.
+
+    Every node must have out-degree >= 1 (true for symmetric graphs
+    like word adjacency); dangling-node redistribution is out of scope
+    and asserted away by construction in :func:`textrank_keywords`."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), "
+                         f"got {damping_pct}")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    t0 = total // n
+    base = (100 - damping_pct) * t0 // 100
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("_outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(t0).cast("long"))
+    for i in range(k):
+        contrib = (edges.join(ranks.withColumnRenamed("node", "src"),
+                              on="src")
+                   .join(deg, on="src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.expr("rank div _outdeg"))
+                        .cast("long").alias("_s")))
+        ranks = (nodes.join(contrib, on="node", how="left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({damping_pct} * coalesce(_s, 0)) "
+                                   f"div 100")).cast("long")
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def word_adjacency_edges(df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Undirected word-adjacency edge list from a corpus: distinct
+    lowercased adjacent-token pairs, both directions, self-loops
+    dropped.  Pair structs build inside a higher-order ``transform``
+    (token array let-bound); one explode + one distinct."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs = F.element_at(F.transform(F.array(toks), lambda t: F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(F.get(t, i - 1).alias("a"),
+                                       F.get(t, i).alias("b"))))
+        .otherwise(F.array().cast(
+            "array<struct<a:string,b:string>>"))), 1)
+    fwd = (df.select(F.explode(pairs).alias("_p"))
+           .select(F.col("_p.a").alias("src"), F.col("_p.b").alias("dst"))
+           .filter(F.col("src") != F.col("dst")))
+    return fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).distinct()
+
+
+def textrank_keywords(df: DataFrame, *, text_col: str = "text",
+                      k_iterations: int = 5, top_k: int = 20
+                      ) -> DataFrame:
+    """TextRank: PageRank over the corpus word-adjacency graph; the
+    ``top_k`` most central words with their exact integer ranks —
+    ``(word, rank)`` ordered by ``(rank desc, word asc)``."""
+    ranks = pagerank(word_adjacency_edges(df, text_col), k_iterations)
+    return (ranks.orderBy(F.desc("rank"), "node").limit(top_k)
+            .select(F.col("node").alias("word"), "rank"))

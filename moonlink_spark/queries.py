@@ -2637,3 +2637,64 @@ def chunking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(floored, chunk_tokens=32, overlap=8)
     return (shard_assign(chunks, ["doc_id", "chunk_id"], 4)
             .select("doc_id", "chunk_id", "n_chunk_tokens", "shard"))
+
+
+def _textrank_oracle(k: int = 5, top: int = 20) -> str:
+    """Unrolled exact-integer PageRank: k CTE layers, no recursion —
+    DuckDB replays the identical integer arithmetic (div-floor,
+    damping in hundredths), so even the ITERATIVE ranks value-match."""
+    layers = []
+    prev = "r0"
+    for i in range(1, k + 1):
+        layers.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST(p.base + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n CROSS JOIN params p
+  LEFT JOIN (
+    SELECT adj.dst AS node, SUM({prev}.rank // deg.outdeg) AS s
+    FROM adj JOIN {prev} ON adj.src = {prev}.node
+             JOIN deg ON deg.src = adj.src
+    GROUP BY adj.dst) s ON s.node = n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') END
+             AS t
+  FROM documents
+), fwd AS (
+  SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+  FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)
+  WHERE t[i] <> t[i+1]
+), adj AS (
+  SELECT src, dst FROM fwd
+  UNION
+  SELECT dst AS src, src AS dst FROM fwd
+), nodes AS (
+  SELECT DISTINCT src AS node FROM adj
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM adj GROUP BY src
+), params AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS t0,
+         CAST(15 * (1000000000000 // COUNT(*)) // 100 AS BIGINT) AS base
+  FROM nodes
+), r0 AS (
+  SELECT node, p.t0 AS rank FROM nodes CROSS JOIN params p
+), {", ".join(layers)}
+SELECT node AS word, rank FROM {prev}
+ORDER BY rank DESC, word LIMIT {top}
+"""
+
+
+@_register("text_textrank", _textrank_oracle())
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (graph.textrank_keywords): 5
+    exact-integer PageRank iterations over the corpus word-adjacency
+    graph, top-20 words.  Integer micro-unit ranks with floor-div
+    contributions and hundredths damping make the ITERATIVE result
+    bit-identical across engines and partition layouts — the oracle
+    unrolls the same five iterations as CTE layers."""
+    from moonlink_spark.functions.graph import textrank_keywords
+    d = _t(spark, sf_dir, "documents").select("text")
+    return textrank_keywords(d, k_iterations=5, top_k=20)
