@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "chunking_pipeline",
     "text_textrank",
+    "text_pmi_collocations",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

@@ -427,3 +427,53 @@ def hashed_linear_score(df: DataFrame, weights: DataFrame, *,
         (F.col("score_milli") > 0).cast("int").alias("label"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w)), 6)
         .alias("prob"))
+
+
+def pmi_collocations(df: DataFrame, *, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Collocation (phrase) mining via pointwise mutual information —
+    the word2phrase step (Mikolov et al. 2013, public) that turns
+    "new york" into a single token before embedding/tokenizer
+    training.
+
+    Scores adjacent lowercased token bigrams:
+    ``pmi = log2(n_ab * N / (n_a * n_b))`` over occurrence counts
+    (``N`` = total bigram occurrences), keeps bigrams with
+    ``n_ab >= min_count``, returns the ``top_k`` by
+    ``(pmi desc, a asc, b asc)``.  The log is rounded to 6 decimals at
+    the END of an all-integer pipeline, so results are deterministic
+    and oracle-exact.
+
+    Plan shape: one explode of per-doc bigram structs (built inside a
+    higher-order transform, token array let-bound), TWO map-side
+    combinable aggregations (bigram counts, unigram counts from the
+    bigram relation itself), broadcast of the O(1) total — the
+    wordcount classic, linear at any corpus size."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs = F.element_at(F.transform(F.array(toks), lambda t: F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(F.get(t, i - 1).alias("a"),
+                                       F.get(t, i).alias("b"))))
+        .otherwise(F.array().cast(
+            "array<struct<a:string,b:string>>"))), 1)
+    bi = (df.select(F.explode(pairs).alias("_p"))
+          .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b")))
+    n_ab = bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"))
+    # unigram occurrence counts AS BIGRAM PARTICIPANTS (left/right
+    # position) — derived from the bigram relation so the probability
+    # space is consistent
+    n_a = n_ab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    n_b = n_ab.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = n_ab.agg(F.sum("n_ab").cast("double").alias("n"))
+    scored = (n_ab.filter(F.col("n_ab") >= min_count)
+              .join(n_a, "a").join(n_b, "b")
+              .crossJoin(F.broadcast(tot))
+              .select("a", "b", "n_ab",
+                      F.round(F.log2(F.col("n_ab").cast("double")
+                                     * F.col("n")
+                                     / (F.col("n_a").cast("double")
+                                        * F.col("n_b").cast("double"))),
+                              6).alias("pmi")))
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(top_k)

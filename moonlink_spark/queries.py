@@ -2698,3 +2698,37 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonlink_spark.functions.graph import textrank_keywords
     d = _t(spark, sf_dir, "documents").select("text")
     return textrank_keywords(d, k_iterations=5, top_k=20)
+
+
+@_register("text_pmi_collocations", """
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') END
+             AS t
+  FROM documents
+), bi AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)
+), nab AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi GROUP BY a, b
+), na AS (
+  SELECT a, SUM(n_ab) AS n_a FROM nab GROUP BY a
+), nb AS (
+  SELECT b, SUM(n_ab) AS n_b FROM nab GROUP BY b
+), tot AS (
+  SELECT SUM(n_ab) * 1.0 AS n FROM nab
+)
+SELECT a, b, n_ab,
+       ROUND(log2(n_ab * n / (n_a * n_b)), 6) AS pmi
+FROM nab JOIN na USING (a) JOIN nb USING (b), tot
+WHERE n_ab >= 5
+ORDER BY pmi DESC, a, b LIMIT 50
+""")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (textstats.pmi_collocations): the
+    word2phrase step — top-50 adjacent bigrams by pointwise mutual
+    information over an all-integer count pipeline (one explode, two
+    map-side-combined aggs, broadcast total; log rounded once at the
+    end)."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return ts.pmi_collocations(d, min_count=5, top_k=50)
