@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "chunking_pipeline",
     "text_textrank",
     "text_pmi_collocations",
+    "dedup_duplicate_spans",
     "text_url_stats",
     "text_domain_blocklist",
     "text_decontaminate",

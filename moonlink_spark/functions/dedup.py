@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from moonlink_spark.functions.texthash import h60, h60_seeded
 
@@ -628,3 +629,78 @@ def winnow_clone_pairs(df: DataFrame, id_col: str = "doc_id",
                      F.col(f"r.{id_col}").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, span_tokens: int = 8,
+                    min_occurrences: int = 2) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public): find the maximal token spans of each document that also
+    occur elsewhere in the corpus (or again in the same document) as
+    an exact run of >= ``span_tokens`` tokens, and report per document
+    the merged duplicated coverage.
+
+    Returns one row per document that HAS a duplicated span:
+    ``(id, n_tokens, n_dup_spans, dup_tokens, dup_fraction)``.
+    Documents with no duplicated run are absent (callers treat them as
+    0.0 — the common case, kept off the shuffle).
+
+    The suffix-array formulation distributed: positional length-L
+    token grams hash to h60 longs (8-byte exchange keys); a gram
+    occurring >= ``min_occurrences`` times corpus-wide marks positions
+    ``[p, p+L-1]`` duplicated; per document, overlapping/adjacent
+    duplicated gram ranges merge into maximal spans with the
+    gaps-and-islands window (new span when ``pos > prev + L``).  Every
+    duplicated run of length >= L is covered exactly (every window of
+    it is a duplicated gram; merged coverage equals the run), shorter
+    repeats never fire.
+
+    Scale shape: explode (narrow) → ONE map-side-combinable count on
+    the uniform 8-byte gram key → semi-join positions through the
+    duplicated-gram set (broadcast when small, shuffle otherwise) →
+    per-document window over the RARE surviving positions (bounded by
+    document length).  No pairwise join anywhere — cost is linear in
+    corpus size, unlike the candidate-pair ops above."""
+    L = span_tokens
+    if L < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {L}")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \t\n]+")
+    grams = F.element_at(F.transform(F.array(toks), lambda t: F.when(
+        F.size(t) >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - L),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                h60(F.concat_ws(" ", F.slice(t, i + 1, L))).alias("g"),
+                F.size(t).cast("long").alias("n_tokens"))))
+        .otherwise(F.array().cast(
+            "array<struct<pos:long,g:long,n_tokens:long>>"))), 1)
+    pg = (df.select(F.col(id_col), F.explode(grams).alias("_x"))
+          .select(id_col, F.col("_x.pos").alias("pos"),
+                  F.col("_x.g").alias("g"),
+                  F.col("_x.n_tokens").alias("n_tokens")))
+    dup_grams = (pg.groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") >= min_occurrences)
+                 .select("g"))
+    hits = pg.join(dup_grams, on="g", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (hits
+             .withColumn("_prev", F.lag("pos").over(w))
+             .withColumn("_new", (F.col("_prev").isNull()
+                                  | (F.col("pos")
+                                     > F.col("_prev") + L)).cast("int"))
+             .withColumn("_island", F.sum("_new").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "n_tokens", "_island")
+             .agg(F.min("pos").alias("_start"),
+                  (F.max("pos") + L).alias("_end")))
+    return (spans.groupBy(id_col, "n_tokens")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+                 F.sum(F.col("_end") - F.col("_start"))
+                 .cast("long").alias("dup_tokens"))
+            .select(id_col, "n_tokens", "n_dup_spans", "dup_tokens",
+                    F.round(F.col("dup_tokens").cast("decimal(38,6)")
+                            / F.col("n_tokens"), 6).cast("double")
+                    .alias("dup_fraction")))

@@ -2732,3 +2732,51 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     end)."""
     d = _t(spark, sf_dir, "documents").select("text")
     return ts.pmi_collocations(d, min_count=5, top_k=50)
+
+
+@_register("dedup_duplicate_spans", f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '[ \\t\\n]+') AS t
+  FROM documents
+), pg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         {h60_sql("array_to_string(t[i:i+7], ' ')")} AS g,
+         CAST(len(t) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 8, 0) + 2)) AS i
+        FROM toks WHERE len(t) >= 8)
+), dupg AS (
+  SELECT g FROM pg GROUP BY g HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT pg.* FROM pg SEMI JOIN dupg USING (g)
+), marked AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS new
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), sp AS (
+  SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+       CAST(ROUND(CAST(SUM(e - s) AS DECIMAL(38,6)) / n_tokens, 6)
+            AS DOUBLE) AS dup_fraction
+FROM sp GROUP BY doc_id, n_tokens
+""")
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (dedup.duplicate_spans; the
+    Lee et al. 2021 suffix-array method, distributed): positional
+    8-token gram hashes → corpus-wide occurrence count on the uniform
+    8-byte key → per-doc gaps-and-islands merge of duplicated
+    coverage.  Linear — no pairwise join; every duplicated run >= 8
+    tokens is covered exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicate_spans(d)
