@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "budget_selection",
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_fullprobe",
     "text_token_stats",
     "text_quality",
     "text_langid",

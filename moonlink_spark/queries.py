@@ -2780,3 +2780,30 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens is covered exactly."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.duplicate_spans(d)
+
+
+@_register("similarity_topk_ivf_fullprobe", """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rank,
+         c.vec_id AS neighbor_id
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+) WHERE rank <= 10
+""")
+def similarity_topk_ivf_fullprobe(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The IVF exactness boundary: with nprobe == n_centroids every
+    cell is probed, so IVF is EXACT by construction and the brute-force
+    oracle applies — value-checking the whole IVF code path (seeded
+    centroid training, cell assignment, per-cell candidate join,
+    ranking) end-to-end.  The approximate setting (nprobe < cells)
+    stays the separate rows-only query, its quality recorded in
+    IVF_RECALL.json."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=10,
+                        n_centroids=16, nprobe=16)
