@@ -298,3 +298,75 @@ def test_compaction_3_3_delete_compact_delete_compact(spark, warehouse):
     assert surviving_ids(t, s2.version) == [2, 4]
     assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
         == [2, 4]
+
+
+def _inject_racing_delete(spark, warehouse, monkeypatch, del_id):
+    """Commit a delete for ``del_id`` right before the first optimize
+    commit — the analogue of the reference's injected committed
+    deletion rows mid-compaction (compaction_tests.rs:379-470, the
+    *_2 variants)."""
+    from pyspark.sql import functions as F
+
+    orig = SnapshotStore.commit_delta
+    state = {"armed": True}
+
+    def hijacked(self, base_version, **kw):
+        op = (kw.get("properties") or {}).get("operation", "")
+        if state["armed"] and op.startswith("optimize"):
+            state["armed"] = False
+            other = MoonTable(spark, warehouse, USERS_CONFIG)
+            dels = (other.scan().filter(F.col("id") == del_id)
+                    .select("id", "name", "age")
+                    .withColumn("_op", F.lit("delete")))
+            other.merge(dels, key_columns=["id"], job_tag="race")
+        return orig(self, base_version, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "commit_delta", hijacked)
+
+
+def test_compaction_1_1_2_delete_racing_compaction(spark, warehouse,
+                                                   monkeypatch):
+    """Port of test_compaction_1_1_2: clean files, a committed delete
+    lands mid-compaction → the stale rewrite aborts (CommitConflict),
+    the replan folds the racing delete, and a FRESH instance reloads
+    the exact surviving state (the reference's reload contract)."""
+    from moonlink_spark.snapshotstore import CommitConflict
+
+    make_users_table(warehouse,
+                     [CANON, ([5, 6, 7, 8], ["e", "f", "g", "h"],
+                              [50, 60, 70, 80])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    _inject_racing_delete(spark, warehouse, monkeypatch, del_id=2)
+    with pytest.raises(CommitConflict):
+        t.optimize("full")
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [1, 3, 4, 5, 6, 7, 8]
+    t2 = MoonTable(spark, warehouse, USERS_CONFIG)
+    assert surviving_ids(t2) == [1, 3, 4, 5, 6, 7, 8]
+    assert all((e["dv_cardinality"] or 0) == 0
+               for e in t2.store.manifest_entries(snap.version))
+
+
+def test_compaction_2_2_2_persisted_dv_plus_racing_delete(spark,
+                                                          warehouse,
+                                                          monkeypatch):
+    """Port of test_compaction_2_2_2: a file already carrying a
+    persisted DV gains ANOTHER committed delete mid-compaction — abort,
+    replan, and the rewrite folds BOTH the old DV and the racing
+    delete copy-on-write."""
+    from moonlink_spark.snapshotstore import CommitConflict
+
+    make_users_table(warehouse,
+                     [CANON, ([5, 6, 7, 8], ["e", "f", "g", "h"],
+                              [50, 60, 70, 80])],
+                     dvs={0: [0]})            # id=1 already deleted
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    _inject_racing_delete(spark, warehouse, monkeypatch, del_id=3)
+    with pytest.raises(CommitConflict):
+        t.optimize("full")
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [2, 4, 5, 6, 7, 8]
+    t2 = MoonTable(spark, warehouse, USERS_CONFIG)
+    assert surviving_ids(t2) == [2, 4, 5, 6, 7, 8]
+    assert all((e["dv_cardinality"] or 0) == 0
+               for e in t2.store.manifest_entries(snap.version))
