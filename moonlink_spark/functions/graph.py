@@ -40,10 +40,18 @@ def pagerank(edges: DataFrame, k: int, *, damping_pct: int = 85,
     list ``(src, dst)`` (pre-deduplicated).  Returns ``(node, rank)``.
 
     Every node must have out-degree >= 1 (true for symmetric graphs
-    like word adjacency); dangling-node redistribution is out of scope
-    and asserted away by construction in :func:`textrank_keywords`."""
+    like word adjacency); dangling-node redistribution is out of scope,
+    and the precondition is CHECKED here — a sink node would silently
+    leak rank mass otherwise."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    dangling = (edges.select(F.col("dst").alias("node"))
+                .subtract(edges.select(F.col("src").alias("node"))))
+    bad = dangling.limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"dangling node {bad[0]['node']!r}: every node needs "
+            "out-degree >= 1 (symmetrize the edge list or drop sinks)")
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), "
                          f"got {damping_pct}")

@@ -7,13 +7,16 @@ through ``mapInPandas`` so payload bytes move as Arrow buffers (never
 pickled row-at-a-time), and a partition only ever holds
 ``maxRecordsPerBatch`` payloads in memory.
 
-The actual codec work (PIL/librosa/av) is NOT available in this
-container, so `decode` dispatches:
+Codec dispatch, per payload:
 
-- if a real decoder import succeeds → use it (the plumbing is identical);
-- else, with ``allow_fake=True`` (tests/bench) → a deterministic fake
-  that derives "decoded" features purely from the payload bytes;
-- else → ``NotImplementedError`` (clearly-marked stub).
+- PNG bytes → the REAL pure-Python decoder (``pngcodec.py``: zlib +
+  struct from the public spec) — decoded pixels drive features, dims
+  and resizes, no fake involved;
+- other formats with a real codec library importable (PIL) → that;
+- other formats with ``allow_fake=True`` (tests/bench) → a
+  deterministic fake deriving "decoded" features from payload bytes;
+- else → ``NotImplementedError`` — raised only for genuinely
+  unsupported formats now, not as a blanket stub.
 
 Feature schema is fixed and engine-friendly: one row per media item,
 ``features: array<double>`` with a declared dimension, so downstream
@@ -56,6 +59,8 @@ FEATURE_SCHEMA = T.StructType(_FEATURE_FIELDS)
 
 
 def _have_real_decoder() -> bool:
+    """A general-purpose codec library (beyond the built-in PNG
+    support) is importable."""
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401
         return True
@@ -63,17 +68,17 @@ def _have_real_decoder() -> bool:
         return False
 
 
-def _fake_decode_batch(payloads: pd.Series) -> np.ndarray:
-    """Deterministic stand-in for decode→feature-extract: fold payload
-    bytes into FEATURE_DIM float accumulators (vectorized numpy)."""
-    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
-    for i, b in enumerate(payloads):
-        a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
-        pad = (-len(a)) % FEATURE_DIM
-        if pad:
-            a = np.concatenate([a, np.zeros(pad)])
-        feats[i] = a.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
-    return feats
+def _fold(a: np.ndarray) -> np.ndarray:
+    """Fold a uint8 sample stream into FEATURE_DIM float accumulators
+    (vectorized numpy) — the shared feature head for real pixels and
+    the fake byte path alike."""
+    a = np.asarray(a).astype(np.float64).ravel()
+    if a.size == 0:
+        a = np.zeros(1)
+    pad = (-len(a)) % FEATURE_DIM
+    if pad:
+        a = np.concatenate([a, np.zeros(pad)])
+    return a.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
 
 
 def synthesize_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
@@ -98,22 +103,39 @@ def decode_features(media: DataFrame, *, allow_fake: bool = True,
                     frame_stride_ms: int = 1000) -> DataFrame:
     """Decode / feature-extract / frame-sample via ``mapInPandas``.
 
-    - images: features from decoded pixels (fake: byte folding), dims
-      from metadata;
+    - PNG images: features from REALLY decoded pixels (pngcodec.py);
+      width/height from the decoded array, overriding metadata;
+    - other images: features from byte folding when ``allow_fake``,
+      else ``NotImplementedError`` (genuinely unsupported format);
     - audio/video: frame-sampled at ``frame_stride_ms`` → ``n_frames``;
-    - every row: payload sha256 + byte length (exact, not faked).
+    - every row: payload sha256 + byte length (exact, never faked).
     """
-    real = _have_real_decoder()
-    if not real and not allow_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/librosa/av) not installed; "
-            "pass allow_fake=True for the deterministic test double")
+    from moonlink_spark.functions import pngcodec
 
     stride = frame_stride_ms
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode_batch(pdf["payload"])
+            n = len(pdf)
+            feats = [None] * n
+            widths = pdf["meta_width"].astype("Int32").copy()
+            heights = pdf["meta_height"].astype("Int32").copy()
+            for i in range(n):
+                payload = bytes(pdf["payload"].iloc[i])
+                if pngcodec.is_png(payload):
+                    img = pngcodec.decode_png(payload)
+                    feats[i] = _fold(img)
+                    heights.iloc[i], widths.iloc[i] = \
+                        img.shape[0], img.shape[1]
+                elif allow_fake:
+                    feats[i] = _fold(np.frombuffer(payload,
+                                                   dtype=np.uint8))
+                else:
+                    raise NotImplementedError(
+                        f"no decoder for media_id="
+                        f"{pdf['media_id'].iloc[i]} payload (PNG is "
+                        "built in; other codecs need PIL/librosa/av, "
+                        "or pass allow_fake=True)")
             is_av = pdf["media_type"].isin(["audio", "video"]).to_numpy()
             n_frames = np.where(
                 is_av, np.maximum(1, pdf["meta_duration_ms"].fillna(0)
@@ -124,10 +146,10 @@ def decode_features(media: DataFrame, *, allow_fake: bool = True,
                 "byte_len": pdf["payload"].map(len).astype("int64"),
                 "payload_sha": pdf["payload"].map(
                     lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                "width": pdf["meta_width"].astype("Int32"),
-                "height": pdf["meta_height"].astype("Int32"),
+                "width": widths,
+                "height": heights,
                 "n_frames": pd.array(n_frames, dtype="Int32"),
-                "features": list(feats),
+                "features": feats,
             })
             yield out
 
@@ -152,12 +174,14 @@ def resize(media: DataFrame, *, width: int, height: int,
     payload.  Output keeps :data:`MEDIA_SCHEMA`, so resize composes with
     :func:`decode_features` / further transforms unchanged.
 
-    Rows with NULL declared dims decode at a 64x64 fallback. The output
-    payload is exactly ``width*height`` bytes (row-major grayscale)."""
-    if not _have_real_decoder() and not allow_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/librosa/av) not installed; "
-            "pass allow_fake=True for the deterministic test double")
+    PNG payloads REALLY decode (pngcodec.py; RGB collapses to channel
+    mean) and re-encode as PNG, so resize output stays decodable by
+    the same real path.  Other formats: with ``allow_fake`` the
+    deterministic byte-tiling double decodes at the declared dims
+    (NULL dims fall back to 64x64) and the output payload is exactly
+    ``width*height`` raw grayscale bytes; without it,
+    ``NotImplementedError``."""
+    from moonlink_spark.functions import pngcodec
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,11 +189,24 @@ def resize(media: DataFrame, *, width: int, height: int,
             ws = pdf["meta_width"].fillna(64).astype(int).to_numpy()
             hs = pdf["meta_height"].fillna(64).astype(int).to_numpy()
             for payload, w0, h0 in zip(pdf["payload"], ws, hs):
-                img = _fake_decode_pixels(payload, max(int(w0), 1),
-                                          max(int(h0), 1))
+                payload = bytes(payload)
+                as_png = pngcodec.is_png(payload)
+                if as_png:
+                    img = pngcodec.decode_png(payload)
+                    if img.ndim == 3:
+                        img = img.mean(axis=2).astype(np.uint8)
+                elif allow_fake:
+                    img = _fake_decode_pixels(payload, max(int(w0), 1),
+                                              max(int(h0), 1))
+                else:
+                    raise NotImplementedError(
+                        "no decoder for non-PNG payload (pass "
+                        "allow_fake=True for the deterministic double)")
                 rows = (np.arange(height) * img.shape[0]) // height
                 cols = (np.arange(width) * img.shape[1]) // width
-                out_payloads.append(img[np.ix_(rows, cols)].tobytes())
+                resized = img[np.ix_(rows, cols)]
+                out_payloads.append(pngcodec.encode_png(resized)
+                                    if as_png else resized.tobytes())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -200,13 +237,13 @@ def sample_frames(media: DataFrame, *, stride_ms: int = 1000,
     rows are emitted locally, so a 2-hour video never ships its payload
     per-frame over a shuffle.
 
-    Fake frame extraction (no codecs in this container): frame *i* is
-    the payload byte-rotated by ``i`` — deterministic, distinct per
-    frame, and cheap; a real decoder slots into the same loop."""
-    if not _have_real_decoder() and not allow_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/librosa/av) not installed; "
-            "pass allow_fake=True for the deterministic test double")
+    Still images that are PNG pass through as their (real) encoded
+    bytes — one frame at t=0.  Audio/video frame extraction has no
+    real codec in this container: frame *i* is the payload byte-rotated
+    by ``i`` — deterministic, distinct per frame, and cheap; a real
+    decoder slots into the same loop.  Without ``allow_fake``, non-PNG
+    payloads raise ``NotImplementedError``."""
+    from moonlink_spark.functions import pngcodec
 
     stride = stride_ms
 
@@ -217,6 +254,17 @@ def sample_frames(media: DataFrame, *, stride_ms: int = 1000,
             is_av = pdf["media_type"].isin(["audio", "video"]).to_numpy()
             for j in range(len(pdf)):
                 payload = bytes(pdf["payload"].iloc[j])
+                if pngcodec.is_png(payload) and not is_av[j]:
+                    ids.append(pdf["media_id"].iloc[j])
+                    types.append(pdf["media_type"].iloc[j])
+                    idxs.append(0)
+                    ts.append(0)
+                    frames.append(payload)  # the real frame IS the image
+                    continue
+                if not allow_fake:
+                    raise NotImplementedError(
+                        "no frame decoder for this payload (pass "
+                        "allow_fake=True for the deterministic double)")
                 n = max(1, dur[j] // stride) if is_av[j] else 1
                 a = np.frombuffer(payload, dtype=np.uint8)
                 if a.size == 0:

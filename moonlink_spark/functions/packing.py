@@ -39,9 +39,11 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
 
     Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
     with ``stride = chunk_tokens - overlap``; the final chunk is
-    whatever remains (no padding).  Tokens are lowercased whitespace
-    tokens (the suite's shared tokenizer).  Documents with zero tokens
-    emit no chunks.
+    whatever remains (no padding), and a tail that the previous chunk
+    already fully covers (tail <= overlap) emits no chunk — chunk
+    ``k >= 1`` exists only when chunk ``k-1`` did not reach the end.
+    Tokens are lowercased whitespace tokens (the suite's shared
+    tokenizer).  Documents with zero tokens emit no chunks.
 
     Returns one row per chunk: the document's columns plus
     ``chunk_id`` (0-based), ``chunk_start`` (token offset),
@@ -64,9 +66,14 @@ def chunk_documents(df: DataFrame, *, text_col: str = "text",
     toks = ws_tokens(F.lower(F.col(text_col)))
     chunks = F.element_at(F.transform(F.array(toks), lambda t:
         F.transform(
+            # last chunk k satisfies (k-1)*stride + chunk_tokens < n:
+            # a tail already fully inside the previous chunk (tail <=
+            # overlap) emits nothing — no redundant duplicate rows
             F.sequence(F.lit(0),
-                       F.greatest(F.floor((F.size(t) - 1) / stride),
-                                  F.lit(0))),
+                       F.when(F.size(t) > chunk_tokens,
+                              F.floor((F.size(t) - chunk_tokens - 1)
+                                      / stride) + 1)
+                       .otherwise(F.lit(0))),
             lambda k: F.struct(
                 k.cast("int").alias("chunk_id"),
                 (k * stride).cast("long").alias("chunk_start"),

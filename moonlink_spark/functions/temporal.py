@@ -44,6 +44,7 @@ def asof_join(
     value_columns: list[str],
     quote_order: str,
     tolerance_micros: int | None = None,
+    salt_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Left as-of join: each probe row gains the ``value_columns`` of
     the latest quote with the same key and ``quote_time <= probe_time``
@@ -59,13 +60,29 @@ def asof_join(
     window sort per partition, ``last(..., ignorenulls)`` carrying
     quote values forward into probe rows.  Skew bound: a partition
     holds one key's probes+quotes — the same bound as any per-key
-    window; salt upstream if a single key exceeds an executor.
+    window.
+
+    ``salt_rows_per_task`` enables the EXACT skew fallback for
+    hyper-hot keys (the round-3 audit's 100×-scale hazard: one
+    user/customer key serializing into a single reducer).  Keys whose
+    probe count exceeds the target are time-RANGE-bucketed into
+    ``ceil(count/target)`` salts (a monotonic bucket map over
+    [min,max] probe time — hash salting would break as-of semantics);
+    quotes bucket by the same map, and each salt additionally receives
+    the hot key's latest quote from any EARLIER salt (the boundary
+    quote), computed from a per-(key,salt) last-quote aggregate plus a
+    per-key window over the tiny salt grid.  The big window then
+    partitions by (key, salt): identical results, hot-key partition
+    size divided by the fan-out.  Cold keys take salt 0 and are
+    untouched.  Cost: one extra aggregate over probes and a broadcast
+    of the hot-key plan (hot keys are few by definition).
     """
     pcols = probes.columns
     overlap = set(pcols) & set(value_columns)
     if overlap:
         raise ValueError(f"probe/value column collision: {sorted(overlap)}")
-    reserved = {"_k", "_t", "_tag", "_tb", "_qt"} | {
+    reserved = {"_k", "_t", "_tag", "_tb", "_qt", "_salt", "_ns",
+                "_tmin", "_tmax", "_cnt", "_lq", "_bq"} | {
         f"_q_{c}" for c in value_columns}
     bad = reserved & set(pcols)
     if bad:
@@ -90,17 +107,83 @@ def asof_join(
         *[F.lit(None).cast(p_types[c]).alias(c) for c in pcols],
         *[F.col(c).alias(f"_q_{c}") for c in value_columns])
 
+    rows = p.unionByName(q)
+    partition_cols = ["_k"]
+    if salt_rows_per_task is not None:
+        if salt_rows_per_task <= 0:
+            raise ValueError(f"salt_rows_per_task must be positive, "
+                             f"got {salt_rows_per_task}")
+        t_dtype = dict(probes.dtypes)[probe_time]
+
+        def tnum(c: Column) -> Column:
+            if t_dtype.startswith(("timestamp", "date")):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        hot = (p.groupBy("_k")
+               .agg(F.count(F.lit(1)).alias("_cnt"),
+                    F.min(tnum(F.col("_t"))).alias("_tmin"),
+                    F.max(tnum(F.col("_t"))).alias("_tmax"))
+               .filter(F.col("_cnt") > salt_rows_per_task)
+               .select("_k",
+                       F.ceil(F.col("_cnt") / salt_rows_per_task)
+                       .cast("int").alias("_ns"),
+                       "_tmin", "_tmax"))
+
+        def bucket(df: DataFrame) -> DataFrame:
+            # monotonic time-range bucket, clamped to [0, _ns); cold
+            # keys (no hot row) take salt 0
+            b = F.floor((tnum(F.col("_t")) - F.col("_tmin"))
+                        * F.col("_ns")
+                        / (F.col("_tmax") - F.col("_tmin") + 1))
+            return (df.join(F.broadcast(hot), on="_k", how="left")
+                    .withColumn(
+                        "_salt",
+                        F.when(F.col("_ns").isNull(), F.lit(0))
+                        .otherwise(F.least(F.col("_ns") - 1,
+                                           F.greatest(F.lit(0), b)))
+                        .cast("int"))
+                    .drop("_ns", "_tmin", "_tmax", "_cnt"))
+
+        ps, qs = bucket(p), bucket(q)
+        # each salt > 0 of a hot key needs the latest quote from any
+        # earlier salt: per-(key,salt) last-quote aggregate (tiny),
+        # carried forward over the salt grid, re-emitted as one quote
+        # row per (key, salt).  Its true time sorts it ahead of every
+        # in-range row, so tolerance semantics are untouched.
+        hot_q = qs.join(F.broadcast(hot.select("_k")), on="_k",
+                        how="left_semi")
+        qstruct = F.struct(*[F.col(c) for c in qs.columns])
+        last_in = (hot_q.groupBy("_k", "_salt")
+                   .agg(F.max_by(qstruct, F.struct("_t", "_tb"))
+                        .alias("_lq")))
+        grid = hot.select(
+            "_k", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+            .alias("_salt"))
+        bw = (Window.partitionBy("_k").orderBy("_salt")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        boundary = (grid.join(last_in, on=["_k", "_salt"], how="left")
+                    .withColumn("_bq",
+                                F.last("_lq", ignorenulls=True).over(bw))
+                    .filter(F.col("_bq").isNotNull()))
+        boundary_rows = boundary.select(
+            *[F.col(f"_bq.{c}").alias(c) for c in qs.columns
+              if c != "_salt"],
+            F.col("_salt"))
+        rows = ps.unionByName(qs).unionByName(boundary_rows)
+        partition_cols = ["_k", "_salt"]
+
     # quotes (_tag 0) sort ahead of probes (_tag 1) at equal time:
     # at-or-before semantics.  _tb is NULL on every probe row and
     # non-null on every quote row, so engine NULL-ordering defaults
     # never reorder across the _tag boundary.
-    w = (Window.partitionBy("_k").orderBy("_t", "_tag", "_tb")
+    w = (Window.partitionBy(*partition_cols).orderBy("_t", "_tag", "_tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = [F.last(f"_q_{c}", ignorenulls=True).over(w).alias(f"_q_{c}")
                for c in value_columns]
     quote_t = F.last(F.when(F.col("_tag") == 0, F.col("_t")),
                      ignorenulls=True).over(w).alias("_qt")
-    out = (p.unionByName(q)
+    out = (rows
            .select("_t", "_tag", *pcols, *carried, quote_t)
            .filter(F.col("_tag") == 1))
 

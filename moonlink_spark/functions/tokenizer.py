@@ -97,17 +97,24 @@ def apply_merge(sym: Column, a: str, b: str) -> Column:
 
 
 def bpe_encode(df: DataFrame, vocab: DataFrame, *,
+               merges: list[tuple[str, str]] | None = None,
                text_col: str = "text", id_col: str = "doc_id"
                ) -> DataFrame:
     """Segment documents with a trained BPE vocabulary.
 
     ``vocab`` is :func:`bpe_train`'s ``final_vocab`` — its ``symbols``
     column IS the segmentation for every in-vocabulary word (the
-    trained state doubles as the encode dictionary; no merge replay at
-    encode time).  Out-of-vocabulary words fall back to their initial
-    character symbols (the untrained segmentation — standard BPE
-    behavior for unseen words with no learned merges applying... the
-    conservative upper bound on token count).
+    trained state doubles as the encode dictionary; no merge replay
+    needed for seen words).
+
+    Out-of-vocabulary words: with ``merges`` (the ordered merge list
+    from :func:`bpe_train`) the learned merges are replayed onto the
+    word's character symbols — standard BPE encoding for unseen words.
+    The replay runs over the DISTINCT OOV word table (per word type,
+    not per occurrence — the 100 TB-safe shape) and joins back.
+    Without ``merges`` the fallback is the raw character segmentation,
+    a conservative upper bound on token count suitable for
+    diagnostics.
 
     Adds ``n_bpe_tokens`` and ``bpe_symbols`` (the document's
     concatenated symbol stream) per document.
@@ -129,7 +136,22 @@ def bpe_encode(df: DataFrame, vocab: DataFrame, *,
                                                     F.lit(1))),
                     lambda i: F.substring(w, i, 1)),
         F.array(F.lit(END_OF_WORD)))
-    seg = seg.withColumn("_sym", F.coalesce(F.col("symbols"), chars))
+    if merges:
+        oov = (seg.filter(F.col("symbols").isNull())
+               .select("word").distinct())
+        replayed = chars
+        for a, b in merges:
+            replayed = apply_merge(replayed, a, b)
+        # eager checkpoint collapses the len(merges)-deep fold chain to
+        # a materialized (small) word->symbols table before the join
+        oov_vocab = (oov.withColumn("_oov_sym", replayed)
+                     .localCheckpoint(eager=True))
+        seg = seg.join(oov_vocab, on="word", how="left")
+        seg = seg.withColumn("_sym", F.coalesce(F.col("symbols"),
+                                                F.col("_oov_sym"),
+                                                chars))
+    else:
+        seg = seg.withColumn("_sym", F.coalesce(F.col("symbols"), chars))
     return (seg.groupBy(id_col)
             .agg(F.sum(F.size("_sym")).cast("long")
                  .alias("n_bpe_tokens"),

@@ -1,0 +1,239 @@
+"""Distributed scan planning: the file list never lands on the driver.
+
+The default read path (``operators/scan.py``) plans like Iceberg's
+driver does — collect the pruned manifest's (path, dv_path) projection,
+hand the path list to Spark's parquet source.  That is the right call up
+to a few million manifest entries; past it, even the *pruned* list can
+exceed driver heap (the round-3 audit named ``scan.py:316`` as the next
+scale boundary at the 10^12-file design point).
+
+This module is the scale path: the pruned manifest STAYS a DataFrame.
+Planning work (fully-deleted-file skip, dirty/clean DV split, plan
+statistics) runs as distributed relational ops; each executor task then
+reads the files named by its own slice of the plan via pyarrow inside
+``mapInArrow`` — Arrow record batches end to end, no pandas detour and
+no per-row Python.  This is the PySpark-native analogue of what a
+DataSourceV2 relation with distributed split planning (Iceberg's
+``SparkBatchQueryScan``) does on the JVM: the driver holds O(1) state
+(a plan DataFrame lineage + one aggregate row), never O(files).
+
+Semantics are identical to ``scan.scan``:
+
+- positions are row ordinals within each data file (pyarrow preserves
+  parquet row order; ordinals accumulate across row-group batches);
+- delete-vector sidecars are exploded executor-side with
+  ``list_flatten``/``list_parent_indices`` and anti-joined on
+  (file, pos); clean files bypass the anti-join entirely (DV-split
+  routing, cf. ``moonlink_datafusion/src/table_provider.rs:96-130``
+  attaching a RowSelection only to files that have one);
+- fully-deleted files (dv_cardinality == rows) are dropped at planning
+  time — here by a distributed filter instead of a driver loop;
+- schema evolution: files predating an added column yield typed nulls;
+  dropped columns are never read (the pyarrow reader is handed the
+  projected column list, so pruning happens at the footer).
+
+Object-store note: the reader uses ``pyarrow.parquet`` against the
+warehouse-prefixed path, which resolves through pyarrow's filesystem
+layer — local posix in the sandbox, s3://-style URIs on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from moonlink_spark.operators.scan import (BROADCAST_DV_ROWS, FILE_COL,
+                                           POS_COL)
+from moonlink_spark.snapshotstore import SnapshotStore
+
+# Pruned-manifest entry count above which scan() switches from
+# driver-collected planning to this module.  ~100 bytes/entry puts the
+# default at ~100 MB of driver heap — far below the point of pain, so
+# the switch happens well before the driver is at risk.  Tests lower it
+# to force the distributed path on small warehouses.
+PLAN_DISTRIBUTED_FILES = 1_000_000
+
+_READ_BATCH_ROWS = 1 << 16
+
+
+def _spark_schema_for(spark: SparkSession, store: SnapshotStore,
+                      manifest: DataFrame,
+                      schema_ddl: str | None) -> T.StructType:
+    """The logical read schema as a Spark StructType.  Prefer the
+    snapshot's pinned DDL (schema evolution source of truth); fall back
+    to ONE file footer — an O(1) driver read, not a footer sweep."""
+    if schema_ddl:
+        return T.StructType.fromDDL(schema_ddl)
+    from pyspark.sql.pandas.types import from_arrow_schema
+    import pyarrow.parquet as pq
+    sample = manifest.select("path").limit(1).collect()
+    if not sample:
+        raise ValueError("empty manifest and no schema_ddl: cannot "
+                         "derive a read schema")
+    return from_arrow_schema(pq.read_schema(store.abs(sample[0]["path"])))
+
+
+def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None):
+    """mapInArrow body: read each plan row's parquet file with pyarrow,
+    emit batches cast to the target schema with (file, pos) attached.
+    Everything inside is Arrow-native C++ — the Python layer only routes
+    batches."""
+    def reader(batches) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        logical = [f for f in arrow_schema if f.name != FILE_COL]
+        for b in batches:
+            for relpath in b.column("path").to_pylist():
+                pf = pq.ParquetFile(os.path.join(warehouse, relpath))
+                avail = set(pf.schema_arrow.names)
+                cols = ([c for c in read_cols if c in avail]
+                        if read_cols is not None else None)
+                pos = 0
+                for rb in pf.iter_batches(batch_size=_READ_BATCH_ROWS,
+                                          columns=cols):
+                    n = rb.num_rows
+                    tb = pa.Table.from_batches([rb])
+                    arrays = []
+                    for fld in logical:
+                        if fld.name in tb.column_names:
+                            arrays.append(
+                                tb.column(fld.name).combine_chunks()
+                                .cast(fld.type))
+                        elif fld.name == POS_COL:
+                            # writers materialize _pos as a data column
+                            # (the DV join key); a file without it gets
+                            # ordinals — positions ARE row ordinals
+                            arrays.append(pa.array(
+                                np.arange(pos, pos + n), pa.int64()))
+                        else:
+                            arrays.append(pa.nulls(n, fld.type))
+                    arrays.append(pa.array([relpath] * n, pa.string()))
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, schema=arrow_schema)
+                    pos += n
+    return reader
+
+
+def _dv_reader(warehouse: str):
+    """mapInArrow body: explode DV sidecars to (file, pos) rows with
+    Arrow list kernels — no Python-level loop over positions."""
+    def reader(batches) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        out_schema = pa.schema([pa.field(FILE_COL, pa.string()),
+                                pa.field(POS_COL, pa.int64())])
+        for b in batches:
+            for relpath in b.column("dv_path").to_pylist():
+                t = pq.read_table(
+                    os.path.join(warehouse, relpath),
+                    columns=["referenced_file", "positions"])
+                pos = pc.list_flatten(t["positions"])
+                idx = pc.list_parent_indices(t["positions"])
+                ref = pc.take(t["referenced_file"], idx)
+                yield pa.RecordBatch.from_arrays(
+                    [ref.combine_chunks().cast(pa.string()),
+                     pos.combine_chunks().cast(pa.int64())],
+                    schema=out_schema)
+    return reader
+
+
+def _read_plan(spark: SparkSession, store: SnapshotStore, plan: DataFrame,
+               n_files: int, struct: T.StructType,
+               read_cols: list[str] | None) -> DataFrame:
+    """Turn a one-column ``path`` plan DataFrame into the rows of those
+    files.  Parallelism: one task per plan partition; round-robin
+    repartition spreads files so stragglers are single-file, not
+    single-task-many-files."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    fields = list(struct.fields)
+    if POS_COL not in {f.name for f in fields}:
+        fields.append(T.StructField(POS_COL, T.LongType()))
+    out = T.StructType(fields + [T.StructField(FILE_COL, T.StringType())])
+    nparts = max(1, min(n_files,
+                        spark.sparkContext.defaultParallelism * 2))
+    return (plan.repartition(nparts)
+            .mapInArrow(_file_reader(store.warehouse, to_arrow_schema(out),
+                                     read_cols),
+                        schema=out))
+
+
+def scan_distributed(
+    spark: SparkSession,
+    store: SnapshotStore,
+    manifest: DataFrame,
+    *,
+    schema_ddl: str | None = None,
+    project: list[str] | None = None,
+    column_defaults: Mapping[str, object] | None = None,
+    with_location: bool = False,
+) -> DataFrame:
+    """Scan the (already pruned) manifest without collecting its file
+    list.  Driver-side state: one 2-value aggregate row (entry count +
+    total DV cardinality) and, when no schema DDL is pinned, one sample
+    footer.  Everything else — the fully-deleted skip, the dirty/clean
+    split, the reads, the DV anti-join — is the distributed plan."""
+    live = manifest.filter(
+        ~(F.col("rows").isNotNull()
+          & (F.coalesce("dv_cardinality", F.lit(0)) >= F.col("rows"))))
+    stats = live.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dv_path").isNotNull(),
+                     F.coalesce("dv_cardinality", F.lit(0)))
+              ).alias("dvc"),
+        F.sum(F.when(F.col("dv_path").isNotNull(), 1).otherwise(0)
+              ).alias("n_dirty")).first()
+    n_files = int(stats["n"] or 0)
+    dv_card = int(stats["dvc"] or 0)
+    n_dirty = int(stats["n_dirty"] or 0)
+
+    struct = _spark_schema_for(spark, store, live, schema_ddl)
+    if project:
+        by_name = {f.name: f for f in struct.fields}
+        struct = T.StructType([by_name[c] for c in project if c in by_name])
+    read_cols = [f.name for f in struct.fields]
+
+    clean = _read_plan(spark, store,
+                       live.filter(F.col("dv_path").isNull())
+                       .select("path"),
+                       n_files - n_dirty, struct, read_cols)
+    if n_dirty:
+        dirty_rows = _read_plan(spark, store,
+                                live.filter(F.col("dv_path").isNotNull())
+                                .select("path"),
+                                n_dirty, struct, read_cols)
+        dv_plan = (live.filter(F.col("dv_path").isNotNull())
+                   .select("dv_path").distinct())
+        dels = (dv_plan.repartition(
+                    max(1, min(n_dirty,
+                               spark.sparkContext.defaultParallelism)))
+                .mapInArrow(_dv_reader(store.warehouse),
+                            schema=f"{FILE_COL} string, {POS_COL} long")
+                # sidecars may reference files pruned out of this scan
+                .join(live.filter(F.col("dv_path").isNotNull())
+                      .select(F.col("path").alias(FILE_COL)),
+                      on=FILE_COL, how="left_semi")
+                .distinct())
+        if dv_card <= BROADCAST_DV_ROWS:
+            dels = F.broadcast(dels)
+        out = clean.unionByName(
+            dirty_rows.join(dels, on=[FILE_COL, POS_COL], how="left_anti"))
+    else:
+        out = clean
+    if column_defaults:
+        for col, default in column_defaults.items():
+            if default is not None and col in out.columns:
+                out = out.withColumn(col, F.coalesce(F.col(col),
+                                                     F.lit(default)))
+    if not with_location:
+        # mirror scan.scan: FILE_COL is scan metadata, always shed;
+        # POS_COL stays when it is a logical table column
+        out = out.drop(FILE_COL)
+        if POS_COL not in read_cols:
+            out = out.drop(POS_COL)
+    return out

@@ -37,12 +37,9 @@ from moonlink_spark.snapshotstore import Snapshot, SnapshotStore
 # comfortably under typical executor memory.
 BROADCAST_DV_ROWS = 8_000_000
 
-# Driver-side plan lists above this entry count get a loud warning:
-# ~100 bytes/entry puts 5M entries at ~500 MB of driver heap — the
-# point where unpruned planning needs predicates/index or more driver
-# memory (cf. Iceberg's own driver manifest planning, which hits the
-# same wall and answers it with manifest filtering).
-PLAN_FILES_WARN = 5_000_000
+# Driver-collected planning above ~1M entries hands off to
+# ``operators/distscan.py`` (the manifest stays a DataFrame; executors
+# read their own plan slices) — see ``distscan.PLAN_DISTRIBUTED_FILES``.
 
 FILE_COL = "_mlfile"
 POS_COL = "_pos"
@@ -311,7 +308,18 @@ def scan(
     # Planning collects (path, dv_path, dv_cardinality) — file *lists*,
     # not data.  This mirrors what every table format's driver-side
     # planner does (Iceberg manifests are read at planning time too); the
-    # manifest stays a DataFrame until this final projection.
+    # manifest stays a DataFrame until this final projection.  Above
+    # the distscan threshold even the pruned list is too big for the
+    # driver, and planning itself goes distributed: the manifest stays
+    # a DataFrame end-to-end and executors read their own plan slices.
+    from moonlink_spark.operators import distscan
+    if (manifest.count() > distscan.PLAN_DISTRIBUTED_FILES):
+        return distscan.scan_distributed(
+            spark, store, manifest,
+            schema_ddl=snapshot.properties.get("schema_ddl"),
+            project=snapshot.schema,
+            column_defaults=snapshot.properties.get("column_defaults"),
+            with_location=with_location)
     plan_rows = manifest.select("path", "dv_path", "dv_cardinality",
                                 "rows").collect()
     # Fully-deleted files (DV covers every row — DVs are exact positional
@@ -322,13 +330,6 @@ def scan(
     plan_rows = [r for r in plan_rows
                  if not (r["rows"] is not None
                          and int(r["dv_cardinality"] or 0) >= int(r["rows"]))]
-    if len(plan_rows) > PLAN_FILES_WARN:
-        import warnings
-        warnings.warn(
-            f"scan planning collected {len(plan_rows)} manifest entries "
-            "onto the driver; at this file count pass bound predicates "
-            "(or enable the key index for point batches) so pruning "
-            "shrinks the plan, or raise driver memory", stacklevel=2)
     files = [r["path"] for r in plan_rows]
     dv_paths = sorted({r["dv_path"] for r in plan_rows if r["dv_path"]})
     dv_card = sum(r["dv_cardinality"] for r in plan_rows)

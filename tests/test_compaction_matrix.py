@@ -370,3 +370,123 @@ def test_compaction_2_2_2_persisted_dv_plus_racing_delete(spark,
     assert surviving_ids(t2) == [2, 4, 5, 6, 7, 8]
     assert all((e["dv_cardinality"] or 0) == 0
                for e in t2.store.manifest_entries(snap.version))
+
+
+def test_compaction_1_2_2_committed_dv_racing_and_post_delete(
+        spark, warehouse, monkeypatch):
+    """Port of test_compaction_1_2_2 (compaction_tests.rs:557-660):
+    a delete committed BEFORE compaction (the 1_2 axis: deletion
+    committed, DV freshly persisted via MERGE), a second committed
+    delete racing the compaction itself, and a third delete that the
+    reference injects as *uncommitted* during compaction — in the batch
+    engine that is exactly a delete merged AFTER the compaction commit,
+    which must land as a DV referencing the COMPACTED output file (the
+    reference's deletion-log remap onto the compacted file)."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.snapshotstore import CommitConflict
+
+    make_users_table(warehouse,
+                     [CANON, ([5, 6, 7, 8], ["e", "f", "g", "h"],
+                              [50, 60, 70, 80])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+
+    def dels(*ids):
+        return spark.createDataFrame(
+            [(i, None, None, "delete") for i in ids],
+            "id int, name string, age int, _op string")
+
+    t.merge(dels(1), key_columns=["id"])          # pre-compaction commit
+    assert surviving_ids(t) == [2, 3, 4, 5, 6, 7, 8]
+
+    _inject_racing_delete(spark, warehouse, monkeypatch, del_id=2)
+    with pytest.raises(CommitConflict):
+        t.optimize("full")
+    snap = t.optimize("full")                     # replan folds both
+    assert surviving_ids(t, snap.version) == [3, 4, 5, 6, 7, 8]
+    ents = t.store.manifest_entries(snap.version)
+    assert all((e["dv_cardinality"] or 0) == 0 for e in ents)
+    compacted_paths = {e["path"] for e in ents}
+
+    # the reference's "uncommitted at compaction time" deletion:
+    # committed after the compaction, remapped onto the compacted file
+    s_post = t.merge(dels(4), key_columns=["id"])
+    assert surviving_ids(t, s_post.version) == [3, 5, 6, 7, 8]
+    post = t.store.manifest_entries(s_post.version)
+    dv_bearing = [e for e in post if (e["dv_cardinality"] or 0) > 0]
+    assert dv_bearing and all(e["path"] in compacted_paths
+                              for e in dv_bearing)
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [3, 5, 6, 7, 8]
+
+
+def test_compaction_2_3_2_two_persisted_dvs_racing_and_post_delete(
+        spark, warehouse, monkeypatch):
+    """Port of test_compaction_2_3_2 (compaction_tests.rs:935-1048):
+    BOTH input files already carry persisted DVs (the 2_3 axis), a
+    committed delete races the compaction (abort → replan folds all
+    three delete generations), and the reference's injected
+    uncommitted deletion arrives as a post-compaction MERGE landing on
+    the compacted output."""
+    from moonlink_spark.snapshotstore import CommitConflict
+
+    make_users_table(warehouse,
+                     [CANON, ([5, 6, 7, 8], ["e", "f", "g", "h"],
+                              [50, 60, 70, 80])],
+                     dvs={0: [0], 1: [2]})        # ids 1 and 7 deleted
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+    assert surviving_ids(t) == [2, 3, 4, 5, 6, 8]
+
+    _inject_racing_delete(spark, warehouse, monkeypatch, del_id=2)
+    with pytest.raises(CommitConflict):
+        t.optimize("full")
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [3, 4, 5, 6, 8]
+    ents = t.store.manifest_entries(snap.version)
+    assert all((e["dv_cardinality"] or 0) == 0 for e in ents)
+    m = snap.properties["metrics"]
+    assert m["rows_out"] == m["rows_in"] - m["rows_deleted"]
+
+    def dels(*ids):
+        return spark.createDataFrame(
+            [(i, None, None, "delete") for i in ids],
+            "id int, name string, age int, _op string")
+
+    s_post = t.merge(dels(6), key_columns=["id"])
+    assert surviving_ids(t, s_post.version) == [3, 4, 5, 8]
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [3, 4, 5, 8]
+
+
+def test_compaction_3_2_2_multi_commit_deletes_racing_compaction(
+        spark, warehouse, monkeypatch):
+    """The 3_2 racing axis (the reference stops at 3_2_1; this is the
+    same multi-commit-generations state crossed with the *_2 racing
+    harness): two DV generations per file from separate MERGE commits,
+    then a further delete lands mid-compaction — the stale rewrite
+    aborts, the replan folds ALL generations plus the racing delete."""
+    from moonlink_spark.snapshotstore import CommitConflict
+
+    make_users_table(warehouse, [CANON,
+                                 ([9, 10], ["x", "y"], [90, 100])])
+    t = MoonTable(spark, warehouse, USERS_CONFIG)
+
+    def dels(*ids):
+        return spark.createDataFrame(
+            [(i, None, None, "delete") for i in ids],
+            "id int, name string, age int, _op string")
+
+    t.merge(dels(1), key_columns=["id"])          # file0 gen-1
+    t.merge(dels(9), key_columns=["id"])          # file1 gen-1
+    t.merge(dels(10), key_columns=["id"])         # file1 gen-2
+    assert surviving_ids(t) == [2, 3, 4]
+
+    _inject_racing_delete(spark, warehouse, monkeypatch, del_id=2)
+    with pytest.raises(CommitConflict):
+        t.optimize("full")
+    snap = t.optimize("full")
+    assert surviving_ids(t, snap.version) == [3, 4]
+    ents = t.store.manifest_entries(snap.version)
+    assert len(ents) == 1 and (ents[0]["dv_cardinality"] or 0) == 0
+    assert surviving_ids(MoonTable(spark, warehouse, USERS_CONFIG)) \
+        == [3, 4]

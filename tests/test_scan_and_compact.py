@@ -85,24 +85,26 @@ def test_optimize_full_is_idempotent_noop_or_stable(spark, aftermath):
     assert spark_sha_multiset(table.scan(snap.version)) == before
 
 
-def test_huge_plan_collect_warns(spark, aftermath, monkeypatch):
-    """Driver-side planning is standard table-format behavior, but an
-    unpruned plan over a huge manifest must warn loudly (the 10^8-entry
-    regime is a driver-memory hazard; VERDICT r2 'what's wrong' #2)."""
-    import warnings as _warnings
-
+def test_distributed_planning_scan_parity(spark, aftermath, monkeypatch):
+    """Above the distscan threshold, scan() hands off to distributed
+    planning (manifest stays a DataFrame; executors read their own plan
+    slices).  Forced on for this small warehouse, the result must be
+    bit-identical to the driver-planned path — and the handoff must not
+    route through scan_files (proof the collect path was skipped)."""
+    from moonlink_spark.operators import distscan
     from moonlink_spark.operators import scan as scan_op
 
     w, _ = aftermath
     table = MoonTable(spark, w)
-    monkeypatch.setattr(scan_op, "PLAN_FILES_WARN", 1)
-    with pytest.warns(UserWarning, match="manifest entries"):
-        table.scan(0).count()
-    # back at the real threshold, a small scan is silent
-    monkeypatch.undo()
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
-        table.scan(0).count()
+    before = spark_sha_multiset(table.scan(0))
+
+    monkeypatch.setattr(distscan, "PLAN_DISTRIBUTED_FILES", 0)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-collected scan_files was called "
+                             "on the distributed planning path")
+    monkeypatch.setattr(scan_op, "scan_files", _boom)
+    assert spark_sha_multiset(table.scan(0)) == before
 
 
 def test_dv_split_scan_equals_legacy_single_antijoin(spark, aftermath):

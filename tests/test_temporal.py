@@ -103,6 +103,84 @@ def test_asof_join_equals_naive_inequality_join(spark):
     assert lhs == rhs
 
 
+def test_asof_join_salted_extreme_parity(probes, quotes):
+    """salt_rows_per_task=1 makes EVERY key hot with one salt per probe
+    — the brutal edge for boundary-quote carry (most salts hold no
+    in-range quote and depend entirely on the carried boundary row).
+    Results must equal the unsalted semantics exactly, tolerance
+    included."""
+    out = asof_join(
+        probes, quotes, probe_key="user_id", quote_key="user_id",
+        probe_time="pts", quote_time="ts",
+        value_columns=["event_id", "event_type"], quote_order="event_id",
+        salt_rows_per_task=1)
+    got = {r["probe_id"]: (r["event_id"], r["event_type"])
+           for r in out.collect()}
+    assert got == {10: (100, "a"), 11: (102, "c"), 12: (None, None),
+                   13: (200, "d"), 14: (None, None)}
+    tol = asof_join(
+        probes, quotes, probe_key="user_id", quote_key="user_id",
+        probe_time="pts", quote_time="ts", value_columns=["event_id"],
+        quote_order="event_id", tolerance_micros=2 * 3600 * US,
+        salt_rows_per_task=1)
+    got = {r["probe_id"]: r["event_id"] for r in tol.collect()}
+    assert got == {10: 100, 11: 102, 12: None, 13: None, 14: None}
+
+
+def test_asof_join_salted_skewed_key_parity_and_fanout(spark):
+    """One key owns 50 % of the probes (the audit's hyper-hot-user
+    case).  The salted plan must (a) return exactly the unsalted
+    result and (b) actually fan the hot key out: the window partitions
+    by (key, salt) and the bucket map splits the hot key's probes into
+    ~count/target balanced salts."""
+    n = 2000
+    p = (spark.range(n)
+         .select(F.col("id").alias("probe_id"),
+                 F.when(F.col("id") % 2 == 0, F.lit(0))
+                 .otherwise(1 + F.col("id") % 7).alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(1_700_000_000 * US)
+                     + F.col("id") * 1000 * US
+                     + (F.xxhash64("id") % (1000 * US))).alias("pts")))
+    q = (spark.range(300)
+         .select((F.col("id") % 9).alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(1_700_000_000 * US)
+                     + (F.xxhash64("id", F.lit(5))
+                        % (n * 1000 * US))).alias("ts"),
+                 F.col("id").alias("event_id"),
+                 (F.xxhash64("id", F.lit(1)) % 100).cast("double")
+                 .alias("value")))
+    kw = dict(probe_key="user_id", quote_key="user_id",
+              probe_time="pts", quote_time="ts",
+              value_columns=["event_id", "value"],
+              quote_order="event_id")
+    plain = asof_join(p, q, **kw)
+    salted = asof_join(p, q, salt_rows_per_task=100, **kw)
+    as_dict = lambda df: {r["probe_id"]: (r["event_id"], r["value"])
+                          for r in df.collect()}
+    assert as_dict(salted) == as_dict(plain)
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan          # the big window partitions on salt
+    assert "_salt" not in plain._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    # bucket-map balance twin: hot key 0 has 1000 uniform-time probes,
+    # target 100 -> 10 salts, each within 2x of even
+    times = sorted(r["pts"] for r in
+                   p.filter(F.col("user_id") == 0).collect())
+    lo = times[0].timestamp() * US
+    hi = times[-1].timestamp() * US
+    ns = 10
+    from collections import Counter
+    buckets = Counter(
+        min(ns - 1, max(0, int((t.timestamp() * US - lo) * ns
+                               // (hi - lo + 1)))) for t in times)
+    assert len(buckets) == ns
+    assert max(buckets.values()) <= 2 * (len(times) // ns)
+
+
 def test_interval_join_equals_naive_theta_join(spark):
     """Bucketized interval join == the naive theta join, across bucket
     widths (windows spanning 1 and 2 buckets, boundary-exact)."""

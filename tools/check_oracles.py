@@ -5,7 +5,12 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and an order-insensitive value hash (rows sorted by their string
 rendering, columns sorted by name).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query verdicts (rows/schema/hash match) as a
+committed-artifact-shaped JSON, mirroring the driver's
+CORRECTNESS_r{N}.json so repo claims stay grep-able from machine
+output.
 """
 
 from __future__ import annotations
@@ -24,6 +29,14 @@ def canon(val) -> str:
     import math
     if val is None:
         return "NULL"
+    if isinstance(val, (list, dict, set, tuple)):
+        # the driver's pandas canonicalizer cannot sort array cells —
+        # fail here so the regression never reaches the driver
+        raise TypeError(f"array-typed result cell {val!r}: emit "
+                        "array_join/array_to_string in the query instead")
+    if isinstance(val, int) and not -(2 ** 63) <= val < 2 ** 63:
+        raise TypeError(f"int128-range result cell {val}: CAST the "
+                        "aggregate AS BIGINT in the oracle")
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
@@ -41,8 +54,14 @@ def table_repr(cols: list[str], rows: list[tuple]) -> tuple:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    verdicts: dict[str, dict] = {}
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -79,23 +98,43 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            verdicts[name] = {"error": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"      WARNING: zero rows")
+            verdicts[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "rows": len(srows)}
             continue
         try:
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            bad_types = [f"{r[0]}:{r[1]}" for r in desc
+                         if any(b in r[1].upper()
+                                for b in ("HUGEINT", "[]", "STRUCT(",
+                                          "MAP("))]
+            if bad_types:
+                # HUGEINT renders differently from Spark bigint in the
+                # driver's canonicalizer; arrays crash its pandas sort
+                print(f"FAIL  {name}: driver-hostile oracle types "
+                      f"{bad_types} — CAST AS BIGINT / array_to_string")
+                failures.append(name)
+                verdicts[name] = {"error": f"types: {bad_types}"}
+                continue
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            verdicts[name] = {"error": f"duckdb: {e}"}
             continue
         sn, sb = table_repr(scols, srows)
         dn, db = table_repr(dcols, drows)
+        verdicts[name] = {"rows_match": len(sb) == len(db),
+                          "schema_match": sn == dn,
+                          "hash_match": sn == dn and sb == db}
         status = []
         if sn != dn:
             status.append(f"schema {sn} != {dn}")
@@ -119,6 +158,15 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+        import platform
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(verdicts),
+                       "n_failures": len(failures),
+                       "host": platform.node(),
+                       "queries": verdicts}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
