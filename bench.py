@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_topk_ivf",
     "similarity_topk_ivf_fullprobe",
+    "similarity_topk_ivf_fullprobe_clustered",
     "text_token_stats",
     "text_quality",
     "text_langid",

@@ -103,7 +103,9 @@ class Catalog:
     def warehouse_path(self, database: str, table: str) -> str:
         return os.path.join(self.base_path, database, table)
 
-    # -- registry --------------------------------------------------------
+    # -- registry primitives (the ONLY storage-specific surface; the
+    # SQLite backend overrides exactly these five — the two-backend
+    # split of base_metadata_store.rs:30-67) ----------------------------
     def table_exists(self, database: str, table: str) -> bool:
         return self.fs.is_file(self._entry_path(database, table))
 
@@ -112,6 +114,22 @@ class Catalog:
         if not self.fs.is_file(path):
             raise NoSuchTable(f"{database}.{table}")
         return json.loads(self.fs.read_bytes(path))
+
+    def _write_entry(self, database: str, table: str,
+                     entry: dict) -> None:
+        """Persist a registry entry; raises :class:`TableExists` when a
+        concurrent writer registered the same (database, table)."""
+        path = self._entry_path(database, table)
+        self.fs.makedirs(os.path.dirname(path))
+        self.fs.write_atomic(
+            path, json.dumps(entry, indent=1, sort_keys=True).encode())
+
+    def _delete_entry(self, database: str, table: str) -> bool:
+        path = self._entry_path(database, table)
+        existed = self.fs.is_file(path)
+        if existed:
+            self.fs.remove(path)
+        return existed
 
     def _entries(self) -> list[dict]:
         """All registered table entries — the analogue of
@@ -174,10 +192,7 @@ class Catalog:
             "warehouse": posixpath.join(database, table),
             "table_config": _config_to_json(config),
         }
-        self.fs.makedirs(os.path.dirname(self._entry_path(database, table)))
-        self.fs.write_atomic(
-            self._entry_path(database, table),
-            json.dumps(entry, indent=1, sort_keys=True).encode())
+        self._write_entry(database, table, entry)
         return MoonTable(self.spark, wh, config)
 
     def get_table(self, database: str, table: str) -> MoonTable:
@@ -195,10 +210,7 @@ class Catalog:
         mid-drop leaves an orphaned-but-unregistered directory (cleaned
         by a later drop_table call), never a registered table with
         missing data."""
-        path = self._entry_path(database, table)
-        existed = self.fs.is_file(path)
-        if existed:
-            self.fs.remove(path)
+        existed = self._delete_entry(database, table)
         wh = self.warehouse_path(database, table)
         if self.fs.is_dir(wh):
             self.fs.rmtree(wh)
@@ -303,3 +315,87 @@ class Catalog:
             rec["database"], rec["table"] = db, name
             records.append(rec)
         return records
+
+
+class SqliteCatalog(Catalog):
+    """DB-backed registry twin of :class:`Catalog` — the analogue of the
+    reference's SQLite metadata store (``moonlink_metadata_store/src/
+    base_metadata_store.rs:30-67``; the Postgres/SQLite backend pair
+    both implement the same minimal table registry, and so do the JSON
+    and SQLite backends here).
+
+    Only the five registry primitives differ; the table/warehouse
+    lifecycle, status listing, leases and maintenance sweep are
+    inherited unchanged.  Entries live in one SQLite table
+    ``tables(database, tbl, entry)`` with a composite primary key, in
+    WAL mode — concurrent writers (threads or processes) serialize on
+    the database file, and duplicate registration is rejected
+    ATOMICALLY by the primary key (no check-then-write window, unlike
+    the JSON backend where a racing pair of creates can both pass the
+    exists check)."""
+
+    DB_FILE = "catalog.sqlite"
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 fs: PosixFileSystem | None = None):
+        super().__init__(spark, base_path, fs)
+        os.makedirs(os.path.join(self.base_path, METADATA_DIR),
+                    exist_ok=True)
+        self._db_path = os.path.join(self.base_path, METADATA_DIR,
+                                     self.DB_FILE)
+        with self._conn() as con:
+            con.execute("CREATE TABLE IF NOT EXISTS tables ("
+                        "database TEXT NOT NULL, tbl TEXT NOT NULL, "
+                        "entry TEXT NOT NULL, "
+                        "PRIMARY KEY (database, tbl))")
+
+    def _conn(self):
+        import sqlite3
+        con = sqlite3.connect(self._db_path, timeout=30.0)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA synchronous=NORMAL")
+        return con
+
+    # -- registry primitives ---------------------------------------------
+    def table_exists(self, database: str, table: str) -> bool:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT 1 FROM tables WHERE database=? AND tbl=?",
+                (database, table)).fetchone()
+        return row is not None
+
+    def _read_entry(self, database: str, table: str) -> dict:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT entry FROM tables WHERE database=? AND tbl=?",
+                (database, table)).fetchone()
+        if row is None:
+            raise NoSuchTable(f"{database}.{table}")
+        return json.loads(row[0])
+
+    def _entries(self) -> list[dict]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT entry FROM tables ORDER BY database, tbl"
+            ).fetchall()
+        return [json.loads(r[0]) for r in rows]
+
+    def _write_entry(self, database: str, table: str,
+                     entry: dict) -> None:
+        import sqlite3
+        try:
+            with self._conn() as con:
+                con.execute(
+                    "INSERT INTO tables (database, tbl, entry) "
+                    "VALUES (?, ?, ?)",
+                    (database, table,
+                     json.dumps(entry, sort_keys=True)))
+        except sqlite3.IntegrityError:
+            raise TableExists(f"{database}.{table} already exists")
+
+    def _delete_entry(self, database: str, table: str) -> bool:
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM tables WHERE database=? AND tbl=?",
+                (database, table))
+        return cur.rowcount > 0

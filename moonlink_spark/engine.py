@@ -114,7 +114,13 @@ class MoonTable:
     def scan(self, version: int | None = None, *,
              as_of: float | None = None,
              predicates: Mapping[str, str] | None = None,
-             with_location: bool = False) -> DataFrame:
+             with_location: bool = False,
+             apply_row_filters: bool = False) -> DataFrame:
+        """``apply_row_filters=True`` returns only rows matching
+        ``predicates`` (not just the surviving files) — on the
+        distributed-planning path this pushes the predicate into the
+        executor-side pyarrow reader, where a caller-side ``.filter``
+        cannot reach (see ``operators/scan.scan``)."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass either version or as_of, not both")
@@ -122,7 +128,8 @@ class MoonTable:
         snap = self.store.read_snapshot(version)
         return scan_op.scan(self.spark, self.store, snap,
                             predicates=predicates,
-                            with_location=with_location)
+                            with_location=with_location,
+                            apply_row_filters=apply_row_filters)
 
     def manifest(self, version: int | None = None) -> DataFrame:
         return self.store.manifest_df(self.spark, version)

@@ -77,25 +77,86 @@ def _spark_schema_for(spark: SparkSession, store: SnapshotStore,
     return from_arrow_schema(pq.read_schema(store.abs(sample[0]["path"])))
 
 
-def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None):
+def _pa_filter_expr(row_filters: Mapping[str, object]):
+    """Render the scan predicate mini-language as a pyarrow dataset
+    expression (row-level filtering AT the reader).  Built executor-side
+    from the plain mapping — dataset expressions are not shipped."""
+    import pyarrow.dataset as pds
+    expr = None
+    for col, pred in row_filters.items():
+        f = pds.field(col)
+        if not isinstance(pred, tuple):
+            pred = ("==", pred)
+        op = pred[0]
+        if op == "==":
+            e = f == pred[1]
+        elif op == "<":
+            e = f < pred[1]
+        elif op == "<=":
+            e = f <= pred[1]
+        elif op == ">":
+            e = f > pred[1]
+        elif op == ">=":
+            e = f >= pred[1]
+        elif op == "between":
+            e = (f >= pred[1]) & (f <= pred[2])
+        elif op == "is_null":
+            e = f.is_null()
+        elif op == "not_null":
+            e = ~f.is_null()
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None,
+                 row_filters: Mapping[str, object] | None = None):
     """mapInArrow body: read each plan row's parquet file with pyarrow,
     emit batches cast to the target schema with (file, pos) attached.
     Everything inside is Arrow-native C++ — the Python layer only routes
-    batches."""
+    batches.
+
+    ``row_filters`` pushes the predicate into the pyarrow dataset
+    scanner (row-level, single-threaded per file so row order — and
+    with it positional semantics — is preserved).  Pushdown is skipped
+    for a file that needs SYNTHESIZED ordinals (no materialized
+    ``_pos`` column): filtering there would renumber positions; such
+    files read unfiltered and the Spark-side filter finishes the job."""
     def reader(batches) -> Iterator:
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
         logical = [f for f in arrow_schema if f.name != FILE_COL]
+        expr = (_pa_filter_expr(row_filters) if row_filters else None)
+        filter_cols = set(row_filters or ())
+
+        def file_batches(path, avail, cols):
+            pf = pq.ParquetFile(path)
+            # push only when _pos is a REAL file column: the output
+            # schema always carries positions (the DV join key), and
+            # synthesized ordinals over a filtered read would renumber
+            can_push = (expr is not None and POS_COL in avail
+                        and filter_cols <= avail)
+            if not can_push:
+                yield from pf.iter_batches(
+                    batch_size=_READ_BATCH_ROWS, columns=cols)
+                return
+            import pyarrow.dataset as pds
+            scanner = pds.Scanner.from_dataset(
+                pds.dataset(path, format="parquet"),
+                columns=cols, filter=expr,
+                batch_size=_READ_BATCH_ROWS, use_threads=False)
+            yield from scanner.to_batches()
+
         for b in batches:
             for relpath in b.column("path").to_pylist():
-                pf = pq.ParquetFile(os.path.join(warehouse, relpath))
-                avail = set(pf.schema_arrow.names)
+                fpath = os.path.join(warehouse, relpath)
+                avail = set(pq.read_schema(fpath).names)
                 cols = ([c for c in read_cols if c in avail]
                         if read_cols is not None else None)
                 pos = 0
-                for rb in pf.iter_batches(batch_size=_READ_BATCH_ROWS,
-                                          columns=cols):
+                for rb in file_batches(fpath, avail, cols):
                     n = rb.num_rows
                     tb = pa.Table.from_batches([rb])
                     arrays = []
@@ -145,7 +206,9 @@ def _dv_reader(warehouse: str):
 
 def _read_plan(spark: SparkSession, store: SnapshotStore, plan: DataFrame,
                n_files: int, struct: T.StructType,
-               read_cols: list[str] | None) -> DataFrame:
+               read_cols: list[str] | None,
+               row_filters: Mapping[str, object] | None = None
+               ) -> DataFrame:
     """Turn a one-column ``path`` plan DataFrame into the rows of those
     files.  Parallelism: one task per plan partition; round-robin
     repartition spreads files so stragglers are single-file, not
@@ -159,7 +222,7 @@ def _read_plan(spark: SparkSession, store: SnapshotStore, plan: DataFrame,
                         spark.sparkContext.defaultParallelism * 2))
     return (plan.repartition(nparts)
             .mapInArrow(_file_reader(store.warehouse, to_arrow_schema(out),
-                                     read_cols),
+                                     read_cols, row_filters),
                         schema=out))
 
 
@@ -172,12 +235,18 @@ def scan_distributed(
     project: list[str] | None = None,
     column_defaults: Mapping[str, object] | None = None,
     with_location: bool = False,
+    row_filters: Mapping[str, object] | None = None,
 ) -> DataFrame:
     """Scan the (already pruned) manifest without collecting its file
     list.  Driver-side state: one 2-value aggregate row (entry count +
     total DV cardinality) and, when no schema DDL is pinned, one sample
     footer.  Everything else — the fully-deleted skip, the dirty/clean
-    split, the reads, the DV anti-join — is the distributed plan."""
+    split, the reads, the DV anti-join — is the distributed plan.
+
+    ``row_filters`` (scan's predicate mini-language) is pushed into the
+    pyarrow reader per file (row-level) AND re-applied as a Spark
+    filter on the result — exact either way; the pushdown is the
+    scale win a post-``mapInArrow`` filter cannot reach."""
     live = manifest.filter(
         ~(F.col("rows").isNotNull()
           & (F.coalesce("dv_cardinality", F.lit(0)) >= F.col("rows"))))
@@ -197,16 +266,21 @@ def scan_distributed(
         by_name = {f.name: f for f in struct.fields}
         struct = T.StructType([by_name[c] for c in project if c in by_name])
     read_cols = [f.name for f in struct.fields]
+    # a defaulted column's nulls are backfilled AFTER the read — its
+    # predicate must not reach pyarrow (it would drop pre-default rows
+    # the Spark-side filter would keep); it stays Spark-side only
+    push_filters = {c: p for c, p in (row_filters or {}).items()
+                    if c not in (column_defaults or {})} or None
 
     clean = _read_plan(spark, store,
                        live.filter(F.col("dv_path").isNull())
                        .select("path"),
-                       n_files - n_dirty, struct, read_cols)
+                       n_files - n_dirty, struct, read_cols, push_filters)
     if n_dirty:
         dirty_rows = _read_plan(spark, store,
                                 live.filter(F.col("dv_path").isNotNull())
                                 .select("path"),
-                                n_dirty, struct, read_cols)
+                                n_dirty, struct, read_cols, push_filters)
         dv_plan = (live.filter(F.col("dv_path").isNotNull())
                    .select("dv_path").distinct())
         dels = (dv_plan.repartition(
@@ -230,6 +304,10 @@ def scan_distributed(
             if default is not None and col in out.columns:
                 out = out.withColumn(col, F.coalesce(F.col(col),
                                                      F.lit(default)))
+    if row_filters:
+        from moonlink_spark.operators.scan import predicate_exprs
+        for cond in predicate_exprs(row_filters):
+            out = out.filter(cond)
     if not with_location:
         # mirror scan.scan: FILE_COL is scan metadata, always shed;
         # POS_COL stays when it is a logical table column

@@ -172,6 +172,37 @@ def prune_manifest(manifest: DataFrame,
     return manifest
 
 
+def predicate_exprs(predicates: Mapping[str, object] | None):
+    """The same predicate mini-language as :func:`prune_manifest`,
+    rendered as Spark row-filter Columns (for callers that want the
+    rows filtered, not just the files pruned)."""
+    out = []
+    for col, pred in (predicates or {}).items():
+        c = F.col(col)
+        if not isinstance(pred, tuple):
+            pred = ("==", pred)
+        op = pred[0]
+        if op == "==":
+            out.append(c == F.lit(pred[1]))
+        elif op == "<":
+            out.append(c < F.lit(pred[1]))
+        elif op == "<=":
+            out.append(c <= F.lit(pred[1]))
+        elif op == ">":
+            out.append(c > F.lit(pred[1]))
+        elif op == ">=":
+            out.append(c >= F.lit(pred[1]))
+        elif op == "between":
+            out.append((c >= F.lit(pred[1])) & (c <= F.lit(pred[2])))
+        elif op == "is_null":
+            out.append(c.isNull())
+        elif op == "not_null":
+            out.append(c.isNotNull())
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+    return out
+
+
 def file_list_df(spark: SparkSession, files: list[str],
                  col: str = FILE_COL) -> DataFrame:
     """A one-column DataFrame of file paths, for semi-joining instead of
@@ -293,6 +324,7 @@ def scan(
     predicates: Mapping[str, str] | None = None,
     with_location: bool = False,
     keep_files: DataFrame | None = None,
+    apply_row_filters: bool = False,
 ) -> DataFrame:
     """Scan one snapshot version (optionally pruned by equality predicates
     on stats columns).  Returns live rows only.
@@ -300,7 +332,17 @@ def scan(
     ``keep_files`` (one-column ``path`` DataFrame) restricts the scan to
     those manifest entries — the key-index candidate set computed by
     MERGE (``operators/keyindex.py``); applied as a semi-join before the
-    planning projection."""
+    planning projection.
+
+    ``apply_row_filters=True`` additionally applies ``predicates`` as
+    ROW filters (default: file pruning only — surviving files return
+    all their rows and the caller filters).  The point is pushdown
+    symmetry at scale: on this driver-planned path a caller's
+    ``.filter`` already reaches the parquet source through Catalyst,
+    but on the distributed-planning path (``distscan``) a filter above
+    ``mapInArrow`` cannot cross the Python boundary — passing it here
+    hands the predicate to the pyarrow reader (row-level dataset
+    filter at the scan) on that path instead."""
     manifest = prune_manifest(
         spark.read.parquet(*snapshot.manifest_paths), predicates)
     if keep_files is not None:
@@ -319,7 +361,8 @@ def scan(
             schema_ddl=snapshot.properties.get("schema_ddl"),
             project=snapshot.schema,
             column_defaults=snapshot.properties.get("column_defaults"),
-            with_location=with_location)
+            with_location=with_location,
+            row_filters=predicates if apply_row_filters else None)
     plan_rows = manifest.select("path", "dv_path", "dv_cardinality",
                                 "rows").collect()
     # Fully-deleted files (DV covers every row — DVs are exact positional
@@ -349,10 +392,14 @@ def scan(
             if POS_COL not in empty.columns:
                 empty = empty.withColumn(POS_COL, F.lit(None).cast("long"))
         return empty
-    return scan_files(
+    out = scan_files(
         spark, store, files, dv_paths, dv_card,
         with_location=with_location,
         schema_ddl=snapshot.properties.get("schema_ddl"),
         project=snapshot.schema,
         column_defaults=snapshot.properties.get("column_defaults"),
         dv_files=[r["path"] for r in plan_rows if r["dv_path"]])
+    if apply_row_filters:
+        for cond in predicate_exprs(predicates):
+            out = out.filter(cond)  # Catalyst pushes to the parquet scan
+    return out

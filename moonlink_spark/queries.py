@@ -2818,6 +2818,49 @@ def similarity_topk_ivf_fullprobe(spark: SparkSession,
                         n_centroids=16, nprobe=16)
 
 
+@_register("similarity_topk_ivf_fullprobe_clustered", """
+WITH shifted AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x + CASE WHEN vec_id % 20 < 14 THEN 0.0
+                         WHEN vec_id % 20 < 19 THEN 5.0
+                         ELSE 10.0 END) AS embedding
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, embedding FROM shifted
+         WHERE vec_id < 8)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.embedding,
+                                           c.embedding) DESC,
+                    c.vec_id) AS rank,
+         c.vec_id AS neighbor_id
+  FROM q JOIN shifted c ON c.vec_id <> q.query_id
+) WHERE rank <= 10
+""")
+def similarity_topk_ivf_fullprobe_clustered(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """Second IVF exactness boundary, on a CLUSTERED corpus with
+    deliberately unequal cells: vectors shift into a 70/25/5 mixture of
+    three well-separated clusters (per-row offset on every coordinate),
+    so k-means training lands uneven cell populations — the regime
+    where cell-size skew could hide candidate-set bugs.  With
+    nprobe == n_centroids every cell is probed, IVF is exact by
+    construction, and the brute-force oracle must match rank-for-rank
+    over the SAME shifted vectors (verdict r3 item 9)."""
+    e = _t(spark, sf_dir, "embeddings")
+    offset = (F.when(F.col("vec_id") % 20 < 14, F.lit(0.0))
+              .when(F.col("vec_id") % 20 < 19, F.lit(5.0))
+              .otherwise(F.lit(10.0)))
+    shifted = e.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x + offset).alias("embedding"))
+    return sim.ivf_topk(shifted, shifted.filter(F.col("vec_id") < 8),
+                        k=10, n_centroids=8, nprobe=8)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

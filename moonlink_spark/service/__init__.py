@@ -1,0 +1,5 @@
+"""Service layer: the reference's wire surfaces re-expressed over the
+library API (REST front door; the RPC scan surface stays the library
+``scan_begin``/``scan_end`` calls)."""
+
+from moonlink_spark.service.rest_server import RestServer  # noqa: F401

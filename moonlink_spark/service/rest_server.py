@@ -1,0 +1,364 @@
+"""Minimal HTTP front door — the ``moonlink_service`` REST API analogue.
+
+The reference's actual user-facing surface is an HTTP service
+(``moonlink_service/src/rest_api.rs:407-423``) routing to the same
+engine operations this repo exposes as a library.  This module is that
+routing layer over stdlib ``http.server`` — no web framework — so a
+user integrating "like moonlink" can drive ingest → optimize → scan
+over the wire:
+
+    GET    /health                      liveness + timestamp
+    GET    /tables                      catalog listing
+    POST   /tables/{db.table}           create table (JSON schema)
+    DELETE /tables/{db.table}           drop table (idempotent)
+    GET    /schema/{db}/{table}         column list
+    POST   /ingest/{db.table}           JSON row event
+    POST   /ingestpb/{db.table}         protobuf MoonlinkRow event
+    POST   /kafka/{db.table}/schema     pin the table's Avro schema
+    POST   /kafka/{db.table}/ingest     Avro row event
+    POST   /upload/{db.table}           bulk parquet adoption
+    POST   /tables/{db.table}/optimize  maintenance (data|index|full)
+    POST   /tables/{db.table}/snapshot  force a snapshot
+    POST   /tables/{db.table}/flush     apply the WAL backlog
+
+Event frame (mirrors ``rest_api.rs`` ``IngestRequest``):
+``{"operation": "insert|upsert|delete", "data": ..., "request_mode":
+"sync"|"async"}``.  For protobuf/Avro the ``data`` field carries the
+encoded payload base64'd (the JSON frame stands in for the reference's
+binary HTTP bodies; the payload bytes themselves are the real wire
+codecs from ``sources/``).
+
+Ack semantics: ``sync`` commits the event's transaction to the WAL
+before responding (durable-before-ack — the reference's sync mode) and
+returns its LSN; ``async`` buffers into the open transaction and acks
+immediately (the next sync commit or ``/flush`` carries it).  Apply-
+to-table happens on ``/flush`` (or any recovery replay), exactly like
+the library lifecycle.
+
+Single-writer discipline: one ``IngestSession`` per table guarded by a
+per-table lock — the per-table event-loop serialization of the
+reference (``table_handler.rs``), with HTTP threads as producers.
+
+Key columns: the create-table payload may carry ``key_columns`` (row
+identity for MERGE).  Absent that, the full non-``_pos`` column set is
+the identity — safe (exact-row delete semantics) and deterministic.
+The mapping lives in the server (the wire layer), not the catalog.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from moonlink_spark.catalog import Catalog, NoSuchTable, TableExists
+from moonlink_spark.ingest import IngestSession
+from moonlink_spark.sources.rest_events import apply_event
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _split_table(name: str) -> tuple[str, str]:
+    if "." in name:
+        db, tbl = name.split(".", 1)
+    else:
+        db, tbl = "default", name
+    if not db or not tbl:
+        raise _HttpError(400, f"bad table name {name!r}")
+    return db, tbl
+
+
+class RestServer:
+    """Threaded HTTP server over a :class:`Catalog`.  ``start()`` binds
+    an ephemeral loopback port (``.port``); ``stop()`` shuts down."""
+
+    def __init__(self, catalog: Catalog, *, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.catalog = catalog
+        self._host, self._port = host, port
+        self._sessions: dict[tuple[str, str], IngestSession] = {}
+        self._key_columns: dict[tuple[str, str], list[str]] = {}
+        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._global = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self) -> "RestServer":
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                if not raw:
+                    return {}
+                try:
+                    out = json.loads(raw)
+                except Exception as e:
+                    raise _HttpError(400, f"bad JSON body: {e}")
+                if not isinstance(out, dict):
+                    raise _HttpError(400, "body must be a JSON object")
+                return out
+
+            def _reply(self, status: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _dispatch(self, method: str) -> None:
+                try:
+                    status, payload = server._route(
+                        method, self.path, self._body()
+                        if method in ("POST", "DELETE") else {})
+                    self._reply(status, payload)
+                except _HttpError as e:
+                    self._reply(e.status, {"message": e.message})
+                except Exception as e:  # engine error → 500 with detail
+                    self._reply(500, {"message": f"{type(e).__name__}: "
+                                                 f"{e}"})
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port),
+                                          Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        assert self._httpd is not None, "server not started"
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -- per-table state -------------------------------------------------
+    def _lock(self, key: tuple[str, str]) -> threading.Lock:
+        with self._global:
+            return self._locks.setdefault(key, threading.Lock())
+
+    def _session(self, db: str, tbl: str) -> IngestSession:
+        key = (db, tbl)
+        with self._global:
+            sess = self._sessions.get(key)
+        if sess is not None:
+            return sess
+        try:
+            table = self.catalog.get_table(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        snap = table.snapshot()
+        keys = self._key_columns.get(key) or [
+            c for c in snap.schema if c != "_pos"]
+        sess = IngestSession(table, key_columns=keys)
+        with self._global:
+            self._sessions.setdefault(key, sess)
+            return self._sessions[key]
+
+    # -- routing ---------------------------------------------------------
+    _ROUTES = [
+        ("GET", r"^/health$", "_health"),
+        ("GET", r"^/tables$", "_list_tables"),
+        ("POST", r"^/tables/(?P<t>[^/]+)/optimize$", "_optimize"),
+        ("POST", r"^/tables/(?P<t>[^/]+)/snapshot$", "_snapshot"),
+        ("POST", r"^/tables/(?P<t>[^/]+)/flush$", "_flush"),
+        ("POST", r"^/tables/(?P<t>[^/]+)$", "_create_table"),
+        ("DELETE", r"^/tables/(?P<t>[^/]+)$", "_drop_table"),
+        ("GET", r"^/schema/(?P<db>[^/]+)/(?P<tbl>[^/]+)$", "_schema"),
+        ("POST", r"^/ingest/(?P<t>[^/]+)$", "_ingest_json"),
+        ("POST", r"^/ingestpb/(?P<t>[^/]+)$", "_ingest_pb"),
+        ("POST", r"^/kafka/(?P<t>[^/]+)/schema$", "_set_avro_schema"),
+        ("POST", r"^/kafka/(?P<t>[^/]+)/ingest$", "_ingest_avro"),
+        ("POST", r"^/upload/(?P<t>[^/]+)$", "_upload"),
+    ]
+
+    def _route(self, method: str, path: str,
+               body: dict) -> tuple[int, dict]:
+        for m, pat, fn in self._ROUTES:
+            if m != method:
+                continue
+            match = re.match(pat, path)
+            if match:
+                return getattr(self, fn)(body, **match.groupdict())
+        raise _HttpError(404, f"no route {method} {path}")
+
+    # -- handlers --------------------------------------------------------
+    def _health(self, body: dict) -> tuple[int, dict]:
+        return 200, {"service": "moonlink-spark-rest-api",
+                     "status": "healthy",
+                     "timestamp": int(time.time())}
+
+    def _list_tables(self, body: dict) -> tuple[int, dict]:
+        return 200, {"tables": self.catalog.list_tables()}
+
+    def _create_table(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        schema = body.get("schema")
+        if not isinstance(schema, list) or not schema:
+            raise _HttpError(400, "body needs a non-empty `schema` "
+                                  "column list")
+        if isinstance(schema[0], dict):  # reference field-object form
+            types = {f["name"]: f.get("data_type", "string")
+                     for f in schema}
+            cols = [f["name"] for f in schema]
+        else:
+            cols = list(schema)
+            types = body.get("schema_types")
+        if "_pos" not in cols:
+            cols = cols + ["_pos"]
+        key = body.get("key_columns")
+        try:
+            self.catalog.create_table(db, tbl, schema=cols,
+                                      schema_types=types)
+        except TableExists as e:
+            raise _HttpError(409, str(e))
+        except ValueError as e:
+            raise _HttpError(400, str(e))
+        if key:
+            self._key_columns[(db, tbl)] = list(key)
+        return 200, {"database": db, "table": tbl, "schema": cols}
+
+    def _drop_table(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        with self._global:
+            self._sessions.pop((db, tbl), None)
+        return 200, {"dropped": self.catalog.drop_table(db, tbl)}
+
+    def _schema(self, body: dict, db: str, tbl: str) -> tuple[int, dict]:
+        try:
+            cols = self.catalog.get_table_schema(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        return 200, {"database": db, "table": tbl, "schema": cols}
+
+    def _ingest(self, t: str, body: dict, fmt: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        op = body.get("operation")
+        data = body.get("data")
+        mode = body.get("request_mode", "sync")
+        if mode not in ("sync", "async"):
+            raise _HttpError(400, f"bad request_mode {mode!r}")
+        sess = self._session(db, tbl)
+        with self._lock((db, tbl)):
+            try:
+                if fmt == "json":
+                    apply_event(sess, {"operation": op, "data": data})
+                else:
+                    if not isinstance(data, str):
+                        raise ValueError(
+                            f"{fmt} events carry base64 payload bytes "
+                            "in `data`")
+                    payload = base64.b64decode(data)
+                    apply_event(sess, payload, fmt=fmt, operation=op)
+            except (ValueError, KeyError) as e:
+                raise _HttpError(400, f"bad event: {e}")
+            lsn = sess.commit() if mode == "sync" else None
+        return 200, {"operation": op, "lsn": lsn,
+                     "request_mode": mode,
+                     "table": f"{db}.{tbl}"}
+
+    def _ingest_json(self, body: dict, t: str) -> tuple[int, dict]:
+        return self._ingest(t, body, "json")
+
+    def _ingest_pb(self, body: dict, t: str) -> tuple[int, dict]:
+        return self._ingest(t, body, "protobuf")
+
+    def _ingest_avro(self, body: dict, t: str) -> tuple[int, dict]:
+        return self._ingest(t, body, "avro")
+
+    def _set_avro_schema(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        schema = body.get("schema")
+        if schema is None:
+            raise _HttpError(400, "body needs `schema`")
+        sess = self._session(db, tbl)
+        with self._lock((db, tbl)):
+            try:
+                sess.set_avro_schema(schema)
+            except ValueError as e:
+                raise _HttpError(400, str(e))
+        return 200, {"table": f"{db}.{tbl}", "avro_schema": "pinned"}
+
+    def _flush(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        sess = self._session(db, tbl)
+        with self._lock((db, tbl)):
+            # commit any async-buffered tail first, then apply
+            pending_lsn = sess.commit()
+            snap = sess.flush()
+        return 200, {"table": f"{db}.{tbl}",
+                     "committed_lsn": sess.committed_lsn(),
+                     "applied_lsn": sess.applied_lsn(),
+                     "tail_lsn": pending_lsn,
+                     "version": None if snap is None else snap.version}
+
+    def _optimize(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        mode = body.get("mode", "data")
+        if mode not in ("data", "index", "full"):
+            raise _HttpError(400, f"bad optimize mode {mode!r}")
+        try:
+            table = self.catalog.get_table(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        with self._lock((db, tbl)):
+            snap = table.optimize(mode)
+        metrics: Any = snap.properties.get("metrics")
+        return 200, {"table": f"{db}.{tbl}", "mode": mode,
+                     "version": snap.version, "metrics": metrics}
+
+    def _snapshot(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        try:
+            table = self.catalog.get_table(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        with self._lock((db, tbl)):
+            snap = table.create_snapshot()
+        return 200, {"table": f"{db}.{tbl}", "version": snap.version}
+
+    def _upload(self, body: dict, t: str) -> tuple[int, dict]:
+        db, tbl = _split_table(t)
+        files = body.get("files")
+        if not isinstance(files, list) or not files:
+            raise _HttpError(400, "body needs a non-empty `files` list")
+        try:
+            table = self.catalog.get_table(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        with self._lock((db, tbl)):
+            try:
+                snap = table.load_files(files, copy=bool(
+                    body.get("copy", True)))
+            except (ValueError, FileNotFoundError) as e:
+                raise _HttpError(400, str(e))
+        return 200, {"table": f"{db}.{tbl}", "version": snap.version,
+                     "n_files": len(files)}

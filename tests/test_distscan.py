@@ -136,6 +136,41 @@ def test_schema_evolution_added_column_nulls(spark, aftermath):
     assert filled.count() == dist.count()
 
 
+def test_row_filter_pushdown_parity_both_paths(spark, aftermath,
+                                               monkeypatch):
+    """scan(..., apply_row_filters=True): identical filtered rows on
+    the driver-planned path (Catalyst parquet pushdown) and the
+    distributed path (pyarrow dataset filter + Spark re-filter), and a
+    strict subset of the unfiltered scan."""
+    w, _ = aftermath
+    store = SnapshotStore(w)
+    snap = store.read_snapshot(0)
+    repo = (scan_op.scan(spark, store, snap)
+            .select("repo").first()["repo"])
+    preds = {"repo": repo}
+
+    full = scan_op.scan(spark, store, snap).count()
+    default = scan_op.scan(spark, store, snap, predicates=preds,
+                           apply_row_filters=True)
+    assert 0 < default.count() < full
+    assert default.filter(F.col("repo") != repo).count() == 0
+
+    monkeypatch.setattr(distscan, "PLAN_DISTRIBUTED_FILES", 0)
+    dist = scan_op.scan(spark, store, snap, predicates=preds,
+                        apply_row_filters=True)
+    assert _multiset(dist) == _multiset(default.select(dist.columns))
+
+    # range + null-ness predicate forms too, against a Spark-side twin
+    preds2 = {"repo": ("between", "org0", "org5"),
+              "path": ("not_null",)}
+    twin = (scan_op.scan(spark, store, snap)
+            .filter((F.col("repo") >= "org0") & (F.col("repo") <= "org5")
+                    & F.col("path").isNotNull()))
+    dist2 = scan_op.scan(spark, store, snap, predicates=preds2,
+                         apply_row_filters=True)
+    assert _multiset(dist2) == _multiset(twin.select(dist2.columns))
+
+
 def test_engine_scan_switches_at_threshold(spark, aftermath, monkeypatch):
     """MoonTable.scan flips to distributed planning past the module
     threshold and the row content is unchanged."""

@@ -1,0 +1,167 @@
+"""HTTP front door e2e (service/rest_server.py).
+
+Drives the reference's REST lifecycle — create table → ingest rows
+over all three codecs (JSON / Avro / protobuf) → flush → optimize →
+verify via the library scan — through REAL http requests against the
+stdlib-threaded server (cf. ``moonlink_service/src/rest_api.rs:407-423``
+route table)."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.service import RestServer
+from moonlink_spark.sources.avro_codec import schemaless_encode
+from moonlink_spark.sources.proto_codec import encode_moonlink_row
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("rest-cat")))
+    srv = RestServer(cat).start()
+    yield srv, cat
+    srv.stop()
+
+
+def _call(srv, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        method=method,
+        data=None if body is None else json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "User",
+    "fields": [{"name": "id", "type": "long"},
+               {"name": "name", "type": "string"},
+               {"name": "age", "type": "long"}],
+}
+
+
+def test_rest_lifecycle_ingest_optimize_scan(served, spark):
+    srv, cat = served
+    st, out = _call(srv, "GET", "/health")
+    assert st == 200 and out["status"] == "healthy"
+
+    st, out = _call(srv, "POST", "/tables/db.users", {
+        "schema": ["id", "name", "age"],
+        "schema_types": {"id": "bigint", "name": "string",
+                         "age": "bigint"},
+        "key_columns": ["id"]})
+    assert st == 200 and out["schema"] == ["id", "name", "age", "_pos"]
+
+    st, out = _call(srv, "GET", "/schema/db/users")
+    assert st == 200 and out["schema"] == ["id", "name", "age", "_pos"]
+
+    # JSON ingest, sync mode: ack carries a monotone LSN
+    lsns = []
+    for i, name in enumerate(["a", "b", "c"], start=1):
+        st, out = _call(srv, "POST", "/ingest/db.users", {
+            "operation": "insert",
+            "data": {"id": i, "name": name, "age": 10 * i}})
+        assert st == 200 and out["lsn"] is not None
+        lsns.append(out["lsn"])
+    assert lsns == sorted(lsns)
+
+    # Avro ingest through the pinned-schema kafka route
+    st, _ = _call(srv, "POST", "/kafka/db.users/schema",
+                  {"schema": AVRO_SCHEMA})
+    assert st == 200
+    payload = schemaless_encode({"id": 4, "name": "d", "age": 40},
+                                AVRO_SCHEMA)
+    st, out = _call(srv, "POST", "/kafka/db.users/ingest", {
+        "operation": "insert",
+        "data": base64.b64encode(payload).decode()})
+    assert st == 200 and out["lsn"] is not None
+
+    # protobuf ingest: positional MoonlinkRow against the schema
+    pb = encode_moonlink_row([5, "e", 50])
+    st, out = _call(srv, "POST", "/ingestpb/db.users", {
+        "operation": "upsert",
+        "data": base64.b64encode(pb).decode()})
+    assert st == 200 and out["lsn"] is not None
+
+    # a delete, async mode: buffered, no LSN yet
+    st, out = _call(srv, "POST", "/ingest/db.users", {
+        "operation": "delete", "data": {"id": 2},
+        "request_mode": "async"})
+    assert st == 200 and out["lsn"] is None
+
+    # flush commits the async tail and applies the backlog
+    st, out = _call(srv, "POST", "/tables/db.users/flush")
+    assert st == 200 and out["version"] is not None
+    assert out["applied_lsn"] == out["committed_lsn"] > 0
+
+    t = cat.get_table("db", "users")
+    got = {r["id"]: (r["name"], r["age"])
+           for r in t.scan().select("id", "name", "age").collect()}
+    assert got == {1: ("a", 10), 3: ("c", 30), 4: ("d", 40),
+                   5: ("e", 50)}
+
+    # optimize over the wire, then re-verify content
+    st, out = _call(srv, "POST", "/tables/db.users/optimize",
+                    {"mode": "full"})
+    assert st == 200 and out["version"] is not None
+    got2 = {r["id"]: (r["name"], r["age"])
+            for r in t.scan().select("id", "name", "age").collect()}
+    assert got2 == got
+
+    st, out = _call(srv, "GET", "/tables")
+    names = {(e["database"], e["table"]) for e in out["tables"]}
+    assert ("db", "users") in names
+
+
+def test_rest_upload_and_snapshot(served, spark, tmp_path):
+    srv, cat = served
+    st, _ = _call(srv, "POST", "/tables/db.bulk", {
+        "schema": ["id", "name", "_pos"],
+        "schema_types": {"id": "bigint", "name": "string",
+                         "_pos": "bigint"}})
+    assert st == 200
+    src = str(tmp_path / "adopt.parquet")
+    (spark.range(5)
+     .select(F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name"),
+             F.col("id").alias("_pos"))
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    import glob
+    part = glob.glob(f"{src}/part-*.parquet")[0]
+    st, out = _call(srv, "POST", "/upload/db.bulk",
+                    {"files": [part], "copy": True})
+    assert st == 200 and out["n_files"] == 1
+    assert cat.get_table("db", "bulk").scan().count() == 5
+
+    st, out = _call(srv, "POST", "/tables/db.bulk/snapshot")
+    assert st == 200 and out["version"] >= 1
+
+
+def test_rest_error_paths(served):
+    srv, _ = served
+    st, out = _call(srv, "POST", "/ingest/db.missing", {
+        "operation": "insert", "data": {"id": 1}})
+    assert st == 404
+    st, out = _call(srv, "POST", "/ingest/db.users", {
+        "operation": "frobnicate", "data": {"id": 1}})
+    assert st == 400 and "bad event" in out["message"]
+    st, out = _call(srv, "POST", "/tables/db.users/optimize",
+                    {"mode": "bogus"})
+    assert st == 400
+    st, out = _call(srv, "POST", "/tables/db.users", {
+        "schema": ["id", "_pos"]})
+    assert st == 409  # already exists
+    st, out = _call(srv, "GET", "/nope")
+    assert st == 404
+    st, out = _call(srv, "DELETE", "/tables/db.users")
+    assert st == 200 and out["dropped"] is True
+    st, out = _call(srv, "DELETE", "/tables/db.users")
+    assert st == 200 and out["dropped"] is False  # idempotent

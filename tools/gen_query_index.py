@@ -1,0 +1,52 @@
+"""Regenerate QUERY_INDEX.md from the live registry.
+
+Usage: python tools/gen_query_index.py   (writes QUERY_INDEX.md)
+
+Each row: registry position (the driver oracles the FIRST 50 — the
+PRIORITY_ORDER window), oracle presence, bench-list membership, and the
+first docstring line of the implementation.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from bench import BENCH_QUERIES
+    from moonlink_spark.queries import ORACLE, QUERIES
+
+    bench = set(BENCH_QUERIES)
+    lines = [
+        "# QUERY INDEX — every driver-checkable entry (auto-generated)",
+        "",
+        "One row per `queries()` entry: the Spark implementation it",
+        "exercises, whether a DuckDB oracle exists (value-hash gate) and",
+        "whether it runs in `bench.py`'s per-query timing list.",
+        "Registry order is `queries.PRIORITY_ORDER`; the driver's",
+        "correctness gate oracles rows 1-50.",
+        "",
+        "| # | query | oracle | bench | implementation "
+        "(first line of docstring) |",
+        "|---|---|---|---|---|",
+    ]
+    for i, (name, fn) in enumerate(QUERIES.items(), start=1):
+        doc = (fn.__doc__ or "").strip().splitlines()
+        first = doc[0].rstrip() if doc else ""
+        lines.append(
+            f"| {i} | `{name}` | {'yes' if name in ORACLE else '—'} | "
+            f"{'yes' if name in bench else '—'} | {first} |")
+    n = len(QUERIES)
+    no = sum(1 for q in QUERIES if q in ORACLE)
+    lines += ["",
+              f"Totals: {n} queries, {no} oracle-checked, "
+              f"{len(bench)} benched."]
+    with open("/root/repo/QUERY_INDEX.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote QUERY_INDEX.md: {n} queries, {no} oracled")
+
+
+if __name__ == "__main__":
+    main()
