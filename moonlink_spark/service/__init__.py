@@ -3,3 +3,5 @@ library API (REST front door; the RPC scan surface stays the library
 ``scan_begin``/``scan_end`` calls)."""
 
 from moonlink_spark.service.rest_server import RestServer  # noqa: F401
+from moonlink_spark.service.rpc_server import (RpcClient,  # noqa: F401
+                                               RpcServer)

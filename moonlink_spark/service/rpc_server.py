@@ -1,0 +1,224 @@
+"""Unix-socket RPC scan server — the ``moonlink_rpc`` analogue.
+
+The reference exposes table control + the external-reader scan
+protocol over a unix socket with length-prefixed frames
+(``moonlink_rpc/src/lib.rs:28-58``: 4-byte native-endian length +
+bincode body; methods ``create_snapshot, create_table, drop_table,
+get_parquet_metadatas, get_table_schema, list_tables, load_files,
+optimize_table, scan_table_begin, scan_table_end``).
+
+This module carries the SAME method set over the same framing with a
+JSON body (bincode is a Rust-ecosystem encoding; the frame layout —
+``u32 len | payload`` — is kept verbatim, and binary values such as
+parquet footers travel base64'd).  Request ``{"method": ...,
+"args": {...}}`` → response ``{"ok": ...}`` | ``{"err": ...}`` — the
+``RpcResult`` split of the reference.
+
+``scan_table_begin`` returns what the reference's serialized table
+metadata carries for an external reader: the pinned snapshot version,
+a lease id (reader pinning vs expiry — ``refs.py``), and the
+manifest's (data file, DV sidecar) listing.  An external engine
+rebuilds exact live rows from those plain-parquet artifacts with an
+anti-join (proven by ``tests/test_external_reader.py``); the RPC test
+does exactly that over the wire with pyarrow.
+
+Serialization is per-connection request/response; mutations take the
+server's per-table lock (single-writer per table, like the REST front
+door and the reference's per-table event loop).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import socket
+import socketserver
+import struct
+import threading
+from typing import Any
+
+from moonlink_spark.catalog import Catalog, NoSuchTable, TableExists
+
+
+def _write_frame(sock_file, obj: Any) -> None:
+    data = json.dumps(obj).encode()
+    sock_file.write(struct.pack("=I", len(data)) + data)
+    sock_file.flush()
+
+
+def _read_frame(sock_file) -> Any | None:
+    head = sock_file.read(4)
+    if len(head) < 4:
+        return None
+    (n,) = struct.unpack("=I", head)
+    body = sock_file.read(n)
+    if len(body) < n:
+        raise ConnectionError("truncated RPC frame")
+    return json.loads(body)
+
+
+class RpcServer:
+    """Serve the moonlink RPC method set for one :class:`Catalog` on a
+    unix socket path."""
+
+    def __init__(self, catalog: Catalog, socket_path: str):
+        self.catalog = catalog
+        self.socket_path = socket_path
+        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._global = threading.Lock()
+        self._server: socketserver.ThreadingUnixStreamServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def _lock(self, db: str, tbl: str) -> threading.Lock:
+        with self._global:
+            return self._locks.setdefault((db, tbl), threading.Lock())
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self) -> "RpcServer":
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        rpc = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                while True:
+                    try:
+                        req = _read_frame(self.rfile)
+                    except (ConnectionError, OSError):
+                        return
+                    if req is None:
+                        return
+                    try:
+                        result = rpc._dispatch(req)
+                        _write_frame(self.wfile, {"ok": result})
+                    except Exception as e:
+                        _write_frame(self.wfile, {
+                            "err": f"{type(e).__name__}: {e}"})
+
+        self._server = socketserver.ThreadingUnixStreamServer(
+            self.socket_path, Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+    # -- dispatch --------------------------------------------------------
+    def _dispatch(self, req: dict) -> Any:
+        method = req.get("method")
+        args = req.get("args") or {}
+        fn = getattr(self, f"rpc_{method}", None)
+        if fn is None or not str(method).isidentifier():
+            raise ValueError(f"unknown RPC method {method!r}")
+        return fn(**args)
+
+    def _table(self, database: str, table: str):
+        try:
+            return self.catalog.get_table(database, table)
+        except NoSuchTable:
+            raise NoSuchTable(f"{database}.{table}")
+
+    # -- methods (moonlink_rpc/src/lib.rs:28-40, same order) -------------
+    def rpc_create_snapshot(self, database: str, table: str,
+                            lsn: int = 0) -> None:
+        with self._lock(database, table):
+            self._table(database, table).create_snapshot()
+
+    def rpc_create_table(self, database: str, table: str,
+                         schema: list[str] | None = None,
+                         schema_types: dict | None = None,
+                         table_config: str | None = None) -> None:
+        cols = list(schema or [])
+        if "_pos" not in cols:
+            cols.append("_pos")
+        try:
+            self.catalog.create_table(database, table, schema=cols,
+                                      schema_types=schema_types)
+        except TableExists as e:
+            raise TableExists(str(e))
+
+    def rpc_drop_table(self, database: str, table: str) -> None:
+        self.catalog.drop_table(database, table)
+
+    def rpc_get_parquet_metadatas(self, database: str, table: str,
+                                  data_files: list[str]) -> list[str]:
+        blobs = self._table(database, table) \
+            .get_parquet_metadatas(data_files)
+        return [base64.b64encode(b).decode() for b in blobs]
+
+    def rpc_get_table_schema(self, database: str, table: str) -> dict:
+        t = self._table(database, table)
+        snap = t.snapshot()
+        return {"columns": snap.schema,
+                "ddl": snap.properties.get("schema_ddl")}
+
+    def rpc_list_tables(self) -> list[dict]:
+        return self.catalog.list_tables()
+
+    def rpc_load_files(self, database: str, table: str,
+                       files: list[str]) -> None:
+        with self._lock(database, table):
+            self._table(database, table).load_files(files, copy=True)
+
+    def rpc_optimize_table(self, database: str, table: str,
+                           mode: str = "data") -> dict:
+        with self._lock(database, table):
+            snap = self._table(database, table).optimize(mode)
+        return {"version": snap.version}
+
+    def rpc_scan_table_begin(self, database: str, table: str,
+                             lsn: int | None = None) -> dict:
+        t = self._table(database, table)
+        lease = t.scan_begin()
+        entries = t.store.manifest_entries(lease["version"])
+        return {
+            "lease_id": lease["lease_id"],
+            "version": lease["version"],
+            "warehouse": t.store.warehouse,
+            "data_files": [
+                {"path": e["path"], "rows": e["rows"],
+                 "dv_path": e["dv_path"],
+                 "dv_cardinality": e["dv_cardinality"]}
+                for e in entries],
+        }
+
+    def rpc_scan_table_end(self, database: str, table: str,
+                           lease_id: str) -> bool:
+        return self._table(database, table).scan_end(lease_id)
+
+
+class RpcClient:
+    """Blocking client for :class:`RpcServer` (one socket, many
+    request/response rounds — the reference's client functions write a
+    Request frame and read an RpcResult)."""
+
+    def __init__(self, socket_path: str):
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.connect(socket_path)
+        self._f = self._sock.makefile("rwb")
+
+    def call(self, method: str, **args) -> Any:
+        _write_frame(self._f, {"method": method, "args": args})
+        resp = _read_frame(self._f)
+        if resp is None:
+            raise ConnectionError("server closed the connection")
+        if "err" in resp:
+            raise RuntimeError(resp["err"])
+        return resp["ok"]
+
+    def close(self) -> None:
+        self._f.close()
+        self._sock.close()
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return lambda **kw: self.call(name, **kw)

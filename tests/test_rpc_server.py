@@ -1,0 +1,131 @@
+"""Unix-socket RPC scan server (service/rpc_server.py).
+
+Mirrors the reference's external-reader protocol
+(``moonlink_rpc/src/lib.rs:28-40``): a non-Spark client connects over
+the socket, pins a scan with ``scan_table_begin``, rebuilds EXACT live
+rows from the returned (data file, DV) listing with pyarrow only, and
+releases the lease — plus the control methods (create/drop/list/
+optimize/load_files/get_parquet_metadatas/schema) end to end."""
+
+import io
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from moonlink_spark.catalog import Catalog
+from moonlink_spark.service.rpc_server import RpcClient, RpcServer
+from moonlink_spark.snapshotstore import SnapshotStore
+from moonlink_spark.synth import synthesize_cdc_aftermath
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("rpc")
+    cat = Catalog(spark, str(base / "cat"))
+    srv = RpcServer(cat, str(base / "ml.sock")).start()
+    client = RpcClient(srv.socket_path)
+    yield srv, cat, client
+    client.close()
+    srv.stop()
+
+
+def _live_sha_via_rpc(state) -> list[str]:
+    """External reader: pyarrow only, no engine code — data files minus
+    DV positions, hashing content."""
+    import hashlib
+    wh = state["warehouse"]
+    dels = {}
+    for dv_rel in sorted({f["dv_path"] for f in state["data_files"]
+                          if f["dv_path"]}):
+        t = pq.read_table(f"{wh}/{dv_rel}")
+        for ref, pos in zip(t["referenced_file"].to_pylist(),
+                            t["positions"].to_pylist()):
+            dels.setdefault(ref, set()).update(pos)
+    out = []
+    for f in state["data_files"]:
+        t = pq.read_table(f"{wh}/{f['path']}",
+                          columns=["content", "_pos"])
+        dead = dels.get(f["path"], set())
+        for content, pos in zip(t["content"].to_pylist(),
+                                t["_pos"].to_pylist()):
+            if pos not in dead:
+                out.append(hashlib.sha256(
+                    content.encode()).hexdigest())
+    return sorted(out)
+
+
+def test_rpc_scan_protocol_rebuilds_live_rows(spark, served,
+                                              tmp_path_factory):
+    srv, cat, client = served
+    # seed a CDC-aftermath warehouse registered in the catalog
+    wh = cat.warehouse_path("db", "aftermath")
+    synthesize_cdc_aftermath(wh, seed=23, n_files=12,
+                             rows_per_file=(30, 80), n_repos=4,
+                             content_bytes=(32, 96))
+    # register it (create_table refuses existing warehouses with data,
+    # so register via the entry write — adoption path)
+    from moonlink_spark.catalog import _config_to_json
+    from moonlink_spark.config import TableConfig
+    cat._write_entry("db", "aftermath", {
+        "database": "db", "table": "aftermath",
+        "warehouse": "db/aftermath",
+        "table_config": _config_to_json(TableConfig())})
+
+    state = client.scan_table_begin(database="db", table="aftermath")
+    assert state["version"] == 0 and state["lease_id"]
+    external = _live_sha_via_rpc(state)
+
+    engine_rows = sorted(
+        r["h"] for r in cat.get_table("db", "aftermath").scan(0)
+        .select(F.sha2("content", 256).alias("h")).collect())
+    assert external == engine_rows
+
+    # footer metadata over the wire plans row groups without data reads
+    import base64
+    rels = [f["path"] for f in state["data_files"]][:3]
+    blobs = client.get_parquet_metadatas(
+        database="db", table="aftermath", data_files=rels)
+    for rel, blob in zip(rels, blobs):
+        md = pq.read_metadata(io.BytesIO(base64.b64decode(blob)))
+        assert md.num_rows > 0
+
+    assert client.scan_table_end(database="db", table="aftermath",
+                                 lease_id=state["lease_id"]) is True
+
+
+def test_rpc_control_methods(spark, served, tmp_path):
+    srv, cat, client = served
+    client.create_table(database="db", table="t1",
+                        schema=["id", "name"],
+                        schema_types={"id": "bigint", "name": "string"})
+    schema = client.get_table_schema(database="db", table="t1")
+    assert schema["columns"] == ["id", "name", "_pos"]
+
+    src = str(tmp_path / "up.parquet")
+    (spark.range(7)
+     .select("id", F.concat(F.lit("n"), F.col("id")).alias("name"),
+             F.col("id").alias("_pos"))
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    import glob
+    client.load_files(database="db", table="t1",
+                      files=[glob.glob(f"{src}/part-*.parquet")[0]])
+    assert cat.get_table("db", "t1").scan().count() == 7
+
+    out = client.optimize_table(database="db", table="t1", mode="full")
+    assert out["version"] >= 1
+    client.create_snapshot(database="db", table="t1")
+
+    tables = {(e["database"], e["table"])
+              for e in client.list_tables()}
+    assert ("db", "t1") in tables
+
+    with pytest.raises(RuntimeError, match="NoSuchTable"):
+        client.get_table_schema(database="db", table="ghost")
+    with pytest.raises(RuntimeError, match="unknown RPC"):
+        client.call("frobnicate")
+
+    client.drop_table(database="db", table="t1")
+    assert ("db", "t1") not in {
+        (e["database"], e["table"]) for e in client.list_tables()}
