@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_markup_extract",
     "text_chunking",
+    "text_utf8_scrub",
+    "text_script_profile",
+    "pack_manifest",
     "text_bm25_topk",
     "text_bpe_pairs",
     "corpus_datacard",

@@ -144,3 +144,43 @@ def pack_sequences(df: DataFrame, token_col: str, max_tokens: int, *,
     if cached is not None:
         cached.unpersist()
     return res
+
+
+def pack_manifest(df: DataFrame, token_col: str, max_tokens: int, *,
+                  id_cols: Sequence[str] = ("doc_id",),
+                  seed: int = 0) -> DataFrame:
+    """The per-sequence composition manifest of :func:`pack_sequences`:
+    one row per (training sequence, document segment) — which doc
+    bytes land where in each packed sequence.  This is the export
+    format a dataloader actually consumes (it needs attention-mask
+    boundaries: where each document starts and ends inside the
+    sequence), and the lineage record that lets any sample in a
+    trained model's input be traced back to its source document.
+
+    Columns added to the doc ids: ``seq_id``, ``seq_offset`` (segment
+    start inside the sequence), ``doc_offset`` (segment start inside
+    the document), ``seg_tokens``.  Segments of one document are
+    contiguous across consecutive sequences (concat-then-chunk, no
+    padding); per sequence, segments tile [0, max_tokens) exactly
+    (except the final sequence's tail).
+
+    Scale shape: :func:`pack_sequences`' two-phase cumsum does the
+    global placement; this adds ONE narrow explode (a doc fans out to
+    its ``n_seqs`` segments — bounded by doc length / max_tokens) and
+    pure arithmetic.  No extra shuffle."""
+    packed = pack_sequences(df, token_col, max_tokens,
+                            id_cols=id_cols, seed=seed)
+    gstart = (F.col("seq_id") * max_tokens + F.col("seq_offset"))
+    gend = gstart + F.col(token_col)
+    s = packed.withColumn(
+        "_s", F.explode(F.sequence(
+            F.col("seq_id"), F.col("seq_id") + F.col("n_seqs") - 1)))
+    seg_start = F.greatest(gstart, F.col("_s") * max_tokens)
+    seg_end = F.least(gend, (F.col("_s") + 1) * max_tokens)
+    return (s.select(
+        *[F.col(c) for c in id_cols],
+        F.col("_s").alias("seq_id"),
+        (seg_start - F.col("_s") * max_tokens).cast("long")
+        .alias("seq_offset"),
+        (seg_start - gstart).cast("long").alias("doc_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_tokens")))

@@ -477,3 +477,68 @@ def pmi_collocations(df: DataFrame, *, text_col: str = "text",
                                         * F.col("n_b").cast("double"))),
                               6).alias("pmi")))
     return scored.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+
+
+def utf8_scrub_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health profile — the mojibake/control-character gate a
+    web corpus runs before anything else (broken charset transcodes
+    show up as U+FFFD replacement chars and C0/C1 control bytes, and a
+    doc past a small threshold is garbage, not text).
+
+    Per doc: ``n_replacement`` (U+FFFD count), ``n_control`` (C0+C1
+    controls excluding tab/newline/carriage-return), ``n_chars``,
+    ``bad_ratio`` (rounded), ``scrub_flag`` (ratio > 1 %).  Pure
+    regexp_count codegen — zero shuffle, zero UDF."""
+    n_chars = F.length(F.col(text_col))
+    n_rep = F.regexp_count(F.col(text_col), F.lit("�"))
+    n_ctl = F.regexp_count(
+        F.col(text_col),
+        F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+              "\\x{0080}-\\x{009F}]"))
+    bad = (n_rep + n_ctl).cast("double") / F.greatest(n_chars, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_rep.cast("long").alias("n_replacement"),
+        n_ctl.cast("long").alias("n_control"),
+        F.round(bad, 6).alias("bad_ratio"),
+        (bad > 0.01).alias("scrub_flag"))
+
+
+# explicit codepoint ranges, NOT named script classes: Java regex
+# spells scripts \p{IsLatin} while DuckDB's RE2 spells them \p{Latin},
+# and their script tables differ by Unicode version — ranges are
+# engine-independent and exactly reproducible in the oracle
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "cjk": "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}"
+           "\\x{AC00}-\\x{D7AF}]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script mix per document — the script-level complement of
+    n-gram language ID (a doc claiming lang=en that is 40 % CJK is a
+    labeling error; mixed-script spam is its own filter class).
+
+    Per doc: one ``n_<script>`` count per :data:`SCRIPT_RANGES` entry
+    plus ``dominant_script`` (majority count, name-ordered tie-break,
+    'none' when all zero).  One codegen projection, no shuffle."""
+    counts = {name: F.regexp_count(F.col(text_col), F.lit(rx))
+              for name, rx in SCRIPT_RANGES.items()}
+    dominant = F.lit("none")
+    best = F.lit(0)
+    for name in sorted(SCRIPT_RANGES):  # later wins only if strictly >
+        c = counts[name]
+        dominant = F.when(c > best, F.lit(name)).otherwise(dominant)
+        best = F.greatest(best, c)
+    return df.select(
+        F.col(id_col),
+        *[counts[n].cast("long").alias(f"n_{n}")
+          for n in SCRIPT_RANGES],
+        dominant.alias("dominant_script"))

@@ -2818,6 +2818,146 @@ def similarity_topk_ivf_fullprobe(spark: SparkSession,
                         n_centroids=16, nprobe=16)
 
 
+_SCRIPTED_SQL = """
+scripted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0 THEN ' привет мир'
+              WHEN doc_id % 7 = 1 THEN ' 你好世界 カタカナ 한국어'
+              WHEN doc_id % 7 = 2 THEN ' مرحبا'
+              WHEN doc_id % 7 = 3
+                THEN ' ' || repeat('�', CAST(doc_id % 4 + 1 AS INT))
+                     || chr(7)
+              ELSE '' END AS text
+  FROM documents)
+"""
+
+
+def _scripted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with deterministic multilingual + mojibake
+    injections (the corpus is pure ASCII; both engines append the SAME
+    content so the encoding/script profilers have real work)."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    extra = (F.when(m == 0, F.lit(" привет мир"))
+             .when(m == 1, F.lit(" 你好世界 カタカナ 한국어"))
+             .when(m == 2, F.lit(" مرحبا"))
+             .when(m == 3, F.concat(
+                 F.lit(" "),
+                 F.repeat(F.lit("�"),
+                          (F.col("doc_id") % 4 + 1).cast("int")),
+                 F.lit("\x07")))
+             .otherwise(F.lit("")))
+    return d.select("doc_id", F.concat("text", extra).alias("text"))
+
+
+_CTL = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{0080}-\\x{009F}]"
+_BADCOUNT = ("len(regexp_extract_all(text, '�')) "
+             f"+ len(regexp_extract_all(text, '{_CTL}'))")
+
+
+@_register("text_utf8_scrub", f"""
+WITH {_SCRIPTED_SQL.strip()}
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+           AS n_replacement,
+       CAST(len(regexp_extract_all(text, '{_CTL}')) AS BIGINT)
+           AS n_control,
+       ROUND(({_BADCOUNT}) * 1.0 / greatest(length(text), 1), 6)
+           AS bad_ratio,
+       ({_BADCOUNT}) * 1.0 / greatest(length(text), 1) > 0.01
+           AS scrub_flag
+FROM scripted
+""")
+def text_utf8_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate (textstats.utf8_scrub_profile): U+FFFD
+    replacement-char and C0/C1 control counts per doc, bad-byte ratio,
+    scrub flag — the mojibake filter a web corpus runs before any
+    other curation.  Pure regexp_count codegen, zero shuffle."""
+    return ts.utf8_scrub_profile(_scripted_docs(spark, sf_dir))
+
+
+def _dominant_script_sql() -> str:
+    dom, best = "'none'", "0"
+    for name in sorted(ts.SCRIPT_RANGES):
+        c = f"n_{name}"
+        dom = f"CASE WHEN {c} > {best} THEN '{name}' ELSE {dom} END"
+        best = f"GREATEST({best}, {c})"
+    return dom
+
+
+_SCRIPT_COUNTS_SQL = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{n}"
+    for n, rx in ts.SCRIPT_RANGES.items())
+
+
+@_register("text_script_profile", f"""
+WITH {_SCRIPTED_SQL.strip()},
+counts AS (
+  SELECT doc_id,
+         {_SCRIPT_COUNTS_SQL}
+  FROM scripted)
+SELECT doc_id,
+       {", ".join(f"n_{n}" for n in ts.SCRIPT_RANGES)},
+       {_dominant_script_sql()} AS dominant_script
+FROM counts
+""")
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script mix per document (textstats.script_profile):
+    per-script codepoint-range counts + dominant script — the
+    script-level complement of n-gram language ID (mislabeled or
+    mixed-script docs are their own filter class).  Explicit codepoint
+    ranges, not named script classes, so Java regex and RE2 count
+    identically.  One codegen projection, no shuffle."""
+    return ts.script_profile(_scripted_docs(spark, sf_dir))
+
+
+@_register("pack_manifest", f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         lpad(CAST({h60_seeded_sql(5, "doc_id::VARCHAR")} AS VARCHAR),
+              20, '0') || lpad(doc_id::VARCHAR, 40, '0') AS ord
+  FROM documents WHERE n_chars > 0
+),
+c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+p AS (
+  SELECT doc_id,
+         CAST(cum - n_chars AS BIGINT) AS gstart,
+         CAST(cum AS BIGINT) AS gend,
+         CAST((cum - n_chars) // 4096 AS BIGINT) AS first_seq,
+         CAST((cum - 1) // 4096 AS BIGINT) AS last_seq
+  FROM c
+),
+x AS (
+  SELECT doc_id, gstart, gend,
+         unnest(generate_series(first_seq, last_seq)) AS s
+  FROM p
+)
+SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+       CAST(GREATEST(gstart, s * 4096) - s * 4096 AS BIGINT)
+           AS seq_offset,
+       CAST(GREATEST(gstart, s * 4096) - gstart AS BIGINT) AS doc_offset,
+       CAST(LEAST(gend, (s + 1) * 4096) - GREATEST(gstart, s * 4096)
+            AS BIGINT) AS seg_tokens
+FROM x
+""")
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-composition manifest (packing.pack_manifest): one row
+    per (training sequence, document segment) with in-sequence and
+    in-document offsets — the attention-mask-boundary export a
+    dataloader consumes, and the lineage record tracing any packed
+    sample back to its source doc.  pack_sequences' two-phase cumsum
+    plus ONE narrow explode; no extra shuffle."""
+    from moonlink_spark.functions.packing import pack_manifest as pm
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pm(docs, "n_chars", 4096, seed=5)
+
+
 @_register("similarity_topk_ivf_fullprobe_clustered", """
 WITH shifted AS (
   SELECT vec_id,

@@ -1,0 +1,87 @@
+"""Round-4 operator additions: encoding-health scrub, Unicode-script
+profile, and the sequence-composition pack manifest — python twins and
+structural invariants (each also has a DuckDB oracle in the registry:
+``text_utf8_scrub``, ``text_script_profile``, ``pack_manifest``)."""
+
+import random
+import re
+
+from moonlink_spark.functions import textstats as tsf
+from moonlink_spark.functions.packing import pack_manifest
+
+
+def test_utf8_scrub_profile_matches_python_twin(spark):
+    texts = {
+        0: "clean ascii text",
+        1: "bad �� mojibake",
+        2: "ctl \x07\x1f\x9f here",
+        3: "�" * 30 + "x",       # > 1% bad -> flagged
+        4: "",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tsf.utf8_scrub_profile(df).collect()}
+    ctl = re.compile("[\x01-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]")
+    for did, t in texts.items():
+        n_rep = t.count("�")
+        n_ctl = len(ctl.findall(t))
+        assert got[did]["n_replacement"] == n_rep, did
+        assert got[did]["n_control"] == n_ctl, did
+        bad = (n_rep + n_ctl) / max(len(t), 1)
+        assert got[did]["scrub_flag"] == (bad > 0.01), did
+    assert got[3]["scrub_flag"] is True and got[0]["scrub_flag"] is False
+
+
+def test_script_profile_dominant_and_counts(spark):
+    rows = [(0, "hello world 123"),
+            (1, "привет мир hi"),
+            (2, "你好世界 καλ"),
+            (3, "مرحبا abc "
+                "مرحبا"),
+            (4, "???!!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tsf.script_profile(df).collect()}
+    assert got[0]["dominant_script"] == "latin"
+    assert got[0]["n_digit"] == 3
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[1]["n_cyrillic"] == 9   # "приветмир"
+    # cjk (4 chars) wins; greek is outside every counted range
+    assert got[2]["dominant_script"] == "cjk"
+    assert got[3]["dominant_script"] == "arabic"   # 10 arabic > 3 latin
+    assert got[4]["dominant_script"] == "none"
+
+
+def test_pack_manifest_tiles_sequences_exactly(spark):
+    """Per sequence, segments tile [0, max_tokens) with no gaps or
+    overlap (except the final sequence's tail); per document, segments
+    are contiguous in doc_offset and sum to the doc's token count."""
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 50)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_manifest(df, "n_tok", 16, seed=9).collect()
+
+    by_seq, by_doc = {}, {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    total = sum(n for _, n in rows)
+    assert set(by_seq) == set(range((total + 15) // 16))
+    for sid, segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        cursor = 0
+        for seg in segs:
+            assert seg["seq_offset"] == cursor, (sid, segs)
+            assert seg["seg_tokens"] > 0
+            cursor += seg["seg_tokens"]
+        assert cursor == (16 if sid < max(by_seq) else total - 16 * sid)
+
+    toks = dict(rows)
+    for did, segs in by_doc.items():
+        segs.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        cursor = 0
+        for seg in segs:
+            assert seg["doc_offset"] == cursor, (did, segs)
+            cursor += seg["seg_tokens"]
+        assert cursor == toks[did]
