@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_fullprobe",
     "similarity_topk_ivf_fullprobe_clustered",
+    "similarity_topk_pq_exact",
     "text_token_stats",
     "text_quality",
     "text_langid",

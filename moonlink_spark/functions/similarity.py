@@ -301,3 +301,143 @@ def semdedup(corpus: DataFrame, *, id_col: str = "vec_id",
     return (with_comp.groupBy("component")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, "component"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN tier
+# ---------------------------------------------------------------------------
+# IVF bounds the SCAN (probe a few cells); PQ bounds the MEMORY: a
+# d-dim float vector becomes m small codes (one per d/m-dim subspace),
+# ~32x smaller, and query-to-vector similarity is computed from
+# per-subspace lookup tables (ADC — asymmetric distance computation)
+# without ever touching the original floats.  At 10^12 vectors the
+# codes fit where the floats never could, which is why every
+# billion-scale ANN system (FAISS IVFPQ, ScaNN) runs on this shape.
+#
+# Everything below is built-in-expression Spark (zip_with/aggregate/
+# min_by/broadcast joins — JVM codegen, no UDF): codebooks and LUTs are
+# tiny (m x k) and broadcast; the only corpus-sized passes are the
+# encode (n x m x k distance evals, embarrassingly parallel) and the
+# ADC scan (n x m LUT lookups → one groupBy sum).
+
+
+def pq_subvectors(df: DataFrame, *, m: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, subspace, subvec) with subvec cast to array<double>.  The
+    dimension must divide evenly by ``m`` (checked at runtime inside
+    the expression: a ragged tail would silently mis-rank)."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    v = F.col(vec_col).cast("array<double>")
+    dsub = (F.size(v) / m).cast("int")
+    sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace")
+    out = (df.select(F.col(id_col), v.alias("_v"), dsub.alias("_dsub"),
+                     sub)
+           .withColumn(
+               "subvec",
+               # the check lives INSIDE the consumed expression —
+               # a separate assert column would be pruned away
+               F.when(F.size("_v") % m == 0,
+                      F.slice("_v",
+                              F.col("subspace") * F.col("_dsub") + 1,
+                              F.col("_dsub")))
+               .otherwise(F.raise_error(F.concat(
+                   F.lit(f"vector dim not divisible by m={m}: dim="),
+                   F.size("_v").cast("string"))))))
+    return out.select(id_col, "subspace", "subvec")
+
+
+def pq_build_codebooks(corpus: DataFrame, *, m: int,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Distinct-subvector codebooks: (subspace, code, subvec), codes
+    numbered deterministically by subvector value order.
+
+    This is the LOSSLESS codebook (every corpus subvector IS a code) —
+    exact by construction for low-cardinality subvectors, e.g. after
+    scalar quantization of the embedding values.  It is also the
+    exactness boundary for the whole PQ pipeline: with lossless
+    codebooks, ADC scores equal exact scores, so a brute-force oracle
+    value-checks encode + LUT + ADC end to end (the same pattern as
+    the IVF full-probe boundary).  The trained (k-means-per-subspace,
+    lossy) variant swaps this function for sampled centroids; the rest
+    of the pipeline is identical."""
+    sv = pq_subvectors(corpus, m=m, vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("subspace").orderBy("subvec")
+    return (sv.select("subspace", "subvec").distinct()
+            .withColumn("code", F.row_number().over(w).cast("int")))
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, *, m: int,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector as its per-subspace nearest-code array:
+    (id, codes array<int>).  One broadcast join of the (m x k)
+    codebook against the exploded subvectors, squared-L2 argmin via
+    ``min_by``, reassembled in subspace order — all codegen."""
+    sv = pq_subvectors(corpus, m=m, vec_col=vec_col, id_col=id_col)
+    cb = codebooks.select("subspace", "code",
+                          F.col("subvec").alias("_cb"))
+    dist = F.aggregate(
+        F.zip_with("subvec", "_cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    per_sub = (sv.join(F.broadcast(cb), on="subspace")
+               .groupBy(id_col, "subspace")
+               .agg(F.min_by("code", F.struct(dist.alias("d"),
+                                              F.col("code").alias("c")))
+                    .alias("code")))
+    return (per_sub.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("subspace", "code")))["code"].alias("codes")))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int,
+            k: int = 10, codebooks: DataFrame | None = None,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC cosine top-k: (query_id, rank, neighbor_id).
+
+    Per query the codebook becomes an (m x k) lookup table of
+    (subspace dot product, subspace squared norm); the corpus-sized
+    scan touches ONLY the code arrays — explode to (vec, subspace,
+    code), broadcast-join the LUT, one groupBy sum reconstructs
+    dot(q, c) and |c|^2, and a per-query window ranks.  Self-matches
+    (same id) are excluded, ties break on neighbor id."""
+    codebooks = codebooks if codebooks is not None else \
+        pq_build_codebooks(corpus, m=m, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(corpus, codebooks, m=m, vec_col=vec_col,
+                      id_col=id_col)
+    qsv = (pq_subvectors(queries, m=m, vec_col=vec_col, id_col=id_col)
+           .withColumnRenamed(id_col, "query_id"))
+    lut = (qsv.join(F.broadcast(codebooks.withColumnRenamed(
+                "subvec", "_cb")), on="subspace")
+           .select("query_id", "subspace", "code",
+                   F.aggregate(F.zip_with("subvec", "_cb",
+                                          lambda x, y: x * y),
+                               F.lit(0.0), lambda a, x: a + x)
+                   .alias("_dot"),
+                   F.aggregate("_cb", F.lit(0.0),
+                               lambda a, x: a + x * x).alias("_csq")))
+    qnorm = (pq_subvectors(queries, m=m, vec_col=vec_col, id_col=id_col)
+             .groupBy(F.col(id_col).alias("query_id"))
+             .agg(F.sqrt(F.sum(F.aggregate(
+                 "subvec", F.lit(0.0), lambda a, x: a + x * x)))
+                 .alias("_qnorm")))
+    exploded = (codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code")))
+    scored = (exploded.join(F.broadcast(lut), on=["subspace", "code"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("_dot").alias("_dot"),
+                   F.sum("_csq").alias("_csq"))
+              .join(F.broadcast(qnorm), on="query_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("_cos", F.col("_dot")
+                          / (F.col("_qnorm") * F.sqrt("_csq"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))

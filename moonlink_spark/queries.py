@@ -3001,6 +3001,52 @@ def similarity_topk_ivf_fullprobe_clustered(spark: SparkSession,
                         k=10, n_centroids=8, nprobe=8)
 
 
+@_register("similarity_topk_pq_exact", """
+WITH qe AS (
+  SELECT vec_id, list_prepend(q[1] + 2.0, q[2:]) AS e
+  FROM (SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * 4 + 0.5) / 4) AS q
+        FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, e FROM qe WHERE vec_id < 8)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.e, c.e)
+                    / (sqrt(list_dot_product(q.e, q.e))
+                       * sqrt(list_dot_product(c.e, c.e))) DESC,
+                    c.vec_id) AS rank,
+         c.vec_id AS neighbor_id
+  FROM q JOIN qe c ON c.vec_id <> q.query_id
+) WHERE rank <= 10
+""")
+def similarity_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k at its exactness boundary
+    (similarity.pq_topk — the MEMORY-scale ANN tier: m codes per
+    vector instead of d floats, query scored from per-subspace lookup
+    tables, never touching the original vectors).  Boundary
+    construction: embeddings scalar-quantize to multiples of 1/4
+    (floor(x*4+0.5)/4, identical in both engines; dim 1 shifts +2 so
+    no norm is zero), the codebooks are the DISTINCT subvectors
+    (lossless), and — because every dot/norm term is a multiple of
+    1/16 with bounded magnitude — ALL sums are exact doubles in any
+    order, so ADC ranking is bit-deterministic and the brute-force
+    oracle must match rank-for-rank.  That value-checks the whole PQ
+    machinery: subvector split, codebook numbering, encode argmin,
+    LUT build, ADC reassembly, ranking.  The lossy (k-means-trained)
+    codebook swaps one function; the pipeline is identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 4 + F.lit(0.5)) / 4)
+    shifted = F.concat(F.array(F.element_at(qv, 1) + 2.0),
+                       F.slice(qv, 2, F.size(qv) - 1))
+    corpus = e.select("vec_id", shifted.alias("embedding"))
+    return sim.pq_topk(corpus, corpus.filter(F.col("vec_id") < 8),
+                       m=32, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

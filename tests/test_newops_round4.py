@@ -85,3 +85,52 @@ def test_pack_manifest_tiles_sequences_exactly(spark):
             assert seg["doc_offset"] == cursor, (did, segs)
             cursor += seg["seg_tokens"]
         assert cursor == toks[did]
+
+
+def test_pq_encode_with_hand_codebooks(spark):
+    """Explicit codebooks, hand-computable argmin: encode picks the
+    nearest code per subspace, ties broken by code number."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions import similarity as sim
+    vecs = [(0, [0.0, 0.0, 1.0, 1.0]),
+            (1, [0.9, 1.1, 0.1, 0.0]),
+            (2, [0.5, 0.5, 0.5, 0.5])]   # equidistant -> lower code
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cbs = spark.createDataFrame(
+        [(0, 1, [0.0, 0.0]), (0, 2, [1.0, 1.0]),
+         (1, 1, [0.0, 0.0]), (1, 2, [1.0, 1.0])],
+        "subspace int, code int, subvec array<double>")
+    got = {r["vec_id"]: r["codes"] for r in
+           sim.pq_encode(df, cbs, m=2).collect()}
+    assert got[0] == [1, 2]
+    assert got[1] == [2, 1]
+    assert got[2] == [1, 1]   # exact ties -> min code
+
+
+def test_pq_adc_equals_bruteforce_on_lossless_codebooks(spark):
+    """With distinct-subvector codebooks over quantized vectors, ADC
+    ranking equals the exact brute-force ranking — the oracle-backed
+    boundary, asserted here against cosine_topk directly."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.functions import similarity as sim
+    rng = __import__("random").Random(11)
+    vecs = [(i, [rng.choice([-0.5, -0.25, 0.0, 0.25, 0.5])
+                 for _ in range(8)]) for i in range(60)]
+    vecs = [(i, [v[0] + 2.0] + v[1:]) for i, v in vecs]  # nonzero norm
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    adc = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in sim.pq_topk(df, q, m=4, k=7).collect()}
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in sim.cosine_topk(df, q, k=7).collect()}
+    assert adc == brute
+
+
+def test_pq_bad_dimension_raises(spark):
+    from moonlink_spark.functions import similarity as sim
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                               "vec_id long, embedding array<double>")
+    with __import__("pytest").raises(Exception, match="divisible"):
+        sim.pq_build_codebooks(df, m=2).collect()
