@@ -208,3 +208,143 @@ def remove_many(fs: PosixFileSystem, paths: Iterable[str],
     with ThreadPoolExecutor(
             max_workers=min(max_workers, len(paths))) as pool:
         list(pool.map(fs.remove, paths))
+
+
+class CachingFileSystem:
+    """Read-through byte cache over any accessor — the driver-side
+    analogue of the reference's object-storage cache
+    (``storage/cache/object_storage/base_cache.rs``: budgeted cache in
+    front of remote reads with eviction; its file-handle pinning has no
+    analogue here because :meth:`read_bytes` returns whole immutable
+    byte strings, never partial handles).
+
+    Scope and safety:
+
+    - only :meth:`read_bytes` is cached; every entry is validated
+      against the object's current (size, mtime) on EVERY hit — one
+      stat/HEAD instead of a full GET, never a stale read.  On an
+      object store that is the LastModified/etag HEAD the reference's
+      cache also performs.
+    - mutators (write/rename/remove/CAS) invalidate before delegating;
+      :meth:`publish_cas` delegates wholesale so its precondition read
+      is ALWAYS uncached — the commit point never trusts this cache.
+    - eviction is size-budgeted LRU; an object larger than the whole
+      budget is returned uncached.
+    - thread-safe (the REST/RPC servers read concurrently).
+
+    What this buys at scale: snapshot headers, refs, WAL segment
+    indexes and version hints are re-read on every scan/commit cycle;
+    against an object store each is a GET round-trip.  Data-file and
+    manifest PARQUET reads go through Spark/pyarrow on executors and
+    are out of scope (the executors' cache is cluster-local NVMe).
+    """
+
+    def __init__(self, inner: PosixFileSystem | None = None,
+                 max_bytes: int = 64 << 20):
+        import threading
+        from collections import OrderedDict
+        self.inner = inner or PosixFileSystem()
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+        # path -> (size, mtime, bytes); OrderedDict end = most recent
+        self._entries: "OrderedDict[str, tuple[int, float, bytes]]" = \
+            OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    # -- cached read -----------------------------------------------------
+    def read_bytes(self, path: str) -> bytes:
+        try:
+            size = self.inner.size(path)
+            mtime = self.inner.mtime(path)
+        except OSError:
+            self._invalidate(path)
+            return self.inner.read_bytes(path)  # raises consistently
+        with self._lock:
+            ent = self._entries.get(path)
+            if ent is not None and ent[0] == size and ent[1] == mtime:
+                self._entries.move_to_end(path)
+                self.hits += 1
+                return ent[2]
+        data = self.inner.read_bytes(path)
+        with self._lock:
+            self.misses += 1
+            if len(data) <= self.max_bytes:
+                old = self._entries.pop(path, None)
+                if old is not None:
+                    self._bytes -= len(old[2])
+                self._entries[path] = (size, mtime, data)
+                self._bytes += len(data)
+                while self._bytes > self.max_bytes:
+                    _, (_, _, edata) = self._entries.popitem(last=False)
+                    self._bytes -= len(edata)
+                    self.evictions += 1
+        return data
+
+    def _invalidate(self, *paths: str) -> None:
+        with self._lock:
+            for p in paths:
+                ent = self._entries.pop(p, None)
+                if ent is not None:
+                    self._bytes -= len(ent[2])
+
+    # -- invalidating mutators -------------------------------------------
+    def write_atomic(self, path: str, data: bytes) -> None:
+        self._invalidate(path)
+        self.inner.write_atomic(path, data)
+
+    def publish_cas(self, path: str, data: bytes,
+                    expected: bytes | None) -> bool:
+        self._invalidate(path)
+        return self.inner.publish_cas(path, data, expected)
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        self._invalidate(path)
+        return self.inner.create_exclusive(path, data)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._invalidate(src, dst)
+        self.inner.rename(src, dst)
+
+    def remove(self, path: str) -> None:
+        self._invalidate(path)
+        self.inner.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        with self._lock:
+            doomed = [p for p in self._entries
+                      if p.startswith(path.rstrip("/") + "/")
+                      or p == path]
+        self._invalidate(*doomed)
+        self.inner.rmtree(path)
+
+    def copy(self, src: str, dst: str) -> None:
+        self._invalidate(dst)
+        self.inner.copy(src, dst)
+
+    # -- pure delegation -------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return self.inner.exists(path)
+
+    def is_file(self, path: str) -> bool:
+        return self.inner.is_file(path)
+
+    def is_dir(self, path: str) -> bool:
+        return self.inner.is_dir(path)
+
+    def size(self, path: str) -> int:
+        return self.inner.size(path)
+
+    def mtime(self, path: str) -> float:
+        return self.inner.mtime(path)
+
+    def list(self, path: str) -> list[str]:
+        return self.inner.list(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        return self.inner.walk_files(root)
+
+    def makedirs(self, path: str) -> None:
+        self.inner.makedirs(path)

@@ -1,0 +1,117 @@
+"""Read-through caching filesystem (fs.CachingFileSystem) — the
+driver-side analogue of the reference's object-storage cache
+(``storage/cache/object_storage/base_cache.rs``): budgeted LRU in front
+of reads, stat-validated on every hit, never stale, invalidated by
+every mutator, and the CAS commit point never trusts it."""
+
+import os
+import time
+
+import pytest
+
+from moonlink_spark.engine import MoonTable
+from moonlink_spark.fs import CachingFileSystem, PosixFileSystem
+from moonlink_spark.snapshotstore import SnapshotStore
+
+
+@pytest.fixture
+def cached(tmp_path):
+    return CachingFileSystem(PosixFileSystem(), max_bytes=1000), tmp_path
+
+
+def test_hit_miss_and_stat_validation(cached):
+    fs, base = cached
+    p = str(base / "a.json")
+    fs.write_atomic(p, b"v1")
+    assert fs.read_bytes(p) == b"v1" and fs.misses == 1
+    assert fs.read_bytes(p) == b"v1" and fs.hits == 1
+
+    # EXTERNAL modification (not through this fs): the stat check
+    # refuses the stale entry
+    time.sleep(0.01)
+    with open(p, "wb") as f:
+        f.write(b"v2-external")
+    assert fs.read_bytes(p) == b"v2-external"
+    assert fs.misses == 2
+
+
+def test_mutators_invalidate(cached):
+    fs, base = cached
+    p, q = str(base / "a"), str(base / "b")
+    fs.write_atomic(p, b"one")
+    fs.read_bytes(p)
+    fs.write_atomic(p, b"two")
+    assert fs.read_bytes(p) == b"two"
+    fs.rename(p, q)
+    assert fs.read_bytes(q) == b"two"
+    fs.remove(q)
+    assert not fs.exists(q)
+    with pytest.raises(OSError):
+        fs.read_bytes(q)
+
+
+def test_lru_eviction_budget(cached):
+    fs, base = cached
+    paths = []
+    for i in range(4):
+        p = str(base / f"f{i}")
+        fs.write_atomic(p, bytes(400))  # 400 B each, budget 1000
+        paths.append(p)
+        fs.read_bytes(p)
+    # only the 2 most recent fit; the earliest were evicted
+    assert fs.evictions == 2
+    fs.read_bytes(paths[3])
+    assert fs.hits == 1
+    fs.read_bytes(paths[0])            # evicted -> miss again
+    assert fs.misses == 5
+    # oversized object: served but never cached
+    big = str(base / "big")
+    fs.write_atomic(big, bytes(5000))
+    fs.read_bytes(big)
+    fs.read_bytes(big)
+    assert fs._bytes <= fs.max_bytes
+
+
+def test_cas_never_trusts_cache(cached):
+    """A stale cached value must not satisfy (or break) the CAS
+    precondition — publish_cas delegates wholesale to the inner fs."""
+    fs, base = cached
+    p = str(base / "hint")
+    fs.write_atomic(p, b"gen1")
+    assert fs.read_bytes(p) == b"gen1"           # cached
+    time.sleep(0.01)
+    with open(p, "wb") as f:                     # external writer
+        f.write(b"gen2")
+    # CAS against the CACHED (stale) value must fail — the inner read
+    # sees gen2
+    assert fs.publish_cas(p, b"gen3", b"gen1") is False
+    assert fs.publish_cas(p, b"gen3", b"gen2") is True
+    assert fs.read_bytes(p) == b"gen3"
+
+
+def test_engine_runs_on_caching_fs(spark, tmp_path):
+    """Full engine lifecycle over the caching accessor: synthesize,
+    scan, optimize, rescan — identical content, and the cache actually
+    served hits for re-read metadata."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+
+    fs = CachingFileSystem(PosixFileSystem(), max_bytes=8 << 20)
+    w = str(tmp_path / "wh")
+    store = SnapshotStore(w, fs)
+    synthesize_cdc_aftermath(w, seed=31, n_files=12,
+                             rows_per_file=(30, 80), n_repos=4,
+                             content_bytes=(32, 96), store=store)
+    t = MoonTable(spark, w, store=SnapshotStore(w, fs))
+
+    def sha(df):
+        return sorted(r["h"] for r in
+                      df.select(F.sha2("content", 256).alias("h"))
+                      .collect())
+
+    before = sha(t.scan(0))
+    snap = t.optimize("full")
+    assert sha(t.scan(snap.version)) == before
+    assert sha(t.scan(0)) == before              # old snapshot intact
+    assert fs.hits > 0                           # cache did real work
