@@ -369,27 +369,64 @@ def pq_build_codebooks(corpus: DataFrame, *, m: int,
             .withColumn("code", F.row_number().over(w).cast("int")))
 
 
+def _codebook_row(codebooks: DataFrame) -> DataFrame:
+    """Collapse (subspace, code, subvec) to ONE broadcastable row:
+    ``_cbs`` = per-subspace entry arrays, subspace-ordered, each entry
+    array code-ordered (codes are dense 1..k by construction, so
+    ``element_at(entries, code)`` is the lookup)."""
+    per = codebooks.groupBy("subspace").agg(
+        F.array_sort(F.collect_list(F.struct("code", "subvec")))
+        .alias("entries"))
+    return per.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("subspace", "entries")))
+        .alias("_cbs"))
+
+
 def pq_encode(corpus: DataFrame, codebooks: DataFrame, *, m: int,
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
     """Encode each vector as its per-subspace nearest-code array:
-    (id, codes array<int>).  One broadcast join of the (m x k)
-    codebook against the exploded subvectors, squared-L2 argmin via
-    ``min_by``, reassembled in subspace order — all codegen."""
-    sv = pq_subvectors(corpus, m=m, vec_col=vec_col, id_col=id_col)
-    cb = codebooks.select("subspace", "code",
-                          F.col("subvec").alias("_cb"))
-    dist = F.aggregate(
-        F.zip_with("subvec", "_cb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x)
-    per_sub = (sv.join(F.broadcast(cb), on="subspace")
-               .groupBy(id_col, "subspace")
-               .agg(F.min_by("code", F.struct(dist.alias("d"),
-                                              F.col("code").alias("c")))
-                    .alias("code")))
-    return (per_sub.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                F.struct("subspace", "code")))["code"].alias("codes")))
+    (id, codes array<int>).
+
+    ZERO corpus shuffle: the whole (m x k) codebook broadcasts as one
+    nested-array row; each vector's code array is computed inside a
+    single projection — an ``aggregate`` argmin over the subspace's
+    entries (squared L2 via ``zip_with``; exact ties keep the lower
+    code, matching ``min_by(code, (dist, code))``).  At 10^12 vectors
+    this is the only shape that works: encode is a map-only pass, the
+    n x m x k distance evaluations never leave the row."""
+    cb1 = _codebook_row(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    dsub = (F.size(v) / m).cast("int")
+
+    def code_for(s):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        entries = F.element_at(F.col("_cbs"), s + 1)["entries"]
+
+        def dist(e):
+            return F.aggregate(
+                F.zip_with(sub, e["subvec"],
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x)
+        best = F.aggregate(
+            entries,
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(0).alias("c")),
+            lambda acc, e: F.when(
+                dist(e) < acc["d"],
+                F.struct(dist(e).alias("d"), e["code"].alias("c")))
+            .otherwise(acc))
+        return best["c"]
+
+    codes = F.when(
+        (F.size(v) % m == 0) & (F.size("_cbs") == m),
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"pq_encode: dim not divisible by m={m} or codebook "
+              "subspaces != m: dim="), F.size(v).cast("string"),
+        F.lit(" subspaces="), F.size("_cbs").cast("string"))))
+    return (corpus.crossJoin(F.broadcast(cb1))
+            .select(F.col(id_col), codes.alias("codes")))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int,
@@ -399,17 +436,23 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int,
     """PQ/ADC cosine top-k: (query_id, rank, neighbor_id).
 
     Per query the codebook becomes an (m x k) lookup table of
-    (subspace dot product, subspace squared norm); the corpus-sized
-    scan touches ONLY the code arrays — explode to (vec, subspace,
-    code), broadcast-join the LUT, one groupBy sum reconstructs
-    dot(q, c) and |c|^2, and a per-query window ranks.  Self-matches
-    (same id) are excluded, ties break on neighbor id."""
+    (subspace dot product, subspace squared norm), collapsed with the
+    query norms into ONE broadcast row.  The corpus-sized scan touches
+    ONLY the code arrays: one projection reconstructs dot(q, c) and
+    |c|^2 by indexing the LUT per subspace (``element_at`` — codes are
+    dense 1..k), then a per-query window ranks.  Corpus-side cost: a
+    map-only pass emitting n x q scored rows into the top-k exchange —
+    no per-subspace shuffle, no join fan-out.  Self-matches are
+    excluded, ties break on neighbor id."""
     codebooks = codebooks if codebooks is not None else \
         pq_build_codebooks(corpus, m=m, vec_col=vec_col, id_col=id_col)
     codes = pq_encode(corpus, codebooks, m=m, vec_col=vec_col,
                       id_col=id_col)
     qsv = (pq_subvectors(queries, m=m, vec_col=vec_col, id_col=id_col)
            .withColumnRenamed(id_col, "query_id"))
+    # (query, subspace) LUT rows against the broadcast codebook, then
+    # collapsed: per query -> subspace-ordered tables, code-ordered
+    # entries of (dot, csq); plus the query norm
     lut = (qsv.join(F.broadcast(codebooks.withColumnRenamed(
                 "subvec", "_cb")), on="subspace")
            .select("query_id", "subspace", "code",
@@ -419,22 +462,37 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int,
                    .alias("_dot"),
                    F.aggregate("_cb", F.lit(0.0),
                                lambda a, x: a + x * x).alias("_csq")))
+    per_sub = (lut.groupBy("query_id", "subspace")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("code", "_dot", "_csq"))).alias("tbl")))
     qnorm = (pq_subvectors(queries, m=m, vec_col=vec_col, id_col=id_col)
              .groupBy(F.col(id_col).alias("query_id"))
              .agg(F.sqrt(F.sum(F.aggregate(
                  "subvec", F.lit(0.0), lambda a, x: a + x * x)))
                  .alias("_qnorm")))
-    exploded = (codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("subspace", "code")))
-    scored = (exploded.join(F.broadcast(lut), on=["subspace", "code"])
-              .groupBy("query_id", "neighbor_id")
-              .agg(F.sum("_dot").alias("_dot"),
-                   F.sum("_csq").alias("_csq"))
-              .join(F.broadcast(qnorm), on="query_id")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("_cos", F.col("_dot")
-                          / (F.col("_qnorm") * F.sqrt("_csq"))))
+    luts1 = (per_sub.groupBy("query_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("subspace", "tbl")))["tbl"].alias("tables"))
+             .join(qnorm, on="query_id")
+             .groupBy()
+             .agg(F.collect_list(F.struct("query_id", "tables",
+                                          "_qnorm")).alias("_luts")))
+
+    q = F.col("_q")
+    ent = lambda s: F.element_at(
+        F.element_at(q["tables"], s + 1),
+        F.element_at(F.col("codes"), s + 1))
+    dot = F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+                      lambda a, s: a + ent(s)["_dot"])
+    csq = F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+                      lambda a, s: a + ent(s)["_csq"])
+    scored = (codes.crossJoin(F.broadcast(luts1))
+              .select(F.col(id_col).alias("neighbor_id"), "codes",
+                      F.explode("_luts").alias("_q"))
+              .filter(F.col("_q")["query_id"] != F.col("neighbor_id"))
+              .select(F.col("_q")["query_id"].alias("query_id"),
+                      "neighbor_id",
+                      (dot / (q["_qnorm"] * F.sqrt(csq))).alias("_cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"),
                                                "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
