@@ -348,3 +348,149 @@ class CachingFileSystem:
 
     def makedirs(self, path: str) -> None:
         self.inner.makedirs(path)
+
+
+class TransientIOError(IOError):
+    """A retryable I/O failure (throttled object store, 5xx, socket
+    reset).  :class:`ChaosFileSystem` raises these;
+    :class:`RetryingFileSystem` absorbs them."""
+
+
+class ThrottledFileSystem:
+    """Token-bucket bandwidth throttle over any accessor — the
+    ``ThrottleConfig`` layer of the reference's accessor stack
+    (``storage/filesystem/accessor_config.rs`` + OpenDAL
+    ThrottleLayer; ``throttle_test.rs`` proves sequential writes slow
+    to the configured bandwidth).  Charges bytes moved by
+    read_bytes/write_atomic/copy against a (bandwidth, burst) bucket
+    and sleeps until tokens accrue; metadata ops are free (the layer
+    models object-store bandwidth caps, not request counts)."""
+
+    def __init__(self, inner: PosixFileSystem | None = None, *,
+                 bandwidth: int = 8 << 20, burst: int | None = None):
+        import threading
+        import time as _time
+        if bandwidth <= 0:
+            raise ValueError(f"bandwidth must be positive: {bandwidth}")
+        self.inner = inner or PosixFileSystem()
+        self.bandwidth = bandwidth
+        self.burst = burst if burst is not None else 2 * bandwidth
+        self._tokens = float(self.burst)
+        self._t = _time.monotonic()
+        self._lock = threading.Lock()
+        self._time = _time
+
+    def _charge(self, n: int) -> None:
+        while True:
+            with self._lock:
+                now = self._time.monotonic()
+                self._tokens = min(
+                    self.burst,
+                    self._tokens + (now - self._t) * self.bandwidth)
+                self._t = now
+                if self._tokens >= n or n > self.burst:
+                    # oversized objects charge the whole bucket once
+                    self._tokens -= min(n, self._tokens)
+                    return
+                wait = (n - self._tokens) / self.bandwidth
+            self._time.sleep(min(wait, 0.5))
+
+    def read_bytes(self, path: str) -> bytes:
+        data = self.inner.read_bytes(path)
+        self._charge(len(data))
+        return data
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        self._charge(len(data))
+        self.inner.write_atomic(path, data)
+
+    def copy(self, src: str, dst: str) -> None:
+        try:
+            self._charge(self.inner.size(src))
+        except OSError:
+            pass
+        self.inner.copy(src, dst)
+
+    def __getattr__(self, name: str):
+        return getattr(self.inner, name)
+
+
+class ChaosFileSystem:
+    """Deterministic fault injector — the accessor chaos wrapper
+    (``filesystem_accessor_chaos_wrapper.rs`` / ``chaos_generator.rs``):
+    every Nth-ish operation (seeded PRNG, reproducible) raises
+    :class:`TransientIOError` BEFORE delegating, so a fault never
+    half-applies an operation.  ``publish_cas`` is exempt by default —
+    the reference injects around the commit point, not inside it (a
+    failed CAS is already a modeled outcome)."""
+
+    FAULTED = ("read_bytes", "write_atomic", "rename", "remove",
+               "copy", "list", "create_exclusive")
+
+    def __init__(self, inner: PosixFileSystem | None = None, *,
+                 error_rate: float = 0.2, seed: int = 0):
+        import random
+        self.inner = inner or PosixFileSystem()
+        self.error_rate = error_rate
+        self._rng = random.Random(seed)
+        self.faults_injected = 0
+
+    def _maybe_fault(self, op: str, path: str) -> None:
+        if self._rng.random() < self.error_rate:
+            self.faults_injected += 1
+            raise TransientIOError(f"injected fault: {op}({path})")
+
+    def __getattr__(self, name: str):
+        target = getattr(self.inner, name)
+        if name not in self.FAULTED:
+            return target
+
+        def faulted(*a, **k):
+            self._maybe_fault(name, a[0] if a else "")
+            return target(*a, **k)
+        return faulted
+
+
+class RetryingFileSystem:
+    """Bounded-retry layer — the accessor ``retry_config``
+    (``accessor_config.rs``; OpenDAL RetryLayer): transient failures
+    retry with exponential backoff, non-transient errors and
+    exhaustion propagate.  Safe to wrap every operation because the
+    accessor contract makes each either atomic (write_atomic, CAS,
+    posix rename) or idempotent-on-retry (reads, listings, remove of
+    an already-removed path is the one exception — NotFound after a
+    successful-but-unacked delete is treated as success, the standard
+    object-store idiom)."""
+
+    def __init__(self, inner: PosixFileSystem | None = None, *,
+                 retries: int = 4, backoff_s: float = 0.01,
+                 retry_on: type | tuple = TransientIOError):
+        import time as _time
+        self.inner = inner or PosixFileSystem()
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.retry_on = retry_on
+        self.retries_used = 0
+        self._time = _time
+
+    def _call(self, name: str, *a, **k):
+        target = getattr(self.inner, name)
+        attempt = 0
+        while True:
+            try:
+                return target(*a, **k)
+            except self.retry_on:
+                attempt += 1
+                if attempt > self.retries:
+                    raise
+                self.retries_used += 1
+                self._time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+            except FileNotFoundError:
+                if name == "remove" and attempt > 0:
+                    return None  # earlier attempt deleted it: success
+                raise
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return lambda *a, **k: self._call(name, *a, **k)

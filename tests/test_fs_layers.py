@@ -1,0 +1,112 @@
+"""Accessor stack layers (fs.py): throttle, chaos injection, retry —
+the analogues of the reference accessor's ThrottleConfig / chaos
+wrapper / RetryConfig (``storage/filesystem/accessor_config.rs``,
+``throttle_test.rs``, ``filesystem_accessor_chaos_wrapper.rs``)."""
+
+import time
+
+import pytest
+
+from moonlink_spark.fs import (ChaosFileSystem, PosixFileSystem,
+                               RetryingFileSystem, ThrottledFileSystem,
+                               TransientIOError)
+
+
+def test_throttle_limits_sequential_write_bandwidth(tmp_path):
+    """Port of throttle_test.rs test_throttle_sequential_writes: 6 x
+    256 KiB writes at 512 KiB/s (512 KiB burst) must take >= ~2 s;
+    unthrottled takes a blink."""
+    data = b"x" * (256 << 10)
+    fs = ThrottledFileSystem(PosixFileSystem(),
+                             bandwidth=512 << 10, burst=512 << 10)
+    t0 = time.monotonic()
+    for i in range(6):
+        fs.write_atomic(str(tmp_path / f"t{i}"), data)
+    throttled = time.monotonic() - t0
+    # 1.5 MiB total minus the 0.5 MiB burst => >= ~2 s of refill
+    assert throttled >= 1.5
+
+    base = PosixFileSystem()
+    t0 = time.monotonic()
+    for i in range(6):
+        base.write_atomic(str(tmp_path / f"b{i}"), data)
+    assert (time.monotonic() - t0) < throttled / 3
+    # reads charge the bucket too; metadata ops are free
+    fs.exists(str(tmp_path / "t0"))
+    assert fs.read_bytes(str(tmp_path / "t0")) == data
+
+
+def test_chaos_is_deterministic_and_pre_delegation(tmp_path):
+    p = str(tmp_path / "a")
+    PosixFileSystem().write_atomic(p, b"v")
+
+    def run(seed):
+        fs = ChaosFileSystem(PosixFileSystem(), error_rate=0.5,
+                             seed=seed)
+        outcomes = []
+        for _ in range(20):
+            try:
+                fs.read_bytes(p)
+                outcomes.append("ok")
+            except TransientIOError:
+                outcomes.append("fault")
+        return outcomes, fs.faults_injected
+
+    o1, n1 = run(7)
+    o2, n2 = run(7)
+    assert (o1, n1) == (o2, n2) and "fault" in o1 and "ok" in o1
+    # faults fire BEFORE delegation: a faulted write leaves no file
+    fs = ChaosFileSystem(PosixFileSystem(), error_rate=1.0, seed=1)
+    q = str(tmp_path / "never")
+    with pytest.raises(TransientIOError):
+        fs.write_atomic(q, b"x")
+    assert not PosixFileSystem().exists(q)
+
+
+def test_retry_masks_transient_faults(tmp_path):
+    chaos = ChaosFileSystem(PosixFileSystem(), error_rate=0.5, seed=3)
+    fs = RetryingFileSystem(chaos, retries=6, backoff_s=0.001)
+    p = str(tmp_path / "r")
+    for i in range(30):  # every op eventually succeeds
+        fs.write_atomic(p, f"v{i}".encode())
+        assert fs.read_bytes(p) == f"v{i}".encode()
+    assert fs.retries_used > 0
+
+    # exhaustion propagates
+    always = RetryingFileSystem(
+        ChaosFileSystem(PosixFileSystem(), error_rate=1.0, seed=4),
+        retries=2, backoff_s=0.001)
+    with pytest.raises(TransientIOError):
+        always.read_bytes(p)
+
+
+def test_full_stack_engine_lifecycle_under_chaos(spark, tmp_path):
+    """The reference's chaos-wrapper proof: the engine completes a full
+    synthesize/scan/optimize/rescan cycle with transient faults firing
+    across the accessor, as long as a retry layer absorbs them —
+    content identical to a clean run."""
+    from pyspark.sql import functions as F
+
+    from moonlink_spark.engine import MoonTable
+    from moonlink_spark.snapshotstore import SnapshotStore
+    from moonlink_spark.synth import synthesize_cdc_aftermath
+
+    chaos = ChaosFileSystem(PosixFileSystem(), error_rate=0.05, seed=13)
+    fs = RetryingFileSystem(chaos, retries=8, backoff_s=0.001)
+    w = str(tmp_path / "wh")
+    store = SnapshotStore(w, fs)
+    synthesize_cdc_aftermath(w, seed=41, n_files=10,
+                             rows_per_file=(30, 60), n_repos=3,
+                             content_bytes=(32, 64), store=store)
+    t = MoonTable(spark, w, store=SnapshotStore(w, fs))
+
+    def sha(df):
+        return sorted(r["h"] for r in
+                      df.select(F.sha2("content", 256).alias("h"))
+                      .collect())
+
+    before = sha(t.scan(0))
+    snap = t.optimize("full")
+    assert sha(t.scan(snap.version)) == before
+    assert chaos.faults_injected > 0     # the run really was attacked
+    assert fs.retries_used > 0
