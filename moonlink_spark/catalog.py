@@ -168,7 +168,20 @@ class Catalog:
         if "_pos" not in schema:
             raise ValueError("schema must include the `_pos` position "
                              "column (row identity for delete vectors)")
-        config = config or TableConfig()
+        if config is None:
+            # the stock defaults name the north-rule table's columns;
+            # adapt them to THIS schema so optimize() on a custom-schema
+            # table never references absent columns: clustering falls
+            # back to (file,pos)-order rewrite (the reference's own
+            # compaction order) and stats bounds cover every data column
+            config = TableConfig()
+            cols = set(schema)
+            if not set(config.zorder_columns) <= cols:
+                config = dataclasses.replace(config, zorder_columns=())
+            if not set(config.stats_columns) <= cols:
+                config = dataclasses.replace(
+                    config,
+                    stats_columns=tuple(c for c in schema if c != "_pos"))
         types = dict(schema_types or {})
         for c in schema:
             types.setdefault(c, "bigint" if c == "_pos" else "string")

@@ -29,6 +29,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from moonlink_spark import metrics as mtr
 from moonlink_spark.config import CompactionConfig, TableConfig
 from moonlink_spark.fs import part_files, rename_many
 from moonlink_spark.functions.zorder import compute_zorder_boundaries
@@ -334,13 +335,21 @@ class MoonTable:
                 "metrics": metrics,
             })
             try:
-                return self.store.commit_delta(
+                snap = self.store.commit_delta(
                     commit_base.version,
                     added=out_dicts, removed=sorted(compacted),
                     schema=commit_base.schema,
                     stats_columns=self.config.stats_columns,
                     properties=props,
                     expected_parent=commit_base.version)
+                # OTEL-analogue histograms (metrics.py): phase walls of
+                # the committed maintenance pass
+                mtr.observe("maintenance_plan_latency",
+                           (t_plan + t_boundaries) * 1000.0)
+                mtr.observe("sync_data_files_latency", t_rewrite * 1000.0)
+                mtr.observe("snapshot_synchronization_latency",
+                           (_time.monotonic() - t_start) * 1000.0)
+                return snap
             except CommitConflict:
                 if attempt == 4:
                     raise
@@ -377,6 +386,8 @@ class MoonTable:
         (the file-index merge analogue — merge >=16 small index blocks
         into one GlobalIndex, ``snapshot_maintenance.rs:227-309``) and
         the DV sidecars.  Metadata-only: no data file is touched."""
+        import time as _time
+        t_start = _time.monotonic()
         mdf = self.store.manifest_df(self.spark, base.version)
         if self.config.index_key_columns:
             from moonlink_spark.operators import keyindex
@@ -391,6 +402,10 @@ class MoonTable:
                          mdf.filter(F.col("dv_path").isNotNull())
                          .select("dv_path").distinct().collect())
         if len(live_dv) < MIN_DV_SIDECARS_TO_MERGE:
+            # the `Nothing` outcome still took a real evaluation pass —
+            # its wall belongs in the histogram like any other run
+            mtr.observe("sync_file_indices_latency",
+                       (_time.monotonic() - t_start) * 1000.0)
             return base
         live_files = (mdf.filter(F.col("dv_path").isNotNull())
                       .select(F.col("path").alias("referenced_file")))
@@ -447,6 +462,9 @@ class MoonTable:
             stats_columns=self.config.stats_columns,
             properties=props, expected_parent=base.version)
         self.store.fs.rmtree(tmp)
+        wall = (_time.monotonic() - t_start) * 1000.0
+        mtr.observe("sync_file_indices_latency", wall)
+        mtr.observe("snapshot_synchronization_latency", wall)
         return snap
 
     # -- mutation --------------------------------------------------------
@@ -754,11 +772,13 @@ class MoonTable:
         rec = {"option": option, "decision": "none",
                "version_before": v0, "version_after": v0, "reasons": {}}
         if option == "skip":
+            mtr.record_decision(rec)
             return rec
         if option in ("force_regular", "force_full"):
             mode = "data" if option == "force_regular" else "full"
             snap = self.optimize(mode)
             rec.update(decision=mode, version_after=snap.version)
+            mtr.record_decision(rec)
             return rec
 
         mdf = self.store.manifest_df(self.spark, v0)
@@ -804,6 +824,7 @@ class MoonTable:
             rec["reasons"]["recluster_overlap_threshold"] = \
                 recluster_overlap_threshold
         if option == "evaluate":
+            mtr.record_decision(rec)
             return rec
         if n_candidates >= self.config.compaction.min_files_to_compact:
             snap = self.optimize("data")
@@ -818,6 +839,7 @@ class MoonTable:
               >= recluster_overlap_threshold):
             snap = self.optimize("full")
             rec.update(decision="recluster", version_after=snap.version)
+        mtr.record_decision(rec)
         return rec
 
     def expire_snapshots(self, retain_last: int = 2, *,

@@ -62,6 +62,16 @@ class PosixFileSystem:
         """Last-modified epoch seconds (object store: LastModified)."""
         return os.path.getmtime(path)
 
+    def stat_token(self, path: str) -> tuple:
+        """Change-detection token for cache validation: equal tokens ⇒
+        unchanged content.  Posix: (size, mtime_ns, inode, ctime_ns) —
+        nanosecond stamps defeat the coarse-mtime race and the inode
+        catches atomic-rename replacement (write-temp+rename allocates a
+        NEW inode even when size and mtime collide).  An object-store
+        implementation returns the etag."""
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns, st.st_ino, st.st_ctime_ns)
+
     def list(self, path: str) -> list[str]:
         return os.listdir(path)
 
@@ -221,10 +231,15 @@ class CachingFileSystem:
     Scope and safety:
 
     - only :meth:`read_bytes` is cached; every entry is validated
-      against the object's current (size, mtime) on EVERY hit — one
-      stat/HEAD instead of a full GET, never a stale read.  On an
-      object store that is the LastModified/etag HEAD the reference's
-      cache also performs.
+      against the object's current ``stat_token`` on EVERY hit — one
+      stat/HEAD instead of a full GET, never a stale read.  The posix
+      token is (size, mtime_ns, inode, ctime_ns), so a cross-process
+      writer replacing a same-length file inside mtime granularity is
+      still caught (atomic replace = new inode; in-place rewrite = new
+      ctime_ns).  On an object store that is the etag HEAD the
+      reference's cache also performs.  Inner filesystems without
+      ``stat_token`` fall back to (size, mtime) and should be treated
+      as single-writer-process-only.
     - mutators (write/rename/remove/CAS) invalidate before delegating;
       :meth:`publish_cas` delegates wholesale so its precondition read
       is ALWAYS uncached — the commit point never trusts this cache.
@@ -246,8 +261,8 @@ class CachingFileSystem:
         self.inner = inner or PosixFileSystem()
         self.max_bytes = max_bytes
         self._lock = threading.Lock()
-        # path -> (size, mtime, bytes); OrderedDict end = most recent
-        self._entries: "OrderedDict[str, tuple[int, float, bytes]]" = \
+        # path -> (stat_token, bytes); OrderedDict end = most recent
+        self._entries: "OrderedDict[str, tuple[tuple, bytes]]" = \
             OrderedDict()
         self._bytes = 0
         self.hits = 0
@@ -255,30 +270,42 @@ class CachingFileSystem:
         self.evictions = 0
 
     # -- cached read -----------------------------------------------------
+    def _token(self, path: str) -> tuple:
+        tok = getattr(self.inner, "stat_token", None)
+        if tok is not None:
+            return tok(path)
+        return (self.inner.size(path), self.inner.mtime(path))
+
     def read_bytes(self, path: str) -> bytes:
         try:
-            size = self.inner.size(path)
-            mtime = self.inner.mtime(path)
+            token = self._token(path)
         except OSError:
             self._invalidate(path)
             return self.inner.read_bytes(path)  # raises consistently
         with self._lock:
             ent = self._entries.get(path)
-            if ent is not None and ent[0] == size and ent[1] == mtime:
+            if ent is not None and ent[0] == token:
                 self._entries.move_to_end(path)
                 self.hits += 1
-                return ent[2]
+                return ent[1]
         data = self.inner.read_bytes(path)
+        # re-stat: cache only if the object was stable across the read
+        # (a concurrent replace between stat and read would otherwise
+        # pin mismatched token/bytes)
+        try:
+            stable = self._token(path) == token
+        except OSError:
+            stable = False
         with self._lock:
             self.misses += 1
-            if len(data) <= self.max_bytes:
+            if stable and len(data) <= self.max_bytes:
                 old = self._entries.pop(path, None)
                 if old is not None:
-                    self._bytes -= len(old[2])
-                self._entries[path] = (size, mtime, data)
+                    self._bytes -= len(old[1])
+                self._entries[path] = (token, data)
                 self._bytes += len(data)
                 while self._bytes > self.max_bytes:
-                    _, (_, _, edata) = self._entries.popitem(last=False)
+                    _, (_, edata) = self._entries.popitem(last=False)
                     self._bytes -= len(edata)
                     self.evictions += 1
         return data
@@ -288,7 +315,7 @@ class CachingFileSystem:
             for p in paths:
                 ent = self._entries.pop(p, None)
                 if ent is not None:
-                    self._bytes -= len(ent[2])
+                    self._bytes -= len(ent[1])
 
     # -- invalidating mutators -------------------------------------------
     def write_atomic(self, path: str, data: bytes) -> None:

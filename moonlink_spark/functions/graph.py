@@ -35,23 +35,29 @@ PAGERANK_TOTAL = 10**12  # integer micro-unit rank mass
 
 def pagerank(edges: DataFrame, k: int, *, damping_pct: int = 85,
              total: int = PAGERANK_TOTAL,
-             checkpoint_every: int = 4) -> DataFrame:
+             checkpoint_every: int = 4,
+             validate: bool = True) -> DataFrame:
     """``k`` exact-integer PageRank iterations over a directed edge
     list ``(src, dst)`` (pre-deduplicated).  Returns ``(node, rank)``.
 
     Every node must have out-degree >= 1 (true for symmetric graphs
     like word adjacency); dangling-node redistribution is out of scope,
-    and the precondition is CHECKED here — a sink node would silently
-    leak rank mass otherwise."""
+    and the precondition is CHECKED by default — a sink node would
+    silently leak rank mass otherwise.  ``validate=False`` skips the
+    check (a subtract + limit(1) — two eager jobs with a shuffle) for
+    callers whose edge list is symmetric BY CONSTRUCTION, like the
+    internal TextRank path over :func:`word_adjacency_edges`."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    dangling = (edges.select(F.col("dst").alias("node"))
-                .subtract(edges.select(F.col("src").alias("node"))))
-    bad = dangling.limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"dangling node {bad[0]['node']!r}: every node needs "
-            "out-degree >= 1 (symmetrize the edge list or drop sinks)")
+    if validate:
+        dangling = (edges.select(F.col("dst").alias("node"))
+                    .subtract(edges.select(F.col("src").alias("node"))))
+        bad = dangling.limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"dangling node {bad[0]['node']!r}: every node needs "
+                "out-degree >= 1 (symmetrize the edge list or drop "
+                "sinks)")
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), "
                          f"got {damping_pct}")
@@ -111,6 +117,9 @@ def textrank_keywords(df: DataFrame, *, text_col: str = "text",
     """TextRank: PageRank over the corpus word-adjacency graph; the
     ``top_k`` most central words with their exact integer ranks —
     ``(word, rank)`` ordered by ``(rank desc, word asc)``."""
-    ranks = pagerank(word_adjacency_edges(df, text_col), k_iterations)
+    # word_adjacency_edges emits both directions of every pair, so the
+    # no-dangling precondition holds by construction: skip the check
+    ranks = pagerank(word_adjacency_edges(df, text_col), k_iterations,
+                     validate=False)
     return (ranks.orderBy(F.desc("rank"), "node").limit(top_k)
             .select(F.col("node").alias("word"), "rank"))

@@ -360,13 +360,81 @@ def pq_build_codebooks(corpus: DataFrame, *, m: int,
     exactness boundary for the whole PQ pipeline: with lossless
     codebooks, ADC scores equal exact scores, so a brute-force oracle
     value-checks encode + LUT + ADC end to end (the same pattern as
-    the IVF full-probe boundary).  The trained (k-means-per-subspace,
-    lossy) variant swaps this function for sampled centroids; the rest
-    of the pipeline is identical."""
+    the IVF full-probe boundary).  :func:`pq_train_codebooks` is the
+    trained (k-means-per-subspace, lossy) drop-in for real-valued
+    embeddings; the rest of the pipeline is identical."""
     sv = pq_subvectors(corpus, m=m, vec_col=vec_col, id_col=id_col)
     w = Window.partitionBy("subspace").orderBy("subvec")
     return (sv.select("subspace", "subvec").distinct()
             .withColumn("code", F.row_number().over(w).cast("int")))
+
+
+def pq_train_codebooks(corpus: DataFrame, *, m: int, n_codes: int = 256,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       sample_rows: int = 4096, iters: int = 8,
+                       seed: int = 13) -> DataFrame:
+    """Trained (k-means-per-subspace) codebooks: (subspace, code,
+    subvec) with dense codes 1..k — the drop-in replacement for
+    :func:`pq_build_codebooks` that makes PQ usable on REAL-VALUED
+    embeddings, where the distinct-subvector (lossless) codebook would
+    be corpus-sized.
+
+    This is classic product quantization (Jegou et al. 2011, public):
+    split each vector into ``m`` subvectors and learn an independent
+    ``n_codes``-centroid quantizer per subspace by Lloyd's k-means.
+    Training is driver-side on the SAME bounded deterministic sample
+    discipline as :func:`train_centroids` (the ``sample_rows`` smallest
+    rows by ``xxhash64`` of the vector — per-partition top-k + merge, no
+    full sort, no partition-0 bias), so training cost is O(sample x m x
+    n_codes x iters) and INDEPENDENT of corpus size; only the m x
+    n_codes codebook — a few hundred KB — is ever materialized.  Encode
+    (`pq_encode`) stays the map-only broadcast pass; at 10^12 vectors
+    nothing here grows with n.
+
+    Determinism: the sample, the seeded init (distinct subvectors
+    chosen by rng(seed + subspace)), and the fixed iteration count make
+    the codebook exactly reproducible; empty clusters keep their
+    previous centroid (standard Lloyd fallback).  Codes are numbered by
+    centroid value order so equal inputs yield identical relations.
+
+    Reference parity: moonlink itself stops at IVF-style file pruning;
+    the PQ tier is the memory-scale extension this engine adds for the
+    embedding-pipeline workload (see SURVEY.md §2 LLM-ops)."""
+    if m <= 0 or n_codes <= 0:
+        raise ValueError(f"m and n_codes must be positive: {m}, {n_codes}")
+    sample = (corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+              .orderBy(F.xxhash64(F.col("v")))
+              .limit(sample_rows).collect())
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] % m != 0:
+        raise ValueError(
+            f"vector dim {x.shape} not divisible by m={m}")
+    dsub = x.shape[1] // m
+    rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        sub = x[:, s * dsub:(s + 1) * dsub]
+        uniq = np.unique(sub, axis=0)
+        k = min(n_codes, len(uniq))
+        rng = np.random.default_rng(seed + s)
+        cents = uniq[rng.choice(len(uniq), size=k, replace=False)]
+        for _ in range(iters):
+            # squared-L2 assignment via the expanded form; argmin ties
+            # go to the lower centroid index (np.argmin), matching
+            # pq_encode's keep-lower-code tie rule
+            d2 = ((sub * sub).sum(1)[:, None]
+                  - 2.0 * (sub @ cents.T)
+                  + (cents * cents).sum(1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                msk = assign == j
+                if msk.any():
+                    cents[j] = sub[msk].mean(axis=0)
+        # value-order the centroids so code numbering is input-determined
+        order = np.lexsort(cents.T[::-1])
+        for c, row in enumerate(cents[order], start=1):
+            rows.append((s, c, [float(v) for v in row]))
+    return corpus.sparkSession.createDataFrame(
+        rows, "subspace int, code int, subvec array<double>")
 
 
 def _codebook_row(codebooks: DataFrame) -> DataFrame:

@@ -110,6 +110,31 @@ def _pa_filter_expr(row_filters: Mapping[str, object]):
     return expr
 
 
+def surviving_row_groups(group_rows: list[int],
+                         deleted) -> list[tuple[int, int]]:
+    """Which row groups still hold at least one live row.
+
+    ``group_rows`` = per-group row counts in file order; ``deleted`` =
+    sorted unique deleted row ordinals (the file's DV).  Returns
+    ``[(group_index, start_ordinal)]`` for every group NOT fully
+    covered by the DV — the per-file analogue of DataFusion building a
+    ``ParquetAccessPlan`` that drops fully-deleted ranges
+    (``moonlink_datafusion/src/table_provider.rs:96-130``).  Pure
+    (numpy searchsorted over the cumulative ranges) so the decision is
+    unit-testable without Spark or files."""
+    import numpy as np
+    out = []
+    start = 0
+    for g, n in enumerate(group_rows):
+        end = start + n
+        lo = np.searchsorted(deleted, start, side="left")
+        hi = np.searchsorted(deleted, end, side="left")
+        if hi - lo < n:  # at least one live ordinal in [start, end)
+            out.append((g, start))
+        start = end
+    return out
+
+
 def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None,
                  row_filters: Mapping[str, object] | None = None):
     """mapInArrow body: read each plan row's parquet file with pyarrow,
@@ -122,41 +147,100 @@ def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None,
     with it positional semantics — is preserved).  Pushdown is skipped
     for a file that needs SYNTHESIZED ordinals (no materialized
     ``_pos`` column): filtering there would renumber positions; such
-    files read unfiltered and the Spark-side filter finishes the job."""
+    files read unfiltered and the Spark-side filter finishes the job.
+
+    When the plan carries a ``dv_path`` column (dirty files), the
+    file's named DV sidecar drives ROW-GROUP SKIPPING: groups whose
+    ordinal range is fully deleted are never read (the common CDC
+    aftermath — a wholly-deleted commit file's worth of rows inside a
+    partially dirty bin).  Correct by the superset invariant: the
+    Spark-side anti-join set is the union of all sidecars referencing
+    the file, a superset of the named sidecar's positions, so a skipped
+    row could never have survived the anti-join.  Partially-deleted
+    groups read normally (positions jump to each group's start
+    ordinal); the anti-join finishes the row-level work."""
     def reader(batches) -> Iterator:
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         logical = [f for f in arrow_schema if f.name != FILE_COL]
         expr = (_pa_filter_expr(row_filters) if row_filters else None)
         filter_cols = set(row_filters or ())
 
-        def file_batches(path, avail, cols):
+        def deleted_ordinals(dv_relpath: str, relpath: str):
+            """Sorted unique deleted positions of ``relpath`` per its
+            named sidecar (bounded: one positions column of one file)."""
+            t = pq.read_table(os.path.join(warehouse, dv_relpath),
+                              columns=["referenced_file", "positions"])
+            mine = t.filter(pc.equal(t["referenced_file"], relpath))
+            if mine.num_rows == 0:
+                return None
+            pos = pc.list_flatten(mine["positions"])
+            if len(pos) == 0:
+                return None
+            return np.unique(pos.to_numpy(zero_copy_only=False))
+
+        def file_batches(path, avail, cols, dv_relpath, relpath):
+            """Yield (record_batch, start_ordinal) pairs."""
             pf = pq.ParquetFile(path)
-            # push only when _pos is a REAL file column: the output
-            # schema always carries positions (the DV join key), and
-            # synthesized ordinals over a filtered read would renumber
+            groups = None  # None = read everything
+            if dv_relpath is not None:
+                dels = deleted_ordinals(dv_relpath, relpath)
+                if dels is not None:
+                    md = pf.metadata
+                    sizes = [md.row_group(g).num_rows
+                             for g in range(md.num_row_groups)]
+                    surv = surviving_row_groups(sizes, dels)
+                    if len(surv) < len(sizes):
+                        groups = surv
+            if groups is not None:
+                for g, start in groups:
+                    pos = start
+                    for rb in pf.iter_batches(
+                            batch_size=_READ_BATCH_ROWS,
+                            row_groups=[g], columns=cols):
+                        yield rb, pos
+                        pos += rb.num_rows
+                return
+            # push only when _pos is a REAL file column AND it is being
+            # read: the output schema always carries positions (the DV
+            # join key), and synthesized ordinals over a filtered read
+            # would renumber — including when a caller's projection
+            # omitted _pos from ``cols`` even though the file has it
             can_push = (expr is not None and POS_COL in avail
-                        and filter_cols <= avail)
+                        and filter_cols <= avail
+                        and (cols is None or POS_COL in cols))
+            pos = 0
             if not can_push:
-                yield from pf.iter_batches(
-                    batch_size=_READ_BATCH_ROWS, columns=cols)
+                for rb in pf.iter_batches(
+                        batch_size=_READ_BATCH_ROWS, columns=cols):
+                    yield rb, pos
+                    pos += rb.num_rows
                 return
             import pyarrow.dataset as pds
             scanner = pds.Scanner.from_dataset(
                 pds.dataset(path, format="parquet"),
                 columns=cols, filter=expr,
                 batch_size=_READ_BATCH_ROWS, use_threads=False)
-            yield from scanner.to_batches()
+            for rb in scanner.to_batches():
+                # ordinals are never synthesized here (can_push
+                # guarantees _pos is read); the counter is unused
+                yield rb, pos
+                pos += rb.num_rows
 
         for b in batches:
-            for relpath in b.column("path").to_pylist():
+            has_dv = "dv_path" in b.schema.names
+            dv_col = (b.column("dv_path").to_pylist()
+                      if has_dv else None)
+            for i, relpath in enumerate(b.column("path").to_pylist()):
                 fpath = os.path.join(warehouse, relpath)
+                dv_relpath = dv_col[i] if has_dv else None
                 avail = set(pq.read_schema(fpath).names)
                 cols = ([c for c in read_cols if c in avail]
                         if read_cols is not None else None)
-                pos = 0
-                for rb in file_batches(fpath, avail, cols):
+                for rb, pos in file_batches(fpath, avail, cols,
+                                            dv_relpath, relpath):
                     n = rb.num_rows
                     tb = pa.Table.from_batches([rb])
                     arrays = []
@@ -176,7 +260,6 @@ def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None,
                     arrays.append(pa.array([relpath] * n, pa.string()))
                     yield pa.RecordBatch.from_arrays(
                         arrays, schema=arrow_schema)
-                    pos += n
     return reader
 
 
@@ -209,10 +292,10 @@ def _read_plan(spark: SparkSession, store: SnapshotStore, plan: DataFrame,
                read_cols: list[str] | None,
                row_filters: Mapping[str, object] | None = None
                ) -> DataFrame:
-    """Turn a one-column ``path`` plan DataFrame into the rows of those
-    files.  Parallelism: one task per plan partition; round-robin
-    repartition spreads files so stragglers are single-file, not
-    single-task-many-files."""
+    """Turn a ``path`` (+ optional ``dv_path``) plan DataFrame into the
+    rows of those files.  Parallelism: one task per plan partition;
+    round-robin repartition spreads files so stragglers are
+    single-file, not single-task-many-files."""
     from pyspark.sql.pandas.types import to_arrow_schema
     fields = list(struct.fields)
     if POS_COL not in {f.name for f in fields}:
@@ -277,9 +360,11 @@ def scan_distributed(
                        .select("path"),
                        n_files - n_dirty, struct, read_cols, push_filters)
     if n_dirty:
+        # the dirty plan carries dv_path so the reader can skip
+        # fully-deleted row groups from the file's named sidecar
         dirty_rows = _read_plan(spark, store,
                                 live.filter(F.col("dv_path").isNotNull())
-                                .select("path"),
+                                .select("path", "dv_path"),
                                 n_dirty, struct, read_cols, push_filters)
         dv_plan = (live.filter(F.col("dv_path").isNotNull())
                    .select("dv_path").distinct())

@@ -41,12 +41,14 @@ from __future__ import annotations
 
 import math
 import os
+import time as _time
 import uuid
 from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from moonlink_spark import metrics as mtr
 from moonlink_spark.config import TableConfig
 from moonlink_spark.operators import keyindex, skew
 from moonlink_spark.fs import part_files, rename_many
@@ -161,6 +163,7 @@ def merge_into(
         affected = [r[FILE_COL] for r in
                     new_dels.select(FILE_COL).distinct().collect()]
         upd = None  # DataFrame (path, _new_dv, _new_card) or None
+        t_dv = _time.monotonic()
         if affected:
             aff_paths = file_list_df(spark, affected, "path")
             old_dv_paths = sorted(
@@ -221,6 +224,10 @@ def merge_into(
                                       store.warehouse).alias("_new_dv"),
                        F.col("cardinality").alias("_new_card")))
             store.fs.rmtree(os.path.join(store.warehouse, "tmp", job_id))
+            # DV build + publish wall (OTEL sync_deletion_vectors
+            # analogue, iceberg_persistence.rs:59-86)
+            mtr.observe("sync_deletion_vectors_latency",
+                       (_time.monotonic() - t_dv) * 1000.0)
 
         # -- 3. write inserted rows as fresh ingest files ----------------
         inserts = changes.filter(F.col(OP_COL) == "upsert") \

@@ -355,7 +355,18 @@ def scan(
     # driver, and planning itself goes distributed: the manifest stays
     # a DataFrame end-to-end and executors read their own plan slices.
     from moonlink_spark.operators import distscan
-    if (manifest.count() > distscan.PLAN_DISTRIBUTED_FILES):
+    # The decision count comes free from the snapshot header (segment
+    # descriptors record per-segment entry counts) — no extra Spark job
+    # over the manifest parquet on the common path.  The header total is
+    # an upper bound on the pruned manifest, so a heavily-pruned scan of
+    # a huge table goes distributed "unnecessarily" — conservative in
+    # the direction that can never blow the driver; distscan is exact
+    # and cheap at small plan sizes.  Pre-upgrade snapshots without
+    # per-segment counts fall back to the count job.
+    n_entries = snapshot.entry_count
+    if n_entries is None:
+        n_entries = manifest.count()
+    if n_entries > distscan.PLAN_DISTRIBUTED_FILES:
         return distscan.scan_distributed(
             spark, store, manifest,
             schema_ddl=snapshot.properties.get("schema_ddl"),

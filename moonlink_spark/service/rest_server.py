@@ -8,6 +8,7 @@ user integrating "like moonlink" can drive ingest → optimize → scan
 over the wire:
 
     GET    /health                      liveness + timestamp
+    GET    /metrics                     latency histograms + decisions
     GET    /tables                      catalog listing
     POST   /tables/{db.table}           create table (JSON schema)
     DELETE /tables/{db.table}           drop table (idempotent)
@@ -18,6 +19,7 @@ over the wire:
     POST   /kafka/{db.table}/ingest     Avro row event
     POST   /upload/{db.table}           bulk parquet adoption
     POST   /tables/{db.table}/optimize  maintenance (data|index|full)
+    POST   /tables/{db.table}/maintain  decision layer (best_effort|...)
     POST   /tables/{db.table}/snapshot  force a snapshot
     POST   /tables/{db.table}/flush     apply the WAL backlog
 
@@ -186,8 +188,10 @@ class RestServer:
     # -- routing ---------------------------------------------------------
     _ROUTES = [
         ("GET", r"^/health$", "_health"),
+        ("GET", r"^/metrics$", "_metrics"),
         ("GET", r"^/tables$", "_list_tables"),
         ("POST", r"^/tables/(?P<t>[^/]+)/optimize$", "_optimize"),
+        ("POST", r"^/tables/(?P<t>[^/]+)/maintain$", "_maintain"),
         ("POST", r"^/tables/(?P<t>[^/]+)/snapshot$", "_snapshot"),
         ("POST", r"^/tables/(?P<t>[^/]+)/flush$", "_flush"),
         ("POST", r"^/tables/(?P<t>[^/]+)$", "_create_table"),
@@ -215,6 +219,30 @@ class RestServer:
         return 200, {"service": "moonlink-spark-rest-api",
                      "status": "healthy",
                      "timestamp": int(time.time())}
+
+    def _metrics(self, body: dict) -> tuple[int, dict]:
+        """The observability scrape (the reference's otel endpoint
+        analogue, ``moonlink_service/src/otel.rs`` +
+        ``observability/iceberg_persistence.rs:59-86``): the six
+        latency histogram families, the maintain() decision log, and
+        per-table last-operation metrics (``phase_seconds`` lineage
+        from each table's current snapshot header)."""
+        from moonlink_spark import metrics as mx
+        payload = mx.snapshot()
+        tables = {}
+        for status in self.catalog.list_tables():
+            db, tbl = status["database"], status["table"]
+            try:
+                snap = self.catalog.get_table(db, tbl).snapshot()
+            except Exception:
+                continue
+            tables[f"{db}.{tbl}"] = {
+                "version": snap.version,
+                "operation": snap.properties.get("operation"),
+                "metrics": snap.properties.get("metrics"),
+            }
+        payload["tables"] = tables
+        return 200, payload
 
     def _list_tables(self, body: dict) -> tuple[int, dict]:
         return 200, {"tables": self.catalog.list_tables()}
@@ -334,6 +362,23 @@ class RestServer:
         metrics: Any = snap.properties.get("metrics")
         return 200, {"table": f"{db}.{tbl}", "mode": mode,
                      "version": snap.version, "metrics": metrics}
+
+    def _maintain(self, body: dict, t: str) -> tuple[int, dict]:
+        """Evaluate/trigger the maintenance decision layer
+        (``table_handler_state.rs:25-67`` MaintenanceRequestStatus);
+        the decision record also lands in the /metrics decision log."""
+        db, tbl = _split_table(t)
+        option = body.get("option", "best_effort")
+        try:
+            table = self.catalog.get_table(db, tbl)
+        except NoSuchTable:
+            raise _HttpError(404, f"no such table {db}.{tbl}")
+        with self._lock((db, tbl)):
+            try:
+                rec = table.maintain(option)
+            except ValueError as e:
+                raise _HttpError(400, str(e))
+        return 200, {"table": f"{db}.{tbl}", **rec}
 
     def _snapshot(self, body: dict, t: str) -> tuple[int, dict]:
         db, tbl = _split_table(t)

@@ -114,6 +114,13 @@ class Snapshot:
     # epoch-seconds commit stamp from the header (None only for
     # pre-upgrade snapshots written before the stamp existed)
     committed_at: float | None = None
+    # total manifest entries summed from the segment descriptors (None
+    # when any segment predates per-segment counts).  Lets the scan
+    # planner pick driver vs distributed planning without running a
+    # count job over the manifest parquet (it is an UPPER bound on any
+    # pruned manifest, so the decision is conservative the safe way:
+    # never driver-collect something bigger than the header says).
+    entry_count: int | None = None
 
     @property
     def flush_lsn(self) -> int:
@@ -304,14 +311,17 @@ class SnapshotStore:
             version = self.current_version()
         hdr = json.loads(self.fs.read_bytes(self.header_path(version)))
         ts = hdr.get("committed_at")
+        segs = self.manifest_segments(version)
+        counts = [s.get("entries") for s in segs]
         return Snapshot(
             version=hdr["version"],
             parent=hdr.get("parent"),
             schema=hdr["schema"],
             properties=hdr.get("properties", {}),
-            manifest_paths=[self.abs(s["path"])
-                            for s in self.manifest_segments(version)],
+            manifest_paths=[self.abs(s["path"]) for s in segs],
             committed_at=float(ts) if ts is not None else None,
+            entry_count=(sum(counts)
+                         if all(c is not None for c in counts) else None),
         )
 
     def commit_time(self, version: int) -> float:
@@ -659,6 +669,7 @@ class SnapshotStore:
         it into the commit's action file.  Lazy on purpose: building
         per-file action dicts for a 10^5-file optimize commit is wasted
         work on a backend that never reads them."""
+        t0 = time.monotonic()
         self.write_manifest_list(version, descs)
         header = {
             "format_version": 2,
@@ -676,6 +687,12 @@ class SnapshotStore:
             json.dumps(header, indent=1, sort_keys=True).encode())
         self._commit_pointer(version, current, descs=descs,
                              header=header, actions=actions)
+        # every backend's commit transaction (list + header + pointer
+        # CAS) lands here — the transaction_commit_latency histogram
+        # (``observability``, iceberg_persistence.rs:59-86 analogue)
+        from moonlink_spark import metrics as _mx
+        _mx.observe("transaction_commit_latency",
+                    (time.monotonic() - t0) * 1000.0)
         return self.read_snapshot(version)
 
     def _commit_pointer(self, version: int, current: int | None, *,

@@ -171,6 +171,78 @@ def test_row_filter_pushdown_parity_both_paths(spark, aftermath,
     assert _multiset(dist2) == _multiset(twin.select(dist2.columns))
 
 
+def test_surviving_row_groups_pure():
+    """The row-group skip decision, unit-level: groups fully covered by
+    the DV drop; partially covered or untouched groups keep their
+    (index, start ordinal)."""
+    import numpy as np
+    srg = distscan.surviving_row_groups
+    # 3 groups of 3 rows; group 1 ([3,6)) fully deleted, group 0 partial
+    assert srg([3, 3, 3], np.array([0, 3, 4, 5])) == [(0, 0), (2, 6)]
+    # nothing deleted
+    assert srg([3, 3], np.array([], dtype="int64")) == [(0, 0), (1, 3)]
+    # everything deleted (planner normally drops the file before this)
+    assert srg([2, 2], np.array([0, 1, 2, 3])) == []
+    # deletes beyond the file (superset sidecar referencing positions
+    # the current file no longer has) cannot kill a live group
+    assert srg([2], np.array([1, 5, 9])) == [(0, 0)]
+    # uneven group sizes, boundary-exact coverage of the middle group
+    assert srg([1, 4, 2], np.array([1, 2, 3, 4])) == [(0, 0), (2, 5)]
+
+
+def test_dv_density_row_group_skip(spark, tmp_path):
+    """A dirty file's fully-deleted row group is NEVER READ on the
+    distributed path: its on-disk bytes are corrupted after the DV is
+    written, so any code path that touches the group raises — the scan
+    succeeding with exactly the live rows is proof of the skip (the
+    DataFusion ParquetAccessPlan analogue,
+    ``moonlink_datafusion/src/table_provider.rs:96-130``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w = str(tmp_path / "wh-rgskip")
+    store = SnapshotStore(w)
+    store.fs.makedirs(w + "/data")
+    # 9 rows, 3 row groups of 3; _pos materialized like the writers do
+    data = pa.table({"k": pa.array(range(100, 109), pa.int64()),
+                     "_pos": pa.array(range(9), pa.int64())})
+    fpath = w + "/data/f-0.parquet"
+    pq.write_table(data, fpath, row_group_size=3)
+    # DV: all of group 1 ([3,6)) plus one row of group 0
+    dv = pa.table({
+        "referenced_file": pa.array(["data/f-0.parquet"]),
+        "positions": pa.array([[0, 3, 4, 5]], pa.list_(pa.int64())),
+        "cardinality": pa.array([4], pa.int64()),
+        "max_row_count": pa.array([9], pa.int64())})
+    pq.write_table(dv, w + "/data/dv-0.parquet")
+    # corrupt group 1's byte span (start of its first column chunk to
+    # start of group 2's) — reading it must now fail
+    md = pq.ParquetFile(fpath).metadata
+
+    def chunk_start(g):  # dictionary page (if any) precedes data pages
+        c = md.row_group(g).column(0)
+        offs = [c.data_page_offset]
+        if c.dictionary_page_offset is not None:
+            offs.append(c.dictionary_page_offset)
+        return min(offs)
+
+    start, end = chunk_start(1), chunk_start(2)
+    with open(fpath, "r+b") as f:
+        f.seek(start)
+        f.write(b"\xde\xad" * ((end - start) // 2))
+    with pytest.raises(Exception):
+        pq.ParquetFile(fpath).read_row_group(1)  # the test has teeth
+
+    manifest = spark.createDataFrame(
+        [("data/f-0.parquet", "data/dv-0.parquet", 4, 9)],
+        "path string, dv_path string, dv_cardinality long, rows long")
+    out = distscan.scan_distributed(
+        spark, store, manifest, schema_ddl="k bigint, _pos bigint",
+        project=["k", "_pos"])
+    got = {(r["k"], r["_pos"]) for r in out.collect()}
+    assert got == {(101, 1), (102, 2), (106, 6), (107, 7), (108, 8)}
+
+
 def test_engine_scan_switches_at_threshold(spark, aftermath, monkeypatch):
     """MoonTable.scan flips to distributed planning past the module
     threshold and the row content is unchanged."""

@@ -1,0 +1,87 @@
+"""Round-5 additions: trained (k-means-per-subspace) PQ codebooks —
+the lossy tier that makes product quantization usable on real-valued
+embeddings (`similarity.pq_train_codebooks`).  The lossless exactness
+boundary of the same pipeline is value-oracled by the
+``similarity_topk_pq_exact`` registry query; these tests cover the
+trained design point: relation shape, determinism, and a recall floor
+against exact brute force on a clustered corpus (the committed recall
+curve artifact is PQ_RECALL.json)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from moonlink_spark.functions import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Seeded Gaussian mixture — clustered like real embedding spaces
+    (same protocol as tools/pq_recall_bench.py, smaller)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 32)) * 0.5
+    labels = rng.integers(0, 16, size=2000)
+    x = centers[labels] + rng.normal(size=(2000, 32))
+    df = spark.createDataFrame(
+        [(int(i), r.astype("float32").tolist())
+         for i, r in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(8).cache()
+    df.count()
+    return df
+
+
+def _recall(exact, approx) -> float:
+    e = exact.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("t"))
+    a = approx.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("p"))
+    return float(
+        e.join(a, "query_id")
+        .select(F.avg(F.size(F.array_intersect("t", "p")) / F.size("t"))
+                .alias("r")).first()["r"])
+
+
+def test_pq_trained_codebook_relation_shape(clustered):
+    cb = sim.pq_train_codebooks(clustered, m=8, n_codes=16,
+                                sample_rows=512, iters=3)
+    rows = cb.collect()
+    assert {r["subspace"] for r in rows} == set(range(8))
+    for s in range(8):
+        codes = sorted(r["code"] for r in rows if r["subspace"] == s)
+        assert codes == list(range(1, 17))  # dense 1..k
+        assert all(len(r["subvec"]) == 4 for r in rows
+                   if r["subspace"] == s)  # dim 32 / m 8
+
+
+def test_pq_trained_codebook_deterministic(clustered):
+    a = sorted(map(str, sim.pq_train_codebooks(
+        clustered, m=4, n_codes=8, sample_rows=256, iters=3).collect()))
+    b = sorted(map(str, sim.pq_train_codebooks(
+        clustered, m=4, n_codes=8, sample_rows=256, iters=3).collect()))
+    assert a == b
+
+
+def test_pq_trained_bad_dims_raise(clustered):
+    with pytest.raises(ValueError):
+        sim.pq_train_codebooks(clustered, m=5, n_codes=8)  # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        sim.pq_train_codebooks(clustered, m=0, n_codes=8)
+
+
+def test_pq_trained_recall_floor_and_code_budget(clustered):
+    """Recall@10 vs exact brute force: the trained-PQ pipeline must
+    clear a floor at the small code budget and improve with m (more
+    codes per vector = finer quantization).  Fully seeded/deterministic
+    (sampling by xxhash64 order, driver-side numpy k-means), so the
+    floors are stable, not flaky."""
+    qs = clustered.filter(F.col("vec_id") % 200 == 0)
+    exact = sim.cosine_topk(clustered, qs, k=10)
+    recalls = {}
+    for m in (4, 16):
+        cb = sim.pq_train_codebooks(clustered, m=m, n_codes=64,
+                                    sample_rows=1024, iters=5)
+        approx = sim.pq_topk(clustered, qs, m=m, k=10, codebooks=cb)
+        recalls[m] = _recall(exact, approx)
+    assert recalls[4] >= 0.25, recalls
+    assert recalls[16] >= 0.70, recalls
+    assert recalls[16] > recalls[4], recalls

@@ -165,3 +165,65 @@ def test_rest_error_paths(served):
     assert st == 200 and out["dropped"] is True
     st, out = _call(srv, "DELETE", "/tables/db.users")
     assert st == 200 and out["dropped"] is False  # idempotent
+
+
+def test_rest_metrics_scrape_after_maintenance(served, spark):
+    """GET /metrics after a full ingest → flush(+DV) → optimize(full)
+    → optimize(index) → maintain cycle: all six latency families have
+    observations, buckets are well-formed, the decision log carries
+    the maintain record, and per-table state shows the last operation
+    (the otel-endpoint analogue,
+    ``observability/iceberg_persistence.rs:59-86``)."""
+    from moonlink_spark import metrics as mx
+    srv, cat = served
+    mx.reset()
+
+    st, _ = _call(srv, "POST", "/tables/db.obs", {
+        "schema": ["id", "v"],
+        "schema_types": {"id": "bigint", "v": "string"},
+        "key_columns": ["id"]})
+    assert st == 200
+    for i in range(4):
+        st, _ = _call(srv, "POST", "/ingest/db.obs", {
+            "operation": "insert", "data": {"id": i, "v": f"x{i}"}})
+        assert st == 200
+    st, _ = _call(srv, "POST", "/tables/db.obs/flush")
+    assert st == 200
+    # delete a COMMITTED row → the next flush's MERGE writes a DV
+    st, _ = _call(srv, "POST", "/ingest/db.obs", {
+        "operation": "delete", "data": {"id": 1, "v": "x1"}})
+    assert st == 200
+    st, _ = _call(srv, "POST", "/tables/db.obs/flush")
+    assert st == 200
+    st, out = _call(srv, "POST", "/tables/db.obs/optimize",
+                    {"mode": "full"})
+    assert st == 200
+    st, out = _call(srv, "POST", "/tables/db.obs/optimize",
+                    {"mode": "index"})
+    assert st == 200
+    st, out = _call(srv, "POST", "/tables/db.obs/maintain",
+                    {"option": "evaluate"})
+    assert st == 200 and out["decision"] == "none"
+    assert out["reasons"]["n_files"] >= 1
+
+    st, scrape = _call(srv, "GET", "/metrics")
+    assert st == 200
+    lat = scrape["latencies"]
+    for family in ("snapshot_synchronization_latency",
+                   "maintenance_plan_latency",
+                   "sync_data_files_latency",
+                   "sync_file_indices_latency",
+                   "sync_deletion_vectors_latency",
+                   "transaction_commit_latency"):
+        h = lat[family]
+        assert h["count"] >= 1, (family, h)
+        assert sum(h["buckets"].values()) == h["count"], (family, h)
+        assert h["sum_ms"] >= h["max_ms"] > 0, (family, h)
+    # commits happened for: create(v0), 2 flush merges, optimize full
+    assert lat["transaction_commit_latency"]["count"] >= 4
+    decisions = scrape["maintain_decisions"]
+    assert any(d["option"] == "evaluate" for d in decisions)
+    tbl = scrape["tables"]["db.obs"]
+    assert tbl["operation"] in ("optimize-index", "optimize-full",
+                                "optimize-data")
+    assert tbl["version"] >= 3

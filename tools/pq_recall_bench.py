@@ -1,0 +1,117 @@
+"""Record recall + compression of trained-PQ ADC vs exact brute force.
+
+``pq_train_codebooks`` (k-means per subspace, Jegou et al. 2011) is the
+lossy tier that makes PQ usable on real-valued embeddings — so, like
+IVF (`tools/ivf_recall_bench.py` → IVF_RECALL.json), its quality claim
+needs a recorded artifact: recall@k against exact `cosine_topk` across
+the code-budget axis m (codes per vector), plus the compression ratio
+and wall times.  The exactness boundary of the SAME pipeline is
+value-checked by the `similarity_topk_pq_exact` oracle query; this
+artifact covers the lossy design point.
+
+Corpus: the same seeded Gaussian-mixture protocol as the IVF bench
+(clustered like real embedding spaces; separation 0.5 so quantization
+error genuinely costs recall) — synthesized, no external data.
+
+Usage: python tools/pq_recall_bench.py [n_corpus] [n_queries]
+Prints one JSON document (commit as PQ_RECALL.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("PYTHONPATH", "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from moonlink_spark.functions.similarity import (cosine_topk,  # noqa: E402
+                                                 pq_topk,
+                                                 pq_train_codebooks)
+
+DIM = 64
+K = 10
+N_CODES = 256
+
+
+def synth_corpus(spark, n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    n_clusters = 64
+    centers = rng.normal(size=(n_clusters, DIM)) * 0.5
+    labels = rng.integers(0, n_clusters, size=n)
+    x = centers[labels] + rng.normal(size=(n, DIM))
+    pdf = [(int(i), row.astype("float32").tolist())
+           for i, row in enumerate(x)]
+    return spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>").repartition(32)
+
+
+def recall(exact, approx) -> float:
+    e = exact.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("t"))
+    a = approx.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("p"))
+    row = (e.join(a, "query_id")
+           .select(F.avg(F.size(F.array_intersect("t", "p")) / F.size("t"))
+                   .alias("r")).first())
+    return round(float(row["r"]), 4)
+
+
+def main() -> None:
+    n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = (SparkSession.builder.master("local[16]")
+             .appName("pq-recall")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_corpus(spark, n_corpus).persist()
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") % (n_corpus // n_queries) == 0)
+
+    t0 = time.monotonic()
+    exact = cosine_topk(corpus, queries, k=K).persist()
+    exact.count()
+    brute_secs = round(time.monotonic() - t0, 2)
+
+    out = {"n_corpus": n_corpus, "n_queries": n_queries, "dim": DIM,
+           "k": K, "n_codes_per_subspace": N_CODES,
+           "brute_force_secs": brute_secs,
+           "corpus": "seeded Gaussian mixture, 64 clusters (synthetic, "
+                     "same protocol as IVF_RECALL)",
+           "configs": []}
+    for m in (4, 8, 16, 32):
+        t0 = time.monotonic()
+        cb = pq_train_codebooks(corpus, m=m, n_codes=N_CODES,
+                                sample_rows=4096, iters=8)
+        cb.persist().count()
+        train_secs = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        approx = pq_topk(corpus, queries, m=m, k=K,
+                         codebooks=cb).persist()
+        approx.count()
+        adc_secs = round(time.monotonic() - t0, 2)
+        out["configs"].append({
+            "m": m,
+            # float32 vector = DIM*4 bytes; code array = m bytes at 256
+            # codes (int8-equivalent information content)
+            "compression_x": round(DIM * 4 / m, 1),
+            "recall_at_10": recall(exact, approx),
+            "train_secs": train_secs, "adc_secs": adc_secs,
+        })
+        approx.unpersist()
+        cb.unpersist()
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
