@@ -102,6 +102,27 @@ BENCH_QUERIES = [
     "clustering_overlap",
     "meta_stats",
     "curation_pipeline",
+    # round-5 coverage sweep: every remaining registry query is benched
+    # except three documented exclusions (see QUERY_INDEX.md):
+    # maintenance_e2e (the headline maintenance section of THIS bench
+    # already measures that pipeline end-to-end every run — a second
+    # full maintenance inside the query loop would double-count it),
+    # dedup_embedding_cosine (the all-pairs oracle twin of the
+    # LSH-bucketed path — quadratic BY DESIGN, value-checked at
+    # sf<=0.01), and dedup_simhash_neardup (dense-hamming demo width,
+    # rationale above).
+    "q4_late_orders",
+    "merge_classify",
+    "minmax_file_stats",
+    "manifest_ndv",
+    "expire_reachability",
+    "salt_fanout_plan",
+    "events_running_value",
+    "dedup_cc_components",
+    "text_quality_classifier",
+    "changelog_diff",
+    "delta_log_protocol",
+    "similarity_topk_pq_trained",
 ]
 
 # CDC-aftermath size per SF.  sf0.1 yields ~0.6 GB on disk across 800

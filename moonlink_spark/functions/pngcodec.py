@@ -19,8 +19,12 @@ Scope (spec subset, checked loudly):
 Performance note: Up/None/Sub filters de-filter vectorized (Sub is a
 per-lane cumsum); Average/Paeth fall back to a per-pixel loop.  That
 is fine where this runs — inside ``mapInPandas`` on executor-side
-batches of small-to-medium images; a 100 TB image corpus would use a
-native codec through the identical plumbing.
+batches of small-to-medium images.  For an image-heavy corpus the
+native-codec seam handles it: ``decode_png`` dispatches to PIL/libpng
+whenever it is importable on the executor (``_native_decode``) and
+falls back to the pure spec implementation (``decode_png_pure``)
+otherwise — same arrays, same plumbing, zero code change to deploy
+the fast path.
 """
 
 from __future__ import annotations
@@ -45,10 +49,46 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _native_decode(data) -> "np.ndarray | None":
+    """Native-codec seam: when PIL (libpng-backed) is importable, use
+    it — C-speed de-filtering, and it widens the supported subset
+    (palettes, 16-bit, interlaced) for free.  Returns ``None`` when no
+    native codec is available (this container), sending the caller to
+    the pure-Python spec implementation.  Import happens at call time
+    so each executor worker probes its own environment."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+    img = Image.open(io.BytesIO(bytes(data)))
+    if img.mode not in ("L", "RGB"):
+        # normalize to the two shapes the operators consume:
+        # (h, w) grayscale or (h, w, 3) RGB
+        img = img.convert("L" if img.mode in ("1", "I;16", "LA")
+                          else "RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
 def decode_png(data) -> np.ndarray:
     """Decode to a ``(h, w)`` (gray) or ``(h, w, 3)`` (RGB) uint8
     array.  Raises ``ValueError`` on malformed bytes and
-    ``NotImplementedError`` on spec features outside the subset."""
+    ``NotImplementedError`` on spec features outside the subset.
+
+    Dispatch: native codec (PIL/libpng) when importable, else the
+    pure-Python spec decoder below — identical arrays either way for
+    the supported subset (the seam twin test pins the routing)."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    native = _native_decode(data)
+    if native is not None:
+        return native
+    return decode_png_pure(data)
+
+
+def decode_png_pure(data) -> np.ndarray:
+    """The pure-Python spec implementation (RFC 2083 subset)."""
     data = bytes(data)
     if not is_png(data):
         raise ValueError("not a PNG: bad signature")

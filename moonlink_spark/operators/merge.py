@@ -69,12 +69,59 @@ from moonlink_spark.snapshotstore import (
 
 OP_COL = "_op"
 
+# Above this many DV-affected files a MERGE stops routing the per-file
+# (path -> new dv pointer) mapping through a driver-side dict into
+# commit_delta and instead streams the WHOLE successor manifest
+# relationally (manifest left-join upd, union ingest entries, path
+# order) through ``toLocalIterator`` into a full commit.  Rationale: a
+# change batch is bounded by contract (CDC batches touch a tiny file
+# set), but a table-wide upsert can touch 10^7+ files — at that point
+# every manifest segment is hit anyway, so a full streamed rewrite
+# costs the same I/O while the driver holds one partition of rows, not
+# an O(files) dict.  Tests lower it to force the path.
+RELATIONAL_COMMIT_FILES = 100_000
+
 
 def _rel_file_expr(col, warehouse: str):
     """Manifest-relative path from an ``input_file_name()`` value."""
     return F.replace(
         F.regexp_replace(col, "^file:/*", "/"),
         F.lit(warehouse + "/"), F.lit(""))
+
+
+def _commit_full_relational(spark, store, snapshot, upd, added,
+                            props, config):
+    """Table-scale commit path: the successor manifest is computed AS A
+    DATAFRAME (base manifest left-joined with the per-file DV update
+    mapping, unioned with the fresh ingest entries, path-ordered) and
+    STREAMED into a full commit via ``toLocalIterator`` — the driver
+    holds one partition of manifest rows at a time, never an O(affected
+    files) dict.  Used above :data:`RELATIONAL_COMMIT_FILES`, where the
+    change batch touches so much of the table that every manifest
+    segment would be rewritten by the delta path anyway (cf. the
+    reference's manifest-rewrite-as-data design,
+    ``puffin_writer_proxy.rs:253-364``)."""
+    mdf = store.manifest_df(spark, snapshot.version)
+    succ = (mdf.join(upd, on="path", how="left")
+            .withColumn("dv_path", F.coalesce("_new_dv", "dv_path"))
+            .withColumn("dv_cardinality",
+                        F.coalesce(F.col("_new_card").cast("long"),
+                                   F.col("dv_cardinality")))
+            .drop("_new_dv", "_new_card"))
+    if added:
+        succ = succ.unionByName(
+            spark.createDataFrame(added, schema=succ.schema),
+            allowMissingColumns=False)
+    ordered = succ.orderBy("path")
+    entries = (r.asDict() for r in ordered.toLocalIterator())
+    return store.commit(
+        entries,
+        schema=snapshot.schema,
+        stats_columns=config.stats_columns,
+        properties=props,
+        expected_parent=snapshot.version,
+        presorted=True,
+    )
 
 
 def merge_into(
@@ -273,11 +320,10 @@ def merge_into(
         # already driver-safe per the `affected` collect above) plus the
         # fresh ingest entries.  commit_delta rewrites only the manifest
         # segments those files live in; the rest of a 10^12-entry
-        # manifest is carried by reference.
-        updated = {}
-        if upd is not None:
-            updated = {r["path"]: (r["_new_dv"], r["_new_card"])
-                       for r in upd.collect()}
+        # manifest is carried by reference.  Past
+        # ``RELATIONAL_COMMIT_FILES`` affected files the dict would be
+        # the driver's biggest allocation — the commit goes relational
+        # instead (streamed full manifest, O(partition) driver rows).
         added = []
         for e in new_entries:
             flat = {"path": e["path"], "rows": e["rows"],
@@ -301,6 +347,13 @@ def merge_into(
         })
         if extra_properties:
             props.update(extra_properties)
+        if upd is not None and len(affected) > RELATIONAL_COMMIT_FILES:
+            return _commit_full_relational(
+                spark, store, snapshot, upd, added, props, config)
+        updated = {}
+        if upd is not None:
+            updated = {r["path"]: (r["_new_dv"], r["_new_card"])
+                       for r in upd.collect()}
         return store.commit_delta(
             snapshot.version,
             added=added,

@@ -3047,6 +3047,28 @@ def similarity_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                        m=32, k=10)
 
 
+@_register("similarity_topk_pq_trained")  # approximate: rows-only check
+def similarity_topk_pq_trained(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Trained product quantization at its DESIGN point: lossy
+    k-means-per-subspace codebooks (``similarity.pq_train_codebooks``,
+    Jegou et al. 2011) learned from the bounded deterministic sample,
+    then the same map-only encode + broadcast-LUT ADC scan as the
+    exact-boundary pipeline.  Approximate by nature → no SQL oracle;
+    the quality claim is the committed recall curve (PQ_RECALL.json:
+    recall@10 = 0.85 at m=32/256 codes on the clustered bench corpus)
+    plus the recall-floor twin tests (tests/test_newops_round5.py);
+    the MACHINERY is value-oracled by ``similarity_topk_pq_exact``.
+    Scale shape: training cost is O(sample × m × k) and independent of
+    corpus size; encode and scan never shuffle the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    cb = sim.pq_train_codebooks(corpus, m=16, n_codes=64,
+                                sample_rows=2048, iters=5)
+    return sim.pq_topk(corpus, corpus.filter(F.col("vec_id") < 8),
+                       m=16, k=10, codebooks=cb)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

@@ -115,3 +115,66 @@ def test_merge_salted_path_matches_broadcast(spark, tmp_path):
     hb = sorted(r["h"] for r in tb.scan(sb.version).selectExpr(
         "sha2(content,256) as h").collect())
     assert ha == hb
+
+
+def test_merge_relational_commit_parity_huge_batch(spark, tmp_path,
+                                                   monkeypatch):
+    """Table-wide MERGE (deletes touch ~every file) through the
+    relational commit path (RELATIONAL_COMMIT_FILES forced to 0):
+    content parity with the default delta-dict path on an identical
+    twin warehouse, commit_delta never invoked (the O(affected) driver
+    dict is gone), and the streamed full manifest round-trips
+    (dv pointers, cardinalities, ingest entries)."""
+    import shutil
+
+    from moonlink_spark.operators import merge as merge_op
+
+    wa = str(tmp_path / "wh-a")
+    synthesize_cdc_aftermath(wa, seed=53, n_files=10,
+                             rows_per_file=(30, 60), n_repos=4,
+                             content_bytes=(32, 64))
+    wb = str(tmp_path / "wh-b")
+    shutil.copytree(wa, wb)
+
+    def changes_for(t):
+        from pyspark.sql.window import Window
+        live = t.scan(0).select(*KEYS, "lang", "content")
+        # ~30% of every file: every 3rd row by deterministic key order
+        dels = (live.withColumn(
+                    "_rn", F.row_number().over(Window.orderBy(*KEYS)))
+                .filter(F.col("_rn") % 3 == 0).drop("_rn")
+                .withColumn("_op", F.lit("delete")))
+        ups = spark.createDataFrame(
+            [("orgZ/new", f"src/n{i}.rs", f"{i:040x}", "rust",
+              f"fresh {i}", "upsert") for i in range(4)],
+            "repo string, path string, commit string, lang string, "
+            "content string, _op string")
+        return dels.unionByName(ups)
+
+    ta = MoonTable(spark, wa, CFG)
+    snap_a = ta.merge(changes_for(ta), key_columns=KEYS)
+
+    tb = MoonTable(spark, wb, CFG)
+    monkeypatch.setattr(merge_op, "RELATIONAL_COMMIT_FILES", 0)
+    called = []
+    store_b = tb.store
+    real_delta = store_b.commit_delta
+    monkeypatch.setattr(
+        store_b, "commit_delta",
+        lambda *a, **k: called.append(1) or real_delta(*a, **k))
+    snap_b = tb.merge(changes_for(tb), key_columns=KEYS)
+
+    assert not called, "relational path must bypass commit_delta"
+    assert snap_b.version == snap_a.version == 1
+    assert (content_sha_multiset(tb.scan(1).toPandas())
+            == content_sha_multiset(ta.scan(1).toPandas()))
+    # manifest round-trip: same per-file DV cardinality totals
+    agg = lambda t: t.manifest(1).agg(
+        F.sum("dv_cardinality").alias("d"),
+        F.count(F.lit(1)).alias("n")).first()
+    ra, rb = agg(ta), agg(tb)
+    assert ra["d"] == rb["d"] and ra["n"] == rb["n"]
+    # and a follow-up optimize on the relational-committed table works
+    snap2 = tb.optimize("full")
+    assert (content_sha_multiset(tb.scan(snap2.version).toPandas())
+            == content_sha_multiset(ta.scan(1).toPandas()))

@@ -118,3 +118,52 @@ def test_sample_frames_png_passthrough_and_strict_av(spark):
     with pytest.raises(Exception, match="NotImplementedError|no frame"):
         mm.sample_frames(media.filter(F.col("media_id") == 1),
                          stride_ms=1, allow_fake=False).collect()
+
+
+def test_png_native_codec_seam(monkeypatch):
+    """decode_png dispatches to PIL/libpng when importable and to the
+    pure spec decoder otherwise — proven both ways with a fake PIL
+    module (the container has no real one): with the fake installed
+    the native path is taken and its array is returned verbatim; with
+    it gone the pure path decodes identically."""
+    import sys
+    import types
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    payload = pngcodec.encode_png(arr, filter_type=4)
+    pure = pngcodec.decode_png_pure(payload)
+    assert np.array_equal(pure, arr)
+
+    calls = []
+
+    class _FakeImg:
+        mode = "RGB"
+
+        def __init__(self, data):
+            self._a = pngcodec.decode_png_pure(data)
+
+        def __array__(self, dtype=None, copy=None):
+            return self._a.astype(dtype or self._a.dtype)
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: calls.append(1) or _FakeImg(buf.getvalue()))
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    via_native = pngcodec.decode_png(payload)
+    assert calls == [1], "native codec was not consulted"
+    assert np.array_equal(via_native, arr)
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    calls.clear()
+    via_pure = pngcodec.decode_png(payload)
+    assert calls == [] and np.array_equal(via_pure, arr)
+
+    # the signature check still fires BEFORE any native dispatch
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    with pytest.raises(ValueError):
+        pngcodec.decode_png(b"\x00not-a-png")

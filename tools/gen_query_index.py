@@ -42,7 +42,27 @@ def main() -> None:
     no = sum(1 for q in QUERIES if q in ORACLE)
     lines += ["",
               f"Totals: {n} queries, {no} oracle-checked, "
-              f"{len(bench)} benched."]
+              f"{len(bench)} benched.",
+              "",
+              "Deliberate bench exclusions (all still oracle-checked "
+              "unless noted):",
+              "",
+              "- `maintenance_e2e` — bench.py's headline maintenance "
+              "section already measures this pipeline end-to-end every "
+              "run; timing it again inside the query loop would "
+              "double-count the round's dominant cost.",
+              "- `dedup_embedding_cosine` — the all-pairs oracle twin "
+              "of the LSH-bucketed near-dup path, quadratic BY DESIGN; "
+              "value-checked at sf<=0.01, never meant to run at bench "
+              "scale.",
+              "- `dedup_simhash_neardup` — the demo 16-bit fingerprint "
+              "width densely fills hamming space at sf0.1 (~60 s of "
+              "pair verification); the realistic 64-bit width has no "
+              "such density.",
+              "- `similarity_topk_pq_trained` / `similarity_topk_ivf` "
+              "are benched but rows-only (approximate by nature); "
+              "their quality claims live in PQ_RECALL.json / "
+              "IVF_RECALL.json."]
     with open("/root/repo/QUERY_INDEX.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote QUERY_INDEX.md: {n} queries, {no} oracled")
