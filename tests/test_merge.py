@@ -174,6 +174,12 @@ def test_merge_relational_commit_parity_huge_batch(spark, tmp_path,
         F.count(F.lit(1)).alias("n")).first()
     ra, rb = agg(ta), agg(tb)
     assert ra["d"] == rb["d"] and ra["n"] == rb["n"]
+    # the changelog is manifest-content-based, so it must read
+    # identically across a relational merge commit
+    ev = lambda t: sorted(
+        (r["_change_type"], r["repo"], r["path"], r["commit"])
+        for r in t.changes(0).collect())
+    assert ev(tb) == ev(ta)
     # and a follow-up optimize on the relational-committed table works
     snap2 = tb.optimize("full")
     assert (content_sha_multiset(tb.scan(snap2.version).toPandas())
