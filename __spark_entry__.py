@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the one approximate-by-design
-    entry (similarity_topk_ivf) is intentionally absent → rows-only
-    check."""
+    """DuckDB-equivalent SQL per query; the two approximate-by-design
+    entries (similarity_topk_ivf, similarity_topk_pq_trained) are
+    intentionally absent → rows-only check (their quality claims are
+    the committed recall artifacts IVF_RECALL.json / PQ_RECALL.json)."""
     return dict(ORACLE)
