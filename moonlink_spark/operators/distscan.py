@@ -170,10 +170,16 @@ def _file_reader(warehouse: str, arrow_schema, read_cols: list[str] | None,
 
         def deleted_ordinals(dv_relpath: str, relpath: str):
             """Sorted unique deleted positions of ``relpath`` per its
-            named sidecar (bounded: one positions column of one file)."""
-            t = pq.read_table(os.path.join(warehouse, dv_relpath),
-                              columns=["referenced_file", "positions"])
-            mine = t.filter(pc.equal(t["referenced_file"], relpath))
+            named sidecar.  Sidecars are shared by up to ~512 files but
+            written range-partitioned AND sorted by ``referenced_file``
+            (merge.py / engine._optimize_index), so the dataset filter
+            prunes foreign row groups by footer stats — each dirty
+            file reads ~its own slice, not the whole shared sidecar."""
+            import pyarrow.dataset as pds
+            mine = pds.dataset(
+                os.path.join(warehouse, dv_relpath), format="parquet"
+            ).to_table(columns=["positions"],
+                       filter=pds.field("referenced_file") == relpath)
             if mine.num_rows == 0:
                 return None
             pos = pc.list_flatten(mine["positions"])
